@@ -22,7 +22,17 @@ object SparkEntry {
     "q07_sessionize"      -> (CoreQueries.q07Sessionize _),
     "q08_last_per_key"    -> (CoreQueries.q08LastPerKey _),
     "q09_conditional_agg" -> (CoreQueries.q09ConditionalAgg _),
-    "q10_quantiles"       -> (CoreQueries.q10Quantiles _)
+    "q10_quantiles"       -> (CoreQueries.q10Quantiles _),
+    "q11_backlog"         -> (CoreQueries.q11Backlog _),
+    "q12_survival"        -> (CoreQueries.q12Survival _),
+    "q13_classifier"      -> (CoreQueries.q13Classifier _),
+    "q14_pivot"           -> (CoreQueries.q14Pivot _),
+    "q15_chain_ids"       -> (CoreQueries.q15ChainIds _),
+    "q16_fy_agg"          -> (CoreQueries.q16FyAgg _),
+    "q17_topk"            -> (CoreQueries.q17TopK _),
+    "q18_regex_class"     -> (CoreQueries.q18RegexClass _),
+    "q19_asof_join"       -> (CoreQueries.q19AsofJoin _),
+    "q20_histogram"       -> (CoreQueries.q20Histogram _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

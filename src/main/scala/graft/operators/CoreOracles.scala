@@ -126,6 +126,149 @@ object CoreOracles {
         |  WHERE o_orderstatus = 'O'
         |)
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+
+    "q11_backlog" ->
+      """WITH opened AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_opened
+        |  FROM orders GROUP BY 1
+        |), comp AS (
+        |  SELECT o_orderkey, MAX(l_shipdate) AS completed
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F' GROUP BY o_orderkey
+        |), closed AS (
+        |  SELECT date_trunc('month', completed) AS month, COUNT(*) AS n_closed
+        |  FROM comp GROUP BY 1
+        |), merged AS (
+        |  SELECT COALESCE(o.month, c.month) AS month,
+        |         COALESCE(n_opened, 0) AS n_opened, COALESCE(n_closed, 0) AS n_closed
+        |  FROM opened o FULL OUTER JOIN closed c ON o.month = c.month
+        |)
+        |SELECT month, n_opened, n_closed,
+        |       CAST(SUM(n_opened - n_closed) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+        |FROM merged ORDER BY month""".stripMargin,
+
+    "q12_survival" ->
+      """WITH comp AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS completed FROM lineitem GROUP BY l_orderkey
+        |), obs AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F'
+        |              THEN date_diff('day', CAST(o_orderdate AS DATE), CAST(completed AS DATE))
+        |              ELSE date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-06-01') END AS t_days,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
+        |  FROM orders LEFT JOIN comp ON o_orderkey = l_orderkey
+        |), by_t AS (
+        |  SELECT CAST(t_days AS BIGINT) AS t_days,
+        |         CAST(SUM(event) AS BIGINT) AS n_events,
+        |         CAST(SUM(1 - event) AS BIGINT) AS n_censored,
+        |         COUNT(*) AS n_obs
+        |  FROM obs WHERE t_days IS NOT NULL GROUP BY 1
+        |), risk AS (
+        |  SELECT t_days, n_events, n_censored,
+        |         CAST(SUM(n_obs) OVER (ORDER BY t_days ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM by_t
+        |)
+        |SELECT t_days, n_risk, n_events, n_censored,
+        |       ROUND(EXP(SUM(LN(GREATEST(CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 1e-300)))
+        |                 OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 6) AS survival
+        |FROM risk ORDER BY t_days""".stripMargin,
+
+    "q13_classifier" ->
+      """SELECT end_state,
+        |       CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS fy,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN (VALUES ('F', 'COMPLETE'), ('O', 'OPEN'), ('P', 'PENDING')) AS m(status, end_state)
+        |  ON o_orderstatus = status
+        |GROUP BY end_state, fy
+        |ORDER BY end_state, fy""".stripMargin,
+
+    "q14_pivot" ->
+      """SELECT user_id,
+        |       MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+        |       MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END) AS first_error,
+        |       MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase,
+        |       MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+        |       MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS first_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q15_chain_ids" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+        |  FROM orders
+        |), s AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CASE WHEN prev_date IS NULL
+        |                OR date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) > 365
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM t
+        |), g AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CAST(SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chain_num
+        |  FROM s
+        |)
+        |SELECT o_orderkey, o_custkey, chain_num,
+        |       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey, chain_num
+        |                                     ORDER BY o_orderdate, o_orderkey
+        |                                     ROWS UNBOUNDED PRECEDING) AS chain_root,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey, chain_num
+        |                               ORDER BY o_orderdate, o_orderkey) AS INT) AS chain_pos
+        |FROM g ORDER BY o_orderkey""".stripMargin,
+
+    "q16_fy_agg" ->
+      """SELECT CAST(year(o_orderdate) + CASE WHEN month(o_orderdate) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS fy,
+        |       o_orderpriority, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY fy, o_orderpriority
+        |ORDER BY fy, o_orderpriority""".stripMargin,
+
+    "q17_topk" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                                 ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+        |  FROM customer
+        |)
+        |SELECT n_name, rnk, c_custkey, c_name, c_acctbal
+        |FROM r JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
+
+    "q18_regex_class" ->
+      """SELECT CASE WHEN regexp_matches(p_type, '^(SMALL|MEDIUM|LARGE)$') THEN 'SIZED'
+        |            WHEN regexp_matches(p_type, 'ECON|PROMO') THEN 'VALUE'
+        |            ELSE 'STANDARD' END AS class,
+        |       COUNT(*) AS n_parts,
+        |       CAST(COUNT(DISTINCT CAST(regexp_extract(p_brand, '[0-9]+') AS BIGINT)) AS BIGINT) AS n_brands,
+        |       ROUND(AVG(p_retailprice), 2) AS avg_retail
+        |FROM part GROUP BY class ORDER BY class""".stripMargin,
+
+    "q19_asof_join" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), m AS (
+        |  SELECT event_id, user_id, ts, event_type, us,
+        |         MAX(CASE WHEN event_type = 'view' THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_us
+        |  FROM t
+        |)
+        |SELECT event_id, user_id, ts, make_timestamp(prev_view_us) AS prev_view_ts,
+        |       us - prev_view_us AS gap_us
+        |FROM m WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q20_histogram" ->
+      """WITH t AS (
+        |  SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT CAST(FLOOR(delay_days / 30.0) AS BIGINT) AS bucket,
+        |       CAST(FLOOR(delay_days / 30.0) AS BIGINT) * 30 AS bucket_start_days,
+        |       COUNT(*) AS n_items, ROUND(AVG(delay_days), 4) AS avg_delay
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -185,4 +185,206 @@ object CoreQueries {
         round(expr("percentile(days_pending, 0.95)"), 4).as("p95_days"))
       .orderBy("n_name")
   }
+
+  /** q11: event deltas → monthly cumulative backlog curve.
+    * Mirrors scratch/other/event-history.R's historical backlog: +1 on
+    * open, -1 on close, cumulative over time. Scale posture: aggregate
+    * to month grain FIRST (map-side combine), then window over the tiny
+    * aggregated series — never a global sort of raw facts.
+    */
+  def q11Backlog(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val opened = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = orders.filter(col("o_orderstatus") === "F")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(max(col("l_shipdate")).as("completed"))
+      .groupBy(date_trunc("month", col("completed")).as("month"))
+      .agg(count(lit(1)).as("n_closed"))
+    val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.join(closed, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("backlog", sum(col("n_opened") - col("n_closed")).over(w))
+      .orderBy("month")
+  }
+
+  /** q12: censored durations → Kaplan–Meier survival curve.
+    * Mirrors scratch/other/example_survival.R (Surv(age.exit, event)):
+    * duration = order placed → completion; censored at a fixed cutoff for
+    * unfinished orders. S(t) = Π (1 - d/n) computed as exp(Σ ln(·)) so the
+    * math is identical in Spark and the oracle; floor the factor at 1e-300
+    * so a final d=n step yields 0 instead of engine-specific ln(0).
+    */
+  def q12Survival(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val comp = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    val obs = orders.join(comp, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        when(col("o_orderstatus") === "F",
+          datediff(col("completed").cast("date"), col("o_orderdate").cast("date")))
+          .otherwise(datediff(lit("2002-06-01").cast("date"), col("o_orderdate").cast("date")))
+          .cast("long").as("t_days"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("event"))
+      .filter(col("t_days").isNotNull)
+    val byT = obs.groupBy("t_days")
+      .agg(sum(col("event")).as("n_events"),
+        sum(lit(1L) - col("event")).as("n_censored"),
+        count(lit(1)).as("n_obs"))
+    val wOrd = Window.orderBy("t_days")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk",
+        sum(col("n_obs")).over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("factor",
+        greatest((col("n_risk") - col("n_events")).cast("double") / col("n_risk").cast("double"),
+          lit(1e-300)))
+      .withColumn("survival", round(exp(sum(log(col("factor"))).over(wCum)), 6))
+      .select("t_days", "n_risk", "n_events", "n_censored", "survival")
+      .orderBy("t_days")
+  }
+
+  /** q13: small mapping-table classification join.
+    * Mirrors EventEndStateClassifier (reference constants.R:15): BFDC code →
+    * end-state label via merge with a literal dataframe; broadcast join here.
+    */
+  def q13Classifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mapping = Seq(("F", "COMPLETE"), ("O", "OPEN"), ("P", "PENDING"))
+      .toDF("status", "end_state")
+    val fy = (year(col("o_orderdate")) +
+      when(month(col("o_orderdate")) >= 10, 1).otherwise(0)).cast("long").as("fy")
+    Tables.orders(spark, dir)
+      .join(broadcast(mapping), col("o_orderstatus") === col("status"))
+      .groupBy(col("end_state"), fy)
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("end_state", "fy")
+  }
+
+  /** q14: event log → wide per-entity phase matrix.
+    * Mirrors scratch/other/phase-history.R's spread of first-event dates
+    * into per-phase columns (NOD, FORM9, …) — here first ts per type.
+    */
+  def q14Pivot(spark: SparkSession, dir: String): DataFrame = {
+    def firstOf(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(firstOf("click"), firstOf("error"), firstOf("purchase"),
+        firstOf("signup"), firstOf("view"))
+      .orderBy("user_id")
+  }
+
+  /** q15: chain/case-linking across related records.
+    * Mirrors scratch/other/event-history.R's logical_cases: field appeals
+    * chained across remands into one logical case. Here: a customer's
+    * orders within 365 days of the previous link into a chain; the chain
+    * root id labels every member. Windows replace the reference's
+    * iterate-to-fixpoint self-join loop — one shuffle, no iteration.
+    */
+  def q15ChainIds(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wc = Window.partitionBy("o_custkey", "chain_num")
+      .orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_date").isNull ||
+          datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")) > 365, 1L)
+          .otherwise(0L))
+      .withColumn("chain_num", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("chain_root", first(col("o_orderkey")).over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("chain_pos", row_number().over(wc))
+      .select("o_orderkey", "o_custkey", "chain_num", "chain_root", "chain_pos")
+      .orderBy("o_orderkey")
+  }
+
+  /** q16: fiscal-year (Oct–Sep) bucketed aggregation.
+    * Mirrors scratch/other/pending-nods.R's socs_per_yr FY windows. FY
+    * computed with pure integer month logic (portable across engines).
+    */
+  def q16FyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val fy = (year(col("o_orderdate")) +
+      when(month(col("o_orderdate")) >= 10, 1).otherwise(0)).cast("long").as("fy")
+    Tables.orders(spark, dir)
+      .groupBy(fy, col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("fy", "o_orderpriority")
+  }
+
+  /** q17: top-k per group with rank.
+    * Mirrors scratch/decisions/docket-order.R ranking; deterministic
+    * tie-break on the unique key.
+    */
+  def q17TopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rnk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("n_name", "rnk")
+  }
+
+  /** q18: regex classification + aggregation.
+    * Mirrors the reference's regex location classes (constants.R:21
+    * AbeyanceLocs "24|39", DecisionLocs "D[1-5]") applied via grepl.
+    */
+  def q18RegexClass(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .withColumn("class",
+        when(col("p_type").rlike("^(SMALL|MEDIUM|LARGE)$"), "SIZED")
+          .when(col("p_type").rlike("ECON|PROMO"), "VALUE")
+          .otherwise("STANDARD"))
+      .withColumn("brand_num", regexp_extract(col("p_brand"), "[0-9]+", 0).cast("long"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("brand_num")).as("n_brands"),
+        round(avg(col("p_retailprice")), 2).as("avg_retail"))
+      .orderBy("class")
+  }
+
+  /** q19: as-of join — latest 'view' at or before each 'purchase'.
+    * Mirrors the reference's status-as-of-date lookups (hearing held
+    * before decision, etc.). Spark-first: a single per-entity window over
+    * the unioned ordered log (MAX of the monotone view timestamp over the
+    * preceding frame) — linear, one shuffle, no O(n²) range join.
+    */
+  def q19AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        timestamp_micros(col("prev_view_us")).as("prev_view_ts"),
+        (col("us") - col("prev_view_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** q20: duration histogram with fixed-width buckets.
+    * Mirrors notebooks/dispatch/time-to-ep.Rmd's time-to-EP distribution:
+    * ship delay bucketed into 30-day bins.
+    */
+  def q20Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val delay = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days", delay)
+      .withColumn("bucket", floor(col("delay_days") / 30.0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_items"), round(avg(col("delay_days")), 4).as("avg_delay"))
+      .withColumn("bucket_start_days", col("bucket") * 30)
+      .select("bucket", "bucket_start_days", "n_items", "avg_delay")
+      .orderBy("bucket")
+  }
 }
