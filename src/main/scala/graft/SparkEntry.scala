@@ -32,10 +32,30 @@ object SparkEntry {
     "q17_topk"            -> (CoreQueries.q17TopK _),
     "q18_regex_class"     -> (CoreQueries.q18RegexClass _),
     "q19_asof_join"       -> (CoreQueries.q19AsofJoin _),
-    "q20_histogram"       -> (CoreQueries.q20Histogram _)
+    "q20_histogram"       -> (CoreQueries.q20Histogram _),
+    "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
+    "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
+    "d23_simhash"         -> (Dedup.d23Simhash _),
+    "d24_ngram_jaccard"   -> (Dedup.d24NgramJaccard _),
+    "d25_embed_neardup"   -> (Dedup.d25EmbedNeardup _),
+    "s26_ann_topk"        -> (Similarity.s26AnnTopk _),
+    "s27_ann_lsh"         -> (Similarity.s27AnnLsh _),
+    "t28_langid"          -> (TextAnalysis.t28Langid _),
+    "t29_quality"         -> (TextAnalysis.t29Quality _),
+    "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),
+    "t31_fingerprint"     -> (TextAnalysis.t31Fingerprint _),
+    "m32_multimodal"      -> (Multimodal.m32Multimodal _),
+    "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreOracles.sql
+  def oracleSql: Map[String, String] =
+    CoreOracles.sql ++ PipelineOracles.sql ++ Map(
+      "st33_stream_window" ->
+        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+          |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+          |FROM events GROUP BY hour_start, event_type
+          |ORDER BY hour_start, event_type""".stripMargin
+    )
 }

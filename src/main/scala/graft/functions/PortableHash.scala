@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic hash primitives.
+  *
+  * All dedup/similarity operators must produce bit-identical results in
+  * Spark and the DuckDB oracle, so we avoid engine-native hash functions
+  * (Spark's xxhash64/murmur vs DuckDB's hash differ) and build on md5,
+  * which both engines expose with identical semantics: take the first 15
+  * hex chars of md5 (60 bits, fits a signed int64) and parse as an
+  * integer. All downstream minhash/simhash arithmetic is pure int64
+  * mod-arithmetic kept below 2^62 so neither engine overflows.
+  *
+  * DuckDB equivalent: ('0x' || substr(md5(s), 1, 15))::BIGINT
+  */
+object PortableHash {
+  /** 60-bit portable string hash. */
+  def ph(c: Column): Column =
+    conv(substr(md5(c), lit(1), lit(15)), 16, 10).cast("long")
+
+  val P: Long = 1000000007L
+
+  /** MinHash family: h_j(x) = (a_j * (ph(x) % P) + b_j) % P.
+    * ph%P < 2^30 and a_j < 2^31 keep products < 2^61. */
+  def seedA(j: Int): Long = 2L * j + 3L
+  def seedB(j: Int): Long = 7919L * j + 1L
+
+  val NumMinhash = 16
+  val NumBands   = 4
+  val RowsPerBand = 4
+
+  /** SimHash token-hash domain: 48 bits (2^48 exact in doubles too). */
+  val SimBits = 48
+  val SimMod: Long = 281474976710656L
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PortableHash._
+
+/** Deduplication operators d21–d25 (SURVEY.md §2) over the `documents`
+  * and `embeddings` tables — the LLM-training-data pipeline surface.
+  *
+  * Scale posture: no operator materializes O(n²) candidates globally.
+  * Candidate generation is LSH-band buckets (d22), simhash chunk buckets
+  * (d23), shingle inverted-index joins within a blocking key (d24), and
+  * label blocking (d25). All hashes are [[graft.functions.PortableHash]]
+  * (md5-based int64 arithmetic) so the DuckDB oracle reproduces them
+  * bit-for-bit.
+  */
+object Dedup {
+
+  /** Words + distinct 3-gram shingles; docs with <3 words excluded
+    * (Spark's sequence(1, n) would go descending for n<1; DuckDB's
+    * generate_series returns empty — semantics differ, so filter).
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3))))"))
+
+  /** d21: exact dedup via md5 content hash; survivor = min doc_id. */
+  def d21ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("content_hash")
+  }
+
+  /** d22: MinHash + LSH banding near-dup candidate pairs.
+    * 16 portable minhashes, 4 bands × 4 rows; docs sharing any band
+    * bucket become a candidate pair. Linear in corpus size: the only
+    * join is band-bucket self-join (skew-bounded by band selectivity).
+    */
+  def d22MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("x", ph(col("s")) % P)
+    val sigCols = (0 until NumMinhash).map { j =>
+      min(expr(s"(${seedA(j)} * x + ${seedB(j)}) % $P")).as(s"m$j")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), concat_ws("_", ms: _*).as("band_key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d23: 48-bit SimHash + chunk-bucket hamming pairs.
+    * Token hashes fold into a sign-vector simhash; 4 chunks of 12 bits
+    * bucket candidates (any pair with hamming ≤ 12/:4 shares a chunk);
+    * exact hamming ≤ 8 filters.
+    */
+  def d23Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr("array_distinct(words)")).as("tok"))
+      .withColumn("th", ph(col("tok")) % SimMod)
+    val bits = toks
+      .select(col("doc_id"), col("th"), explode(expr(s"sequence(0, ${SimBits - 1})")).as("b"))
+      .withColumn("contrib",
+        when(expr("(th div cast(pow(2, b) as long)) % 2") === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("contrib")).as("s"))
+    val sims = bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("cast(pow(2, b) as long)")).otherwise(0L)).as("simhash"))
+    val chunks = sims
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("chunk", expr("(simhash div cast(pow(2, 12 * k) as long)) % 4096"))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b,
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d24: 3-gram Jaccard similarity pairs within a blocking key (source).
+    * Inverted-index join on shingles (never all-pairs): pairs sharing a
+    * shingle get an intersection count; union from per-doc shingle counts.
+    */
+  def d24NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .withColumn("uni", col("na.nsh") + col("nb.nsh") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni").cast("double"), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("source", "doc_a", "doc_b", "inter", "uni", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d25: embedding-cosine near-dup pairs, blocked by label.
+    * Elementwise fold (zip_with + aggregate) in doc order on both engines
+    * keeps double accumulation order identical; cosine rounded to 6dp.
+    * Scale path for unblocked corpora is s27's hyperplane LSH.
+    */
+  def d25EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x))"))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

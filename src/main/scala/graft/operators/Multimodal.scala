@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** m32: multimodal column plumbing (SURVEY.md §2).
+  *
+  * Models image/audio/video handling at 100 TB: media payloads are
+  * opaque `binary` columns travelling next to typed metadata, and
+  * decode/feature-extract runs as per-partition batch code (the Scala
+  * analogue of a Pandas-UDF stage). The decode step is STUBBED with a
+  * deterministic fake (this container has no media codecs): features are
+  * byte length, an md5 content hash, and a trivial first-byte value —
+  * but the plumbing (binary column, typed Dataset, mapPartitions batch
+  * shape, partition-preserving schema) is the real production shape.
+  */
+object Multimodal {
+
+  /** Typed media record: payload stays opaque bytes; metadata is typed. */
+  case class MediaIn(doc_id: Long, payload: Array[Byte], meta_n_chars: Long, meta_fmt: String)
+  case class MediaFeat(doc_id: Long, n_bytes: Long, content_hash: String,
+      first_byte: Int, meta_n_chars: Long, meta_fmt: String)
+
+  /** STUB decoder — deterministic fake standing in for a real image /
+    * audio codec (`???` in spirit). Replace with a codec call per batch
+    * when deploying with real media libraries.
+    */
+  private def fakeDecode(payload: Array[Byte]): (String, Int) = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+    (hex, first)
+  }
+
+  def m32Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        // synthesize the opaque payload from text (utf-8 bytes): in a real
+        // pipeline this column arrives as image/audio bytes from the lake
+        encode(col("text"), "utf-8").as("payload"),
+        col("n_chars").as("meta_n_chars"),
+        lit("txt").as("meta_fmt"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      // batch shape: one decoder instance per partition, streamed rows
+      rows.map { r =>
+        val (hash, first) = fakeDecode(r.payload)
+        MediaFeat(r.doc_id, r.payload.length.toLong, hash, first,
+          r.meta_n_chars, r.meta_fmt)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.functions.PortableHash._
+
+/** DuckDB oracle SQL for d21–d25, s26–s27, t28–t31, m32 — exact
+  * arithmetic mirrors of the Spark plans. The portable hash is
+  * ('0x' || substr(md5(s), 1, 15))::BIGINT — identical to Spark's
+  * conv(substr(md5(s),1,15),16,10). Seeds/bands are generated from the
+  * same constants as [[graft.functions.PortableHash]].
+  */
+object PipelineOracles {
+
+  private def phSql(col: String): String =
+    s"('0x' || substr(md5($col), 1, 15))::BIGINT"
+
+  private val shingleCte =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_distinct(list_transform(generate_series(1, len(words) - 2),
+      |           i -> array_to_string(words[i:i+2], ' ')))) AS s
+      |  FROM w
+      |)""".stripMargin
+
+  private val d22Sql: String = {
+    val sigs = (0 until NumMinhash).map { j =>
+      s"MIN((${seedA(j)} * x + ${seedB(j)}) % $P) AS m$j"
+    }.mkString(",\n|         ")
+    val bands = (0 until NumBands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_idx, ${ms.mkString(" || '_' || ")} AS band_key FROM sig"
+    }.mkString("\n|  UNION ALL\n|  ")
+    s"""$shingleCte, h AS (
+      |  SELECT doc_id, ${phSql("s")} % $P AS x FROM sh
+      |), sig AS (
+      |  SELECT doc_id,
+      |         $sigs
+      |  FROM h GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val d23Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+      |), th AS (
+      |  SELECT doc_id, ${phSql("tok")} % $SimMod AS th FROM toks
+      |), bits AS (
+      |  SELECT doc_id, t.b AS b,
+      |         CASE WHEN (th // CAST(pow(2, t.b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+      |  FROM th, range(0, $SimBits) t(b)
+      |), sb AS (
+      |  SELECT doc_id, b, SUM(contrib) AS s FROM bits GROUP BY doc_id, b
+      |), sims AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM sb GROUP BY doc_id
+      |), chunks AS (
+      |  SELECT doc_id, simhash, t.k AS k,
+      |         (simhash // CAST(pow(2, 12 * t.k) AS BIGINT)) % 4096 AS chunk
+      |  FROM sims, range(0, 4) t(k)
+      |)
+      |SELECT * FROM (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |  FROM chunks a JOIN chunks b
+      |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |) WHERE hamming <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val d24Sql: String =
+    s"""$shingleCte, n AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+      |), p AS (
+      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b
+      |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT * FROM (
+      |  SELECT source, doc_a, doc_b, inter,
+      |         na.nsh + nb.nsh - inter AS uni,
+      |         ROUND(CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE), 4) AS jaccard
+      |  FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |) WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val vecCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, v,
+      |         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+      |  FROM e
+      |)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> $a.v[i] * $b.v[i]))"
+
+  private val d25Sql: String =
+    s"""$vecCte
+      |SELECT * FROM (
+      |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         ROUND(${dotSql("a", "b")} / (a.norm * b.norm), 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |) WHERE cos_sim >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  private val s26Sql: String =
+    s"""$vecCte, p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ROUND(${dotSql("q", "c")} / (q.norm * c.norm), 6) AS cos_sim
+      |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  private val s27Sql: String = {
+    val bucket = (0 until 8).map { p =>
+      val planeDot = s"list_sum(list_transform(generate_series(1, 64), " +
+        s"j -> v[j] * CAST((${1315423911L * p} + 2654435761 * j) % 1000003 - 501001 AS DOUBLE)))"
+      s"(CASE WHEN $planeDot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""$vecCte, bk AS (
+      |  SELECT vec_id, v, norm, CAST($bucket AS BIGINT) AS bucket FROM n
+      |), p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ROUND(${dotSql("q", "c")} / (q.norm * c.norm), 6) AS cos_sim
+      |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopEs = Seq("el", "la", "los", "que", "una")
+  private val stopFr = Seq("le", "les", "des", "est", "une")
+  private val stopZh = Seq("的", "是", "了", "在", "和")
+
+  private val t28Sql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopDe)})) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEs)})) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopFr)})) AS BIGINT) AS s_fr,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopZh)})) AS BIGINT) AS s_zh
+      |  FROM w
+      |), c AS (
+      |  SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+      |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |              WHEN s_fr >= s_zh THEN 'fr'
+      |              ELSE 'zh' END AS pred_lang
+      |  FROM s
+      |)
+      |SELECT doc_id, pred_lang, lang AS actual_lang,
+      |       CAST(pred_lang = lang AS INT) AS correct,
+      |       s_en, s_de, s_es, s_fr, s_zh
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  private val t29Sql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |         CAST(length(text) AS BIGINT) AS n_chars_m,
+      |         CAST(len(words) AS BIGINT) AS n_words,
+      |         CAST(length(text) - (len(words) - 1) AS BIGINT) AS n_letters,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS BIGINT) AS n_stop
+      |  FROM w
+      |), r AS (
+      |  SELECT doc_id, n_chars_m, n_words,
+      |         ROUND(CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
+      |         ROUND(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS stop_ratio
+      |  FROM m
+      |)
+      |SELECT doc_id, n_chars_m, n_words, avg_word_len, stop_ratio,
+      |       CAST(FLOOR((0.3 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |           + 0.4 * (1.0 - stop_ratio)
+      |           + 0.3 * LEAST(avg_word_len / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) AS score_x10000,
+      |       CAST(CAST(FLOOR((0.3 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |           + 0.4 * (1.0 - stop_ratio)
+      |           + 0.3 * LEAST(avg_word_len / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) >= 5000 AS INT) AS quality_ok
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  private val t30Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, text, string_split(text, ' ') AS words FROM documents
+      |), ps AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(words)) AS BIGINT) AS total_tokens,
+      |         CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |         ROUND(AVG(len(words)), 4) AS avg_tokens
+      |  FROM d GROUP BY source
+      |), v AS (
+      |  SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+      |  FROM (SELECT source, unnest(words) AS w FROM d) GROUP BY source
+      |)
+      |SELECT ps.source AS source, n_docs, total_tokens, total_chars, avg_tokens, n_distinct_tokens
+      |FROM ps JOIN v ON ps.source = v.source
+      |ORDER BY source""".stripMargin
+
+  private val t31Sql: String =
+    s"""SELECT ${phSql("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fp,
+      |       COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY fp
+      |ORDER BY fp""".stripMargin
+
+  private val m32Sql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_hash,
+      |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+      |       n_chars AS meta_n_chars,
+      |       'txt' AS meta_fmt
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "d21_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY content_hash
+        |ORDER BY content_hash""".stripMargin,
+    "d22_minhash_lsh"  -> d22Sql,
+    "d23_simhash"      -> d23Sql,
+    "d24_ngram_jaccard" -> d24Sql,
+    "d25_embed_neardup" -> d25Sql,
+    "s26_ann_topk"     -> s26Sql,
+    "s27_ann_lsh"      -> s27Sql,
+    "t28_langid"       -> t28Sql,
+    "t29_quality"      -> t29Sql,
+    "t30_tokencount"   -> t30Sql,
+    "t31_fingerprint"  -> t31Sql,
+    "m32_multimodal"   -> m32Sql
+  )
+}

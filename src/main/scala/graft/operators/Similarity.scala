@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity-search operators s26–s27 (SURVEY.md §2): approximate
+  * nearest neighbors over the `embeddings` table.
+  *
+  * s26 is the exact brute-force baseline for a fixed query set (cost is
+  * |Q|·N — linear in the corpus for a bounded query set, so it scales).
+  * s27 is the scale path: random-hyperplane LSH buckets computed with
+  * deterministic integer hyperplanes so the DuckDB oracle reproduces the
+  * same buckets; candidate generation is a bucket-equijoin, not a cross
+  * join.
+  */
+object Similarity {
+
+  /** Embeddings as doubles with precomputed L2 norm. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x))"))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+
+  private val cosExpr =
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+
+  /** s26: brute-force cosine top-k for the query set (vec_id < 10). */
+  def s26AnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 10).as("q")
+    val c = e.as("c")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_sim", round(expr(cosExpr) / (col("q.norm") * col("c.norm")), 6))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s27: random-hyperplane LSH bucketed ANN top-k.
+    * 8 deterministic integer hyperplanes: component j of plane p is
+    * ((1315423911·p + 2654435761·j) mod 1000003) − 501001. Bucket = the
+    * 8 sign bits. Candidates share the query's bucket; top-3 by cosine.
+    */
+  def s27AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planeDot = (p: Int) =>
+      s"aggregate(transform(sequence(1, 64), j -> element_at(v, j) * " +
+        s"cast((${1315423911L * p}L + 2654435761L * j) % 1000003 - 501001 as double)), " +
+        "0d, (acc, x) -> acc + x)"
+    val bucketExpr = (0 until 8).map(p =>
+      s"(case when ${planeDot(p)} >= 0 then ${1L << p} else 0 end)").mkString(" + ")
+    val e = vecs(spark, dir).withColumn("bucket", expr(s"cast($bucketExpr as long)"))
+    val q = e.filter(col("vec_id") < 10).as("q")
+    val c = e.as("c")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_sim", round(expr(cosExpr) / (col("q.norm") * col("c.norm")), 6))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .orderBy("query_id", "rnk")
+  }
+}
