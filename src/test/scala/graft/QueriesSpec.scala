@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariant specs for every SparkEntry query at sf0.001.
+  * The full value-level check against the DuckDB oracle is the driver's
+  * t2 gate (and tools/check.py locally); these specs guard plan
+  * validity, schema/alias stability, and key invariants per operator.
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).limit(5).count() > 0)
+  }
+
+  test("every query key has either an oracle or a documented omission") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("every oracle key has a query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without query: $dangling")
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name executes and is non-degenerate") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.columns.nonEmpty)
+      // deterministic: same plan executed twice yields same count
+      assert(fn(spark, dir).count() === n)
+    }
+  }
+
+  test("q07 sessions cover all events") {
+    import org.apache.spark.sql.functions._
+    val sessions = graft.operators.CoreQueries.q07Sessionize(spark, dir)
+    val total = sessions.agg(sum("n_events")).head.getLong(0)
+    val events = Tables.events(spark, dir).count()
+    assert(total === events)
+  }
+
+  test("q12 survival is monotone non-increasing") {
+    val s = graft.operators.CoreQueries.q12Survival(spark, dir)
+      .select("survival").collect().map(_.getDouble(0))
+    assert(s.sliding(2).forall { case Array(a, b) => b <= a + 1e-9; case _ => true })
+  }
+
+  test("q15 chain roots are members of their chain") {
+    import org.apache.spark.sql.functions._
+    val c = graft.operators.CoreQueries.q15ChainIds(spark, dir)
+    val bad = c.as("x").join(c.as("r"),
+        col("x.chain_root") === col("r.o_orderkey") &&
+        col("x.o_custkey") === col("r.o_custkey"), "left_anti").count()
+    assert(bad === 0)
+  }
+
+  test("s26 returns exactly 5 neighbors per query vector") {
+    import org.apache.spark.sql.functions._
+    val t = graft.operators.Similarity.s26AnnTopk(spark, dir)
+    val counts = t.groupBy("query_id").count().select("count").distinct().collect()
+    assert(counts.length === 1 && counts(0).getLong(0) === 5L)
+  }
+
+  test("d21 exact-dedup canonical ids exist in documents") {
+    import org.apache.spark.sql.functions._
+    val d = graft.operators.Dedup.d21ExactDedup(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    assert(d.join(docs, d("canonical_id") === docs("doc_id"), "left_anti").count() === 0)
+  }
+}
