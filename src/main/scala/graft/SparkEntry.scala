@@ -45,7 +45,8 @@ object SparkEntry {
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),
     "t31_fingerprint"     -> (TextAnalysis.t31Fingerprint _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
-    "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _)
+    "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
+    "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,6 +57,31 @@ object SparkEntry {
         """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
           |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
           |FROM events GROUP BY hour_start, event_type
-          |ORDER BY hour_start, event_type""".stripMargin
+          |ORDER BY hour_start, event_type""".stripMargin,
+      // st34: q07's sessions minus each user's trailing (still-open) session
+      "st34_stream_session" ->
+        """WITH t AS (
+          |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |         LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          |  FROM events
+          |), s AS (
+          |  SELECT user_id, event_id, ts,
+          |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+          |  FROM t
+          |), g AS (
+          |  SELECT user_id, ts,
+          |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+          |  FROM s
+          |), sess AS (
+          |  SELECT user_id, session_num, COUNT(*) AS n_events,
+          |         MIN(ts) AS session_start, MAX(ts) AS session_end,
+          |         MAX(session_num) OVER (PARTITION BY user_id) AS last_num
+          |  FROM g GROUP BY user_id, session_num
+          |)
+          |SELECT user_id, session_start, session_end, n_events
+          |FROM sess WHERE session_num < last_num
+          |ORDER BY user_id, session_start""".stripMargin
     )
 }

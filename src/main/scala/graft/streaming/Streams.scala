@@ -1,9 +1,13 @@
 package graft.streaming
 
+import java.time.Instant
 import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators st33–st34 (SURVEY.md §2).
   *
@@ -37,5 +41,57 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("hour_start", "event_type")
+  }
+
+  case class Ev(user_id: Long, us: Long)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Instant,
+      session_end: Instant, n_events: Long)
+
+  private val GapUs = 1800L * 1000000L
+
+  /** st34: stateful gap sessionization via flatMapGroupsWithState —
+    * the streaming form of q07. A session is emitted when a subsequent
+    * event of the same user closes it (gap > 30 min); each user's
+    * trailing session stays open in state (deliberately un-emitted, so
+    * the output is deterministic and watermark-boundary-free: the oracle
+    * is q07's sessions minus each user's last).
+    */
+  def st34StreamSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("us"))
+      .as[Ev]
+    def toOut(uid: Long, s: SessionState): SessionOut = SessionOut(uid,
+      Instant.ofEpochSecond(s.start / 1000000L, (s.start % 1000000L) * 1000L),
+      Instant.ofEpochSecond(s.end / 1000000L, (s.end % 1000000L) * 1000L),
+      s.n)
+    val sessions = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val evs = it.map(_.us).toArray.sorted
+        val out = ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption
+        evs.foreach { us =>
+          cur match {
+            case Some(s) if us - s.end > GapUs =>
+              out += toOut(uid, s); cur = Some(SessionState(us, us, 1))
+            case Some(s) =>
+              cur = Some(s.copy(end = math.max(s.end, us), n = s.n + 1))
+            case None =>
+              cur = Some(SessionState(us, us, 1))
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+      }
+    val name = s"st34_out_${counter.incrementAndGet()}"
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "session_start")
   }
 }
