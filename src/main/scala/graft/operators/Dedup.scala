@@ -128,14 +128,13 @@ object Dedup {
     * Scale path for unblocked corpora is s27's hyperplane LSH.
     */
   def d25EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x))"))
-      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+      .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"), col("norm"))
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(a.v, b.v)"))
       .withColumn("cos_sim", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cos_sim") >= 0.4)
       .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"),

@@ -16,15 +16,19 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Embeddings as doubles with precomputed L2 norm. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Embeddings (raw float arrays) with precomputed L2 norm via the
+    * codegen'd [[graft.functions.DotProduct]] expression — float elements
+    * widen to double in the loop, exactly matching the oracle's
+    * `embedding::DOUBLE[]` cast, with no interpreted lambdas in the path.
+    */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", expr("sqrt(aggregate(transform(v, x -> x * x), 0d, (acc, x) -> acc + x))"))
-      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+      .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"), col("norm"))
+  }
 
-  private val cosExpr =
-    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+  private val cosExpr = "graft_dot(q.v, c.v)"
 
   /** s26: brute-force cosine top-k for the query set (vec_id < 10). */
   def s26AnnTopk(spark: SparkSession, dir: String): DataFrame = {
