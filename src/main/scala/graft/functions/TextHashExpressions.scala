@@ -1,0 +1,132 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass minhash/simhash signature expressions.
+  *
+  * The declarative formulations explode tokens (×48 bit positions for
+  * simhash) and re-aggregate — two shuffles over millions of
+  * intermediate rows. These expressions compute the whole signature in
+  * one pass over the token array, per document, with zero shuffle.
+  *
+  * Hash parity: identical to the SQL-level portable hash
+  * (conv(substr(md5(s),1,15),16,10) ≡ DuckDB ('0x'||substr(md5(s),1,15))
+  * ::BIGINT) — MD5 over UTF-8 bytes, first 15 hex chars as a 60-bit
+  * int64 — so the DuckDB oracle reproduces the signatures exactly.
+  * CodegenFallback is fine here: evaluation is per-document (corpus
+  * cardinality), not per-token-row.
+  */
+object TextHash {
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** ph(s): first 15 hex chars of md5 as long (matches PortableHash.ph). */
+  def ph(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    // first 15 hex chars = bytes 0..6 (14 chars) + high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def simhash48(tokens: ArrayData): Long = {
+    val counts = new Array[Int](PortableHash.SimBits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val th = ph(tokens.getUTF8String(i).getBytes) % PortableHash.SimMod
+      var b = 0
+      while (b < PortableHash.SimBits) {
+        if (((th >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < PortableHash.SimBits) {
+      if (counts(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  /** LSH band keys: NumBands strings of '_'-joined minhash values —
+    * computed in ONE pass (a bare sig array referenced by N band
+    * expressions would be inlined and recomputed N times by
+    * CollapseProject). */
+  def minhashBands(tokens: ArrayData): Array[UTF8String] = {
+    import PortableHash._
+    val sig = minhashSig(tokens)
+    Array.tabulate(NumBands) { b =>
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < RowsPerBand) {
+        if (r > 0) sb.append('_')
+        sb.append(sig(b * RowsPerBand + r))
+        r += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  def minhashSig(tokens: ArrayData): Array[Long] = {
+    import PortableHash._
+    val sig = Array.fill(NumMinhash)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val x = TextHash.ph(tokens.getUTF8String(i).getBytes) % P
+      var j = 0
+      while (j < NumMinhash) {
+        val h = (seedA(j) * x + seedB(j)) % P
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** simhash48(array<string>) → bigint. */
+case class Simhash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash48"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.simhash48(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): Simhash48 = copy(child = c)
+}
+
+/** minhash_sig(array<string>) → array<bigint> of 16 minhashes. */
+case class MinhashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHash.minhashSig(v.asInstanceOf[ArrayData]))
+  override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
+}
+
+/** minhash_bands(array<string>) → array<string> of LSH band keys. */
+case class MinhashBands(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHash.minhashBands(v.asInstanceOf[ArrayData]))
+  override protected def withNewChildInternal(c: Expression): MinhashBands = copy(child = c)
+}

@@ -42,19 +42,14 @@ object Dedup {
     * join is band-bucket self-join (skew-bounded by band selectivity).
     */
   def d22MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("x", ph(col("s")) % P)
-    val sigCols = (0 until NumMinhash).map { j =>
-      min(expr(s"(${seedA(j)} * x + ${seedB(j)}) % $P")).as(s"m$j")
-    }
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until NumBands).map { b =>
-      val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), concat_ws("_", ms: _*).as("band_key"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    graft.functions.GraftFunctions.register(spark)
+    // single-pass band keys per document (graft_minhash_bands) — no token
+    // explode, no signature shuffle, one evaluation per doc (a bare sig
+    // array would be inlined into each band projection and recomputed);
+    // the only shuffle is the band-bucket join
+    val bands = shingled(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(shingles)")).as(Seq("band_idx", "band_key")))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -71,21 +66,15 @@ object Dedup {
     * exact hamming ≤ 8 filters.
     */
   def d23Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr("array_distinct(words)")).as("tok"))
-      .withColumn("th", ph(col("tok")) % SimMod)
-    val bits = toks
-      .select(col("doc_id"), col("th"), explode(expr(s"sequence(0, ${SimBits - 1})")).as("b"))
-      .withColumn("contrib",
-        when(expr("(th div cast(pow(2, b) as long)) % 2") === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("contrib")).as("s"))
-    val sims = bits.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("cast(pow(2, b) as long)")).otherwise(0L)).as("simhash"))
+    graft.functions.GraftFunctions.register(spark)
+    // single-pass 48-bit signature per document — replaces the
+    // token × bit-position explode (millions of rows, two shuffles)
+    val sims = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("graft_simhash48(array_distinct(split(text, ' ')))").as("simhash"))
     val chunks = sims
-      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
-      .withColumn("chunk", expr("(simhash div cast(pow(2, 12 * k) as long)) % 4096"))
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 2)")).as("k"))
+      .withColumn("chunk", expr("(simhash div cast(pow(2, 16 * k) as long)) % 65536"))
     val a = chunks.as("a"); val b = chunks.as("b")
     a.join(b,
         col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&

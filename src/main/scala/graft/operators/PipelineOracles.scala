@@ -64,8 +64,8 @@ object PipelineOracles {
       |  FROM sb GROUP BY doc_id
       |), chunks AS (
       |  SELECT doc_id, simhash, t.k AS k,
-      |         (simhash // CAST(pow(2, 12 * t.k) AS BIGINT)) % 4096 AS chunk
-      |  FROM sims, range(0, 4) t(k)
+      |         (simhash // CAST(pow(2, 16 * t.k) AS BIGINT)) % 65536 AS chunk
+      |  FROM sims, range(0, 3) t(k)
       |)
       |SELECT * FROM (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
