@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §5): filters and projections must
+  * reach the parquet scans, dim joins must broadcast, and shuffle counts
+  * must stay at the operator's theoretical minimum. These guard the
+  * 100 TB posture — a regression that un-pushes a filter or turns a
+  * broadcast into a shuffle join passes value-level checks but fails
+  * here.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    executed(df).toString
+
+  private def countExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    var n = 0
+    executed(df).foreach { case _: Exchange => n += 1; case _ => () }
+    n
+  }
+
+  test("q01 pushes filters and prunes columns at the parquet scan") {
+    val p = planString(operators.CoreQueries.q01CaseScan(spark, dir))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("IsNotNull(o_totalprice)") || p.contains("GreaterThan(o_totalprice"),
+      s"o_totalprice filter not pushed:\n$p")
+    assert(p.contains("ReadSchema"), s"no ReadSchema in:\n$p")
+  }
+
+  test("q05 dim joins broadcast (no shuffle join for nation/region)") {
+    val p = planString(operators.CoreQueries.q05DimJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+  }
+
+  test("q07 sessionization uses a single shuffle for both windows + agg") {
+    // one exchange for the user_id window partitioning; the groupBy reuses it
+    // (plus the final orderBy range exchange)
+    val n = countExchanges(operators.CoreQueries.q07Sessionize(spark, dir))
+    assert(n <= 2, s"expected <=2 exchanges (window + final sort), got $n")
+  }
+
+  test("q19 as-of join is window-based (no cartesian/range join)") {
+    val p = planString(operators.CoreQueries.q19AsofJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product in as-of join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in as-of join:\n$p")
+    assert(p.contains("Window"), s"expected window-based as-of:\n$p")
+  }
+
+  test("d22 LSH join is an equi-join on band buckets") {
+    val p = planString(operators.Dedup.d22MinhashLsh(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH join:\n$p")
+  }
+
+  test("s26 whole-stage codegen covers the dot-product projection") {
+    val df = operators.Similarity.s26AnnTopk(spark, dir)
+    val p = planString(df)
+    // codegen spans present ("*(n)" prefixes) and the top-k is pushed into
+    // the shuffle via WindowGroupLimit
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed down:\n$p")
+    // graft_dot resolves as a native expression (not a UDF) in the analyzed plan
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_dot"), s"graft_dot missing:\n$analyzed")
+  }
+}
