@@ -101,6 +101,37 @@ object TextHash {
   }
 }
 
+/** shingles3(array<string>) → array<string>: distinct 3-gram word
+  * shingles, space-joined — one pass with a reused StringBuilder,
+  * replacing the interpreted
+  * array_distinct(transform(sequence(...), i -> concat_ws(' ', slice(...))))
+  * lambda chain that dominated the shingle-based operators' runtime
+  * (and is re-evaluated once per self-join side).
+  */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles3"
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i + 2 < n) {
+      val sb = new java.lang.StringBuilder()
+      sb.append(words.getUTF8String(i).toString).append(' ')
+        .append(words.getUTF8String(i + 1).toString).append(' ')
+        .append(words.getUTF8String(i + 2).toString)
+      val s = UTF8String.fromString(sb.toString)
+      if (seen.add(s)) out += s
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
+}
+
 /** simhash48(array<string>) → bigint. */
 case class Simhash48(child: Expression)
     extends UnaryExpression with CodegenFallback {

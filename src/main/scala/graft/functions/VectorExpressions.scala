@@ -88,5 +88,7 @@ object GraftFunctions {
       "graft_minhash_sig", exprs => MinhashSig(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_bands", exprs => MinhashBands(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
   }
 }

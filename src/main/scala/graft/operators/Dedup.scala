@@ -21,12 +21,13 @@ object Dedup {
     * (Spark's sequence(1, n) would go descending for n<1; DuckDB's
     * generate_series returns empty — semantics differ, so filter).
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3))))"))
+      .withColumn("shingles", expr("graft_shingles3(words)"))
+  }
 
   /** d21: exact dedup via md5 content hash; survivor = min doc_id. */
   def d21ExactDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -73,16 +74,19 @@ object Dedup {
       .select(col("doc_id"),
         expr("graft_simhash48(array_distinct(split(text, ' ')))").as("simhash"))
     val chunks = sims
-      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 2)")).as("k"))
-      .withColumn("chunk", expr("(simhash div cast(pow(2, 16 * k) as long)) % 65536"))
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 1)")).as("k"))
+      .withColumn("chunk", expr("(simhash div cast(pow(2, 24 * k) as long)) % 16777216"))
     val a = chunks.as("a"); val b = chunks.as("b")
     a.join(b,
         col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
-      .distinct()
+      // filter before distinct: the candidate stream is dominated by
+      // random chunk collisions with hamming > 8 — drop them before the
+      // dedup shuffle rather than after
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -91,12 +95,17 @@ object Dedup {
     * shingle get an intersection count; union from per-doc shingle counts.
     */
   def d24NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // join on the 60-bit portable hash of the shingle, not the string:
+    // smaller shuffle rows and cheaper key compares; the oracle hashes
+    // identically, so a (vanishingly unlikely) collision is consistent
     val sh = shingled(spark, dir)
       .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
+      .withColumn("x", ph(col("s")))
+      .drop("s")
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,
-        col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+        col("a.source") === col("b.source") && col("a.x") === col("b.x") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"))

@@ -64,8 +64,8 @@ object PipelineOracles {
       |  FROM sb GROUP BY doc_id
       |), chunks AS (
       |  SELECT doc_id, simhash, t.k AS k,
-      |         (simhash // CAST(pow(2, 16 * t.k) AS BIGINT)) % 65536 AS chunk
-      |  FROM sims, range(0, 3) t(k)
+      |         (simhash // CAST(pow(2, 24 * t.k) AS BIGINT)) % 16777216 AS chunk
+      |  FROM sims, range(0, 2) t(k)
       |)
       |SELECT * FROM (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -76,12 +76,14 @@ object PipelineOracles {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val d24Sql: String =
-    s"""$shingleCte, n AS (
-      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+    s"""$shingleCte, shx AS (
+      |  SELECT doc_id, source, ${phSql("s")} AS x FROM sh
+      |), n AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id
       |), p AS (
       |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b
-      |    ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM shx a JOIN shx b
+      |    ON a.source = b.source AND a.x = b.x AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3
       |)
       |SELECT * FROM (
