@@ -33,6 +33,8 @@ object SparkEntry {
     "q18_regex_class"     -> (CoreQueries.q18RegexClass _),
     "q19_asof_join"       -> (CoreQueries.q19AsofJoin _),
     "q20_histogram"       -> (CoreQueries.q20Histogram _),
+    "q35_funnel"          -> (CoreQueries.q35Funnel _),
+    "q36_cohort"          -> (CoreQueries.q36Cohort _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),

@@ -269,6 +269,49 @@ object CoreOracles {
         |SELECT CAST(FLOOR(delay_days / 30.0) AS BIGINT) AS bucket,
         |       CAST(FLOOR(delay_days / 30.0) AS BIGINT) * 30 AS bucket_start_days,
         |       COUNT(*) AS n_items, ROUND(AVG(delay_days), 4) AS avg_delay
-        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q35_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS s,
+        |         MIN(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+        |         MIN(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+        |  FROM events GROUP BY user_id
+        |), r AS (
+        |  SELECT s, v, c, p,
+        |         (s IS NOT NULL) AS r1,
+        |         (s IS NOT NULL AND v IS NOT NULL AND v >= s) AS r2,
+        |         (s IS NOT NULL AND v IS NOT NULL AND v >= s AND c IS NOT NULL AND c >= v) AS r3,
+        |         (s IS NOT NULL AND v IS NOT NULL AND v >= s AND c IS NOT NULL AND c >= v
+        |          AND p IS NOT NULL AND p >= c) AS r4
+        |  FROM f
+        |)
+        |SELECT CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |       CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |       CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |       CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |       ROUND(CAST(SUM(CASE WHEN r2 THEN v - s END) AS DOUBLE)
+        |             / CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS DOUBLE), 4) AS avg_us_signup_view,
+        |       ROUND(CAST(SUM(CASE WHEN r3 THEN c - v END) AS DOUBLE)
+        |             / CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS DOUBLE), 4) AS avg_us_view_click,
+        |       ROUND(CAST(SUM(CASE WHEN r4 THEN p - c END) AS DOUBLE)
+        |             / CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS DOUBLE), 4) AS avg_us_click_purchase
+        |FROM r""".stripMargin,
+
+    "q36_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(us) AS first_us FROM ev GROUP BY user_id
+        |)
+        |SELECT CAST(CAST(make_timestamp(first_us) AS DATE) AS TIMESTAMP) AS cohort_day,
+        |       CAST(FLOOR(CAST(us - first_us AS DOUBLE) / (7.0 * 86400.0 * 1000000.0)) AS BIGINT) AS week_offset,
+        |       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active_users,
+        |       COUNT(*) AS n_events
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY cohort_day, week_offset
+        |ORDER BY cohort_day, week_offset""".stripMargin
   )
 }

@@ -387,4 +387,58 @@ object CoreQueries {
       .select("bucket", "bucket_start_days", "n_items", "avg_delay")
       .orderBy("bucket")
   }
+
+  /** q35: staged funnel counts + inter-stage timing.
+    * Mirrors the reference's phase-timeliness analyses (NOD→SOC→FORM9;
+    * scratch/intake/activation-to-case-review.R): users advance
+    * signup → view → click → purchase iff each stage's first event is at
+    * or after the previous stage's. Single aggregation, no joins; gaps
+    * in integer microseconds (exact cross-engine).
+    */
+  def q35Funnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstUs(t: String) =
+      min(when(col("event_type") === t, unix_micros(col("ts"))))
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(firstUs("signup").as("s"), firstUs("view").as("v"),
+        firstUs("click").as("c"), firstUs("purchase").as("p"))
+      .withColumn("r1", col("s").isNotNull)
+      .withColumn("r2", col("r1") && col("v").isNotNull && col("v") >= col("s"))
+      .withColumn("r3", col("r2") && col("c").isNotNull && col("c") >= col("v"))
+      .withColumn("r4", col("r3") && col("p").isNotNull && col("p") >= col("c"))
+    // averages as explicit exact-int SUM / COUNT in one double division —
+    // engine-internal AVG algorithms (incremental means) would differ in ulps
+    def avgGap(flag: String, a: String, b: String) =
+      round(sum(when(col(flag), col(a) - col(b))).cast("double") /
+        sum(when(col(flag), 1L).otherwise(0L)).cast("double"), 4)
+    perUser.agg(
+      sum(when(col("r1"), 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("r2"), 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("r3"), 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("r4"), 1L).otherwise(0L)).as("n_purchase"),
+      avgGap("r2", "v", "s").as("avg_us_signup_view"),
+      avgGap("r3", "c", "v").as("avg_us_view_click"),
+      avgGap("r4", "p", "c").as("avg_us_click_purchase"))
+  }
+
+  /** q36: cohort retention matrix.
+    * Mirrors usage-over-time analyses (notebooks/intake/certification-
+    * usage.Rmd): users cohorted by first-event date; activity bucketed by
+    * week offset from that first event. Two aggregations sharing the
+    * user_id shuffle; the cohort join is on the aggregated (small) side.
+    */
+  def q36Cohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+    val firsts = ev.groupBy("user_id").agg(min(col("us")).as("first_us"))
+    ev.join(firsts, Seq("user_id"))
+      .withColumn("cohort_day",
+        timestamp_micros(col("first_us")).cast("date").cast("timestamp"))
+      .withColumn("week_offset", floor((col("us") - col("first_us")).cast("double") /
+        (7.0 * 86400.0 * 1000000.0)).cast("long"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("cohort_day", "week_offset")
+  }
 }
