@@ -48,7 +48,9 @@ object SparkEntry {
     "t31_fingerprint"     -> (TextAnalysis.t31Fingerprint _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
-    "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _)
+    "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
+    "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),
+    "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,6 +86,14 @@ object SparkEntry {
           |)
           |SELECT user_id, session_start, session_end, n_events
           |FROM sess WHERE session_num < last_num
-          |ORDER BY user_id, session_start""".stripMargin
+          |ORDER BY user_id, session_start""".stripMargin,
+      // q37/q38 round-trip through csv / jdbc; end state is statable on parquet
+      "q37_csv_roundtrip" ->
+        """SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+          |FROM region JOIN nation ON r_regionkey = n_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "q38_jdbc_roundtrip" ->
+        """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
     )
 }

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Source/sink operators q37–q38 (SURVEY.md §2).
+  *
+  * The reference's I/O surface is: an Oracle connection
+  * (`R/vacolsConnect.R` — ROracle dbGetQuery), CSV lookup inputs
+  * (`data/ro.csv`, `data/docket.csv`), and CSV report outputs
+  * (`write.csv` throughout `scratch/`). These operators exercise the
+  * same surface Spark-natively — csv writer/reader with explicit schema
+  * and a JDBC round-trip against embedded Derby — and end in a result
+  * the DuckDB oracle can state over the original parquet, so sink+source
+  * fidelity (types, quoting, headers) is value-checked, not just smoke-
+  * checked.
+  */
+object Sources {
+  private val counter = new AtomicInteger(0)
+
+  /** q37: CSV sink → CSV source (schema'd, headered) → join + agg.
+    * Mirrors data/ro.csv lookups joined in scratch/other/pending-nods.R
+    * and the write.csv report outputs.
+    */
+  def q37CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory(s"graft_csv_${counter.incrementAndGet()}_")
+      .toString
+    Tables.region(spark, dir)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    val regionCsv = spark.read.schema(schema).option("header", "true").csv(out)
+    regionCsv
+      .join(broadcast(Tables.nation(spark, dir)), col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      .orderBy("r_name")
+  }
+
+  /** q38: JDBC sink → JDBC source (embedded Derby) → agg.
+    * Mirrors the reference's Oracle connection (vacolsConnect.R:1): data
+    * lands in a SQL database and is queried back through a JDBC source.
+    */
+  def q38JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val table = s"nation_rt_${counter.incrementAndGet()}"
+    Tables.nation(spark, dir)
+      .write.mode("overwrite")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "n_name VARCHAR(64)")
+      .save()
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      .orderBy("n_regionkey")
+  }
+}
