@@ -428,10 +428,12 @@ object CoreQueries {
     * user_id shuffle; the cohort join is on the aggregated (small) side.
     */
   def q36Cohort(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
-    val firsts = ev.groupBy("user_id").agg(min(col("us")).as("first_us"))
-    ev.join(firsts, Seq("user_id"))
+    // cohort anchor via a frame-less min window — one shuffle on user_id,
+    // no self-join back onto the event stream
+    val w = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("first_us", min(col("us")).over(w))
       .withColumn("cohort_day",
         timestamp_micros(col("first_us")).cast("date").cast("timestamp"))
       .withColumn("week_offset", floor((col("us") - col("first_us")).cast("double") /
