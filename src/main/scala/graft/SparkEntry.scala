@@ -50,7 +50,8 @@ object SparkEntry {
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),
-    "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _)
+    "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _),
+    "q39_bucketed_join"   -> (graft.sources.Sources.q39BucketedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +95,11 @@ object SparkEntry {
           |GROUP BY r_name ORDER BY r_name""".stripMargin,
       "q38_jdbc_roundtrip" ->
         """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
-          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+      "q39_bucketed_join" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_items,
+          |       ROUND(SUM(l_extendedprice), 2) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     )
 }

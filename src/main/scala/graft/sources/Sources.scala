@@ -67,4 +67,31 @@ object Sources {
       .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
       .orderBy("n_regionkey")
   }
+
+  /** q39: bucket-bucketed co-located fact join.
+    * The 100 TB story for orders⋈lineitem: both sides written bucketed
+    * (+sorted) on the join key, so the join runs with NO shuffle of
+    * either fact table (PlanSpec asserts no Exchange below the join).
+    * Mirrors how recurring VACOLS joins (BRIEFF⋈FOLDER⋈DECASS families)
+    * would be laid out in a lake.
+    */
+  def q39BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = counter.incrementAndGet()
+    val whO = Files.createTempDirectory(s"graft_bko_${n}_").toString
+    val whL = Files.createTempDirectory(s"graft_bkl_${n}_").toString
+    val tO = s"orders_bkt_$n"; val tL = s"lineitem_bkt_$n"
+    spark.sql(s"DROP TABLE IF EXISTS $tO")
+    spark.sql(s"DROP TABLE IF EXISTS $tL")
+    Tables.orders(spark, dir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", whO).saveAsTable(tO)
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", whL).saveAsTable(tL)
+    spark.table(tO)
+      .join(spark.table(tL), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }
