@@ -33,7 +33,10 @@ object Similarity {
   /** s26: brute-force cosine top-k for the query set (vec_id < 10). */
   def s26AnnTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val q = e.filter(col("vec_id") < 10).as("q")
+    // broadcast the BOUNDED query set and stream the corpus past it —
+    // without the hint Spark may build on the corpus side, which cannot
+    // scale (the nested-loop join is inherent: the only predicate is <>)
+    val q = broadcast(e.filter(col("vec_id") < 10)).as("q")
     val c = e.as("c")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
