@@ -9,8 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Catalyst pushes filters/projections into the scans.
   */
 object Tables {
+  // memoize resolved plans per (session, path): a fresh spark.read re-lists
+  // files and re-reads the footer schema every call — measurable fixed
+  // overhead when 39 operators each load 1-3 tables
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
