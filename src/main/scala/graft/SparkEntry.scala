@@ -35,6 +35,9 @@ object SparkEntry {
     "q20_histogram"       -> (CoreQueries.q20Histogram _),
     "q35_funnel"          -> (CoreQueries.q35Funnel _),
     "q36_cohort"          -> (CoreQueries.q36Cohort _),
+    "q41_rollup"          -> (CoreQueries.q41Rollup _),
+    "q42_moving_avg"      -> (CoreQueries.q42MovingAvg _),
+    "q44_anti_join"       -> (CoreQueries.q44AntiJoin _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),
@@ -51,7 +54,8 @@ object SparkEntry {
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),
     "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _),
-    "q39_bucketed_join"   -> (graft.sources.Sources.q39BucketedJoin _)
+    "q39_bucketed_join"   -> (graft.sources.Sources.q39BucketedJoin _),
+    "q40_multi_format"    -> (graft.sources.Sources.q40MultiFormat _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,6 +104,10 @@ object SparkEntry {
         """SELECT o_orderpriority, COUNT(*) AS n_items,
           |       ROUND(SUM(l_extendedprice), 2) AS revenue
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q40_multi_format" ->
+        """SELECT r_name, n_name
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |ORDER BY r_name, n_name""".stripMargin
     )
 }

@@ -312,6 +312,38 @@ object CoreOracles {
         |       COUNT(*) AS n_events
         |FROM ev JOIN f ON ev.user_id = f.user_id
         |GROUP BY cohort_day, week_offset
-        |ORDER BY cohort_day, week_offset""".stripMargin
+        |ORDER BY cohort_day, week_offset""".stripMargin,
+
+    "q41_rollup" ->
+      """SELECT COALESCE(r_name, '(all)') AS region,
+        |       COALESCE(n_name, '(all)') AS nation,
+        |       COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q42_moving_avg" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_opened
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month, n_opened,
+        |       ROUND(CAST(SUM(n_opened) OVER w3 AS DOUBLE)
+        |             / CAST(COUNT(*) OVER w3 AS DOUBLE), 4) AS ma3,
+        |       CAST(SUM(n_opened) OVER wc AS BIGINT) AS cum_opened
+        |FROM monthly
+        |WINDOW w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |       wc AS (ORDER BY month ROWS UNBOUNDED PRECEDING)
+        |ORDER BY month""".stripMargin,
+
+    "q44_anti_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_no_items,
+        |       ROUND(SUM(o_totalprice), 2) AS stranded_value
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

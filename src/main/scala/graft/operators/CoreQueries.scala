@@ -443,4 +443,62 @@ object CoreQueries {
         count(lit(1)).as("n_events"))
       .orderBy("cohort_day", "week_offset")
   }
+
+  /** q41: hierarchical rollup summary (region → nation → grand total).
+    * Mirrors the reference's multi-level reports (per-RO tables with
+    * totals rows). Subtotal NULLs are coalesced to '(all)' so both
+    * engines' NULL-ordering differences never matter.
+    */
+  def q41Rollup(spark: SparkSession, dir: String): DataFrame = {
+    // via the SQL surface: Dataset.rollup trips the analyzer's dataset-id
+    // ambiguity heuristic when the grouping columns come through joins of
+    // session-cached relations; GROUP BY ROLLUP in SQL resolves cleanly
+    Tables.customer(spark, dir).createOrReplaceTempView("q41_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("q41_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("q41_region")
+    spark.sql(
+      """SELECT COALESCE(r_name, '(all)') AS region,
+        |       COALESCE(n_name, '(all)') AS nation,
+        |       COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+        |FROM q41_customer
+        |JOIN q41_nation ON c_nationkey = n_nationkey
+        |JOIN q41_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** q42: rolling trend window over the monthly series.
+    * Mirrors the notebooks' smoothed backlog/receipts trend lines:
+    * 3-month moving average + running cumulative total. Aggregate to
+    * month grain first; windows run over the tiny series. Moving average
+    * as explicit SUM/COUNT over the frame — engine-internal windowed AVG
+    * implementations differ in accumulation.
+    */
+  def q42MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_opened"))
+    val w3 = Window.orderBy("month").rowsBetween(-2, Window.currentRow)
+    val wc = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("ma3", round(
+        sum(col("n_opened")).over(w3).cast("double") / count(lit(1)).over(w3).cast("double"), 4))
+      .withColumn("cum_opened", sum(col("n_opened")).over(wc))
+      .orderBy("month")
+  }
+
+  /** q44: anti-join — cases with no activity in the child table.
+    * Mirrors the reference's "pending with no SOC" style queries
+    * (scratch/other/pending-nods.R: BFDSOC is null / NOT EXISTS):
+    * orders that have no lineitem at all, counted by status.
+    */
+  def q44AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_no_items"),
+        round(sum(col("o_totalprice")), 2).as("stranded_value"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -94,4 +94,25 @@ object Sources {
       .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** q40: ORC sink/source + JSON sink/source feeding the same join.
+    * Exercises the remaining batch file formats (the reference emits and
+    * consumes flat files beyond CSV); fidelity is value-checked because
+    * the end state must match the parquet-only oracle.
+    */
+  def q40MultiFormat(spark: SparkSession, dir: String): DataFrame = {
+    val n = counter.incrementAndGet()
+    val orcPath = Files.createTempDirectory(s"graft_orc_${n}_").toString
+    val jsonPath = Files.createTempDirectory(s"graft_json_${n}_").toString
+    Tables.nation(spark, dir).write.mode("overwrite").orc(orcPath)
+    Tables.region(spark, dir).write.mode("overwrite").json(jsonPath)
+    val nationOrc = spark.read.orc(orcPath)
+    val regionJson = spark.read
+      .schema(StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
+      .json(jsonPath)
+    nationOrc.join(broadcast(regionJson), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
 }
