@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks on randomly generated data — the fixed-seed
+  * testdata can't exercise edge shapes (empty users, exact-boundary
+  * gaps, single-event sessions), so these compare the distributed
+  * implementations against straightforward in-memory references.
+  */
+class PropertySpec extends AnyFunSuite {
+  /** Deterministic sampling loop (scalatestplus bridge isn't in the
+    * offline dep set — drive ScalaCheck generators directly). */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val GapUs = 1800L * 1000000L
+
+  /** In-memory reference sessionizer: same rule as q07/st34. */
+  private def refSessions(events: Seq[(Long, Long)]): Map[(Long, Long), Int] = {
+    events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.map(_._2).sorted
+      var session = 0L
+      var prev = Long.MinValue
+      val counts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      sorted.foreach { us =>
+        if (prev == Long.MinValue || us - prev > GapUs) session += 1
+        prev = us
+        counts((uid, session)) = counts.getOrElse((uid, session), 0) + 1
+      }
+      counts
+    }
+  }
+
+  private val eventsGen: Gen[List[(Long, Long)]] = Gen.listOf(for {
+    uid <- Gen.choose(0L, 5L)
+    // cluster timestamps so gaps straddle the 30-min boundary frequently
+    us <- Gen.choose(0L, 20L).map(_ * (GapUs / 2))
+  } yield (uid, us))
+
+  test("sessionization matches in-memory reference on random event sets") {
+    samples(eventsGen, 25).filter(_.nonEmpty).foreach { events =>
+      locally {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val schema = StructType(Seq(
+          StructField("user_id", LongType), StructField("us", LongType)))
+        // distinct (uid,us) pairs: the reference and the window tie-break
+        // agree trivially then; duplicates only reorder equal rows
+        val rows = events.distinct.map { case (u, t) => Row(u, t) }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3), schema)
+        val w = Window.partitionBy("user_id").orderBy("us")
+        val got = df
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev").isNull || col("us") - col("prev") > GapUs, 1L).otherwise(0L))
+          .withColumn("session", sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session").count()
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2).toInt))
+          .toMap
+        assert(got === refSessions(events.distinct))
+      }
+    }
+  }
+
+  test("minhash signatures are order-insensitive and identity-stable") {
+    import graft.functions.TextHash
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)))
+    samples(tokGen, 40).foreach { toks =>
+      val arr = new GenericArrayData(toks.distinct.map(UTF8String.fromString).toArray[Any])
+      val shuffled = new GenericArrayData(
+        scala.util.Random.shuffle(toks.distinct).map(UTF8String.fromString).toArray[Any])
+      assert(TextHash.minhashSig(arr).toSeq === TextHash.minhashSig(shuffled).toSeq)
+      assert(TextHash.simhash48(arr) === TextHash.simhash48(shuffled))
+    }
+  }
+
+  test("simhash of similar token sets is close, of disjoint sets is far") {
+    val base = (1 to 60).map(i => s"token$i")
+    import graft.functions.TextHash
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(ts: Seq[String]) = TextHash.simhash48(
+      new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any]))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sig(base), sig(base.drop(2)))           // 58/60 shared
+    val far = hamming(sig(base), sig((1 to 60).map(i => s"other$i")))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 12, s"near-duplicate hamming too large: $near")
+  }
+}
