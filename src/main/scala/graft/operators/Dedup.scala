@@ -95,25 +95,26 @@ object Dedup {
     * shingle get an intersection count; union from per-doc shingle counts.
     */
   def d24NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // join on the 60-bit portable hash of the shingle, not the string:
-    // smaller shuffle rows and cheaper key compares; the oracle hashes
-    // identically, so a (vanishingly unlikely) collision is consistent
+    // join on the 60-bit portable hash of the shingle, not the string
+    // (smaller shuffle rows, cheaper compares; the oracle hashes
+    // identically so a collision would be consistent), and carry each
+    // doc's shingle count THROUGH the explode — the per-doc size is known
+    // before unnesting, so no separate count aggregation and no join
+    // back (1 self-join total instead of 3 joins + a third evaluation
+    // of the shingle pipeline)
     val sh = shingled(spark, dir)
-      .select(col("doc_id"), col("source"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("source"), size(col("shingles")).as("nsh"),
+        explode(col("shingles")).as("s"))
       .withColumn("x", ph(col("s")))
       .drop("s")
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b,
+    a.join(b,
         col("a.source") === col("b.source") && col("a.x") === col("b.x") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"))
+        col("b.doc_id").as("doc_b"), col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(n.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(n.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .withColumn("uni", col("na.nsh") + col("nb.nsh") - col("inter"))
+      .withColumn("uni", (col("na") + col("nb")).cast("long") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni").cast("double"), 4))
       .filter(col("jaccard") >= 0.5)
       .select("source", "doc_a", "doc_b", "inter", "uni", "jaccard")

@@ -76,21 +76,29 @@ object PipelineOracles {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val d24Sql: String =
-    s"""$shingleCte, shx AS (
-      |  SELECT doc_id, source, ${phSql("s")} AS x FROM sh
-      |), n AS (
-      |  SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id
+    s"""WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), shl AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(list_transform(generate_series(1, len(words) - 2),
+      |           i -> array_to_string(words[i:i+2], ' '))) AS shingles
+      |  FROM w
+      |), shx AS (
+      |  SELECT doc_id, source, len(shingles) AS nsh, ${phSql("unnest(shingles)")} AS x
+      |  FROM shl
       |), p AS (
-      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.nsh AS na, b.nsh AS nb, COUNT(*) AS inter
       |  FROM shx a JOIN shx b
       |    ON a.source = b.source AND a.x = b.x AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3
+      |  GROUP BY 1, 2, 3, 4, 5
       |)
       |SELECT * FROM (
       |  SELECT source, doc_a, doc_b, inter,
-      |         na.nsh + nb.nsh - inter AS uni,
-      |         ROUND(CAST(inter AS DOUBLE) / CAST(na.nsh + nb.nsh - inter AS DOUBLE), 4) AS jaccard
-      |  FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |         CAST(na + nb AS BIGINT) - inter AS uni,
+      |         ROUND(CAST(inter AS DOUBLE) / CAST(CAST(na + nb AS BIGINT) - inter AS DOUBLE), 4) AS jaccard
+      |  FROM p
       |) WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
