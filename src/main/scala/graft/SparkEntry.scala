@@ -38,6 +38,7 @@ object SparkEntry {
     "q41_rollup"          -> (CoreQueries.q41Rollup _),
     "q42_moving_avg"      -> (CoreQueries.q42MovingAvg _),
     "q44_anti_join"       -> (CoreQueries.q44AntiJoin _),
+    "q45_skew_salting"    -> (CoreQueries.q45SkewSalting _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),

@@ -338,6 +338,13 @@ object CoreOracles {
         |       wc AS (ORDER BY month ROWS UNBOUNDED PRECEDING)
         |ORDER BY month""".stripMargin,
 
+    "q45_skew_salting" ->
+      """SELECT CASE WHEN user_id < 75 THEN 0 ELSE user_id END AS hot_key,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY hot_key
+        |ORDER BY hot_key""".stripMargin,
+
     "q44_anti_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_no_items,
         |       ROUND(SUM(o_totalprice), 2) AS stranded_value

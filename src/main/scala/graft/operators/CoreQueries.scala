@@ -487,6 +487,25 @@ object CoreQueries {
       .orderBy("month")
   }
 
+  /** q45: salted two-phase aggregation over a skewed key.
+    * The skew pattern of the reference's data (a handful of ROs holding
+    * half the caseload): collapsing user_id < 75 onto one hot key makes
+    * ~50% of rows share a group. Phase 1 groups by (key, salt) so the
+    * hot key spreads across 16 reducers; phase 2 combines the partials.
+    * The result is identical to a direct GROUP BY (the oracle) — the
+    * salt is purely a shuffle-balancing device.
+    */
+  def q45SkewSalting(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("hot_key", when(col("user_id") < 75, 0L).otherwise(col("user_id")))
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("hot_key", "salt")
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy("hot_key")
+      .agg(sum(col("pn")).as("n_events"), round(sum(col("pv")), 2).as("total_value"))
+      .orderBy("hot_key")
+  }
+
   /** q44: anti-join — cases with no activity in the child table.
     * Mirrors the reference's "pending with no SOC" style queries
     * (scratch/other/pending-nods.R: BFDSOC is null / NOT EXISTS):
