@@ -34,4 +34,13 @@ object PortableHash {
   /** SimHash token-hash domain: 48 bits (2^48 exact in doubles too). */
   val SimBits = 48
   val SimMod: Long = 281474976710656L
+
+  /** Random-hyperplane LSH (s27): component j (1-based) of plane p is
+    * (HplaneA·p + HplaneB·j) mod HplaneMod − HplaneShift — deterministic
+    * integer pseudo-planes both engines reproduce exactly. */
+  val HplaneA: Long = 1315423911L
+  val HplaneB: Long = 2654435761L
+  val HplaneMod: Long = 1000003L
+  val HplaneShift: Long = 501001L
+  val NumPlanes = 8
 }

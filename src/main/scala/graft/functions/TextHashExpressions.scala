@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -99,23 +99,22 @@ object TextHash {
     }
     sig
   }
-}
 
-/** shingles3(array<string>) → array<string>: distinct 3-gram word
-  * shingles, space-joined — one pass with a reused StringBuilder,
-  * replacing the interpreted
-  * array_distinct(transform(sequence(...), i -> concat_ws(' ', slice(...))))
-  * lambda chain that dominated the shingle-based operators' runtime
-  * (and is re-evaluated once per self-join side).
-  */
-case class Shingles3(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "graft_shingles3"
-  override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[ArrayData]
+  // ---- ArrayData-returning entry points used by generated code ----
+  // (static forwarders on class TextHash, so codegen'd Java calls
+  // graft.functions.TextHash.<name>(...) directly)
+
+  def minhashSigData(tokens: ArrayData): ArrayData =
+    new GenericArrayData(minhashSig(tokens))
+
+  def minhashBandsData(tokens: ArrayData): ArrayData =
+    new GenericArrayData(minhashBands(tokens).asInstanceOf[Array[Any]])
+
+  /** Distinct 3-gram word shingles, space-joined — one pass with a
+    * reused StringBuilder. */
+  def shingles3Data(words: ArrayData): ArrayData = {
     val n = words.numElements()
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val seen = new java.util.HashSet[UTF8String]()
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i + 2 < n) {
@@ -129,14 +128,45 @@ case class Shingles3(child: Expression)
     }
     new GenericArrayData(out.toArray[Any])
   }
+}
+
+/** Shared doGenCode shape for the text-hash expressions: the generated
+  * code is a single static call into [[TextHash]] (class-level static
+  * forwarders), so these expressions participate in whole-stage codegen —
+  * no interpreted-eval bridge per row (VERDICT r1 #7) — while the hash
+  * loop itself stays ordinary JIT-compiled JVM code.
+  */
+private[functions] trait TextHashCodegen { self: UnaryExpression =>
+  /** Fully-qualified static method on [[TextHash]] to invoke. */
+  def staticMethod: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.$staticMethod($c);")
+}
+
+/** shingles3(array<string>) → array<string>: distinct 3-gram word
+  * shingles, space-joined — one pass with a reused StringBuilder,
+  * replacing the interpreted
+  * array_distinct(transform(sequence(...), i -> concat_ws(' ', slice(...))))
+  * lambda chain that dominated the shingle-based operators' runtime
+  * (and is re-evaluated once per self-join side).
+  */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles3"
+  override def staticMethod: String = "shingles3Data"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingles3Data(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
 }
 
 /** simhash48(array<string>) → bigint. */
 case class Simhash48(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextHashCodegen {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash48"
+  override def staticMethod: String = "simhash48"
   override def nullSafeEval(v: Any): Any =
     TextHash.simhash48(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): Simhash48 = copy(child = c)
@@ -144,20 +174,22 @@ case class Simhash48(child: Expression)
 
 /** minhash_sig(array<string>) → array<bigint> of 16 minhashes. */
 case class MinhashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextHashCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
+  override def staticMethod: String = "minhashSigData"
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextHash.minhashSig(v.asInstanceOf[ArrayData]))
+    TextHash.minhashSigData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
 }
 
 /** minhash_bands(array<string>) → array<string> of LSH band keys. */
 case class MinhashBands(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with TextHashCodegen {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_minhash_bands"
+  override def staticMethod: String = "minhashBandsData"
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextHash.minhashBands(v.asInstanceOf[ArrayData]))
+    TextHash.minhashBandsData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): MinhashBands = copy(child = c)
 }

@@ -34,6 +34,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  /** Null beyond child nullability: mismatched lengths or a null element
+    * yield NULL (exactly the zip_with+aggregate lambda semantics this
+    * expression replaces — zip_with pads the shorter array with nulls and
+    * the fold propagates them; ADVICE r1 #3). */
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -42,11 +48,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val lf = isFloat(left); val rf = isFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -63,12 +71,17 @@ case class DotProduct(left: Expression, right: Expression)
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $getA * $getB;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getA * $getB;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -77,11 +90,93 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the random-hyperplane LSH bucket (s27).
+  *
+  * The declarative alternative — 8 `aggregate(transform(sequence(1,64),
+  * ...))` lambda chains, one per plane — evaluates interpreted lambdas
+  * per row × plane × dimension and ran 16× over the DuckDB baseline
+  * (VERDICT r1 #3). This expression computes all plane dot products in
+  * one codegen'd primitive loop: bucket bit p is set iff
+  * Σ_j v[j] · w(p,j) ≥ 0 with w(p,j) = (HplaneA·p + HplaneB·j) mod
+  * HplaneMod − HplaneShift (j 1-based), accumulated in ascending j so
+  * doubles match the interpreted fold and the DuckDB oracle bit-for-bit.
+  */
+case class HyperplaneBucket(child: Expression, numPlanes: Int = PortableHash.NumPlanes)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_bucket expects array<float|double>, got ${t.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        val w = (PortableHash.HplaneA * p + PortableHash.HplaneB * (j + 1)) %
+          PortableHash.HplaneMod - PortableHash.HplaneShift
+        acc += x * w
+        j += 1
+      }
+      if (acc >= 0.0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val w = ctx.freshName("w")
+      val bucket = ctx.freshName("bucket")
+      val getX = if (isFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      import PortableHash.{HplaneA, HplaneB, HplaneMod, HplaneShift}
+      s"""
+         |final int $n = $a.numElements();
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $w = (${HplaneA}L * $p + ${HplaneB}L * ($j + 1)) % ${HplaneMod}L - ${HplaneShift}L;
+         |    $acc += $getX * (double) $w;
+         |  }
+         |  if ($acc >= 0.0) $bucket |= 1L << $p;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+}
+
 /** Session registration for graft's native SQL functions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_bucket", exprs => HyperplaneBucket(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash48", exprs => Simhash48(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -64,15 +64,15 @@ object PipelineOracles {
       |  FROM sb GROUP BY doc_id
       |), chunks AS (
       |  SELECT doc_id, simhash, t.k AS k,
-      |         (simhash // CAST(pow(2, 24 * t.k) AS BIGINT)) % 16777216 AS chunk
-      |  FROM sims, range(0, 2) t(k)
+      |         (simhash // CAST(pow(2, 12 * t.k) AS BIGINT)) % 4096 AS chunk
+      |  FROM sims, range(0, 4) t(k)
       |)
       |SELECT * FROM (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       |  FROM chunks a JOIN chunks b
       |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-      |) WHERE hamming <= 8
+      |) WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val d24Sql: String =
@@ -87,6 +87,7 @@ object PipelineOracles {
       |), shx AS (
       |  SELECT doc_id, source, len(shingles) AS nsh, ${phSql("unnest(shingles)")} AS x
       |  FROM shl
+      |  QUALIFY COUNT(*) OVER (PARTITION BY source, x) <= 50
       |), p AS (
       |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.nsh AS na, b.nsh AS nb, COUNT(*) AS inter
@@ -243,11 +244,16 @@ object PipelineOracles {
       |GROUP BY fp
       |ORDER BY fp""".stripMargin
 
+  // first_byte is byte-oriented (first OCTET of the utf-8 payload, via a
+  // hex-string prefix — DuckDB 1.0 can't slice blobs), matching Spark's
+  // payload(0) & 0xff; ascii() would return the code POINT of the first
+  // character and diverge on any non-ASCII-leading doc (ADVICE r1 #2)
   private val m32Sql: String =
     """SELECT doc_id,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       md5(text) AS content_hash,
-      |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+      |       CASE WHEN length(text) = 0 THEN 0
+      |            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS first_byte,
       |       n_chars AS meta_n_chars,
       |       'txt' AS meta_fmt
       |FROM documents ORDER BY doc_id""".stripMargin

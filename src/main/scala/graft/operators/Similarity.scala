@@ -52,16 +52,14 @@ object Similarity {
   /** s27: random-hyperplane LSH bucketed ANN top-k.
     * 8 deterministic integer hyperplanes: component j of plane p is
     * ((1315423911·p + 2654435761·j) mod 1000003) − 501001. Bucket = the
-    * 8 sign bits. Candidates share the query's bucket; top-3 by cosine.
+    * 8 sign bits, computed by the codegen'd
+    * [[graft.functions.HyperplaneBucket]] expression (one primitive loop
+    * per row — replaces 8 interpreted aggregate/transform lambda chains
+    * that ran 16× over baseline; VERDICT r1 #3). Candidates share the
+    * query's bucket; top-3 by cosine.
     */
   def s27AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val planeDot = (p: Int) =>
-      s"aggregate(transform(sequence(1, 64), j -> element_at(v, j) * " +
-        s"cast((${1315423911L * p}L + 2654435761L * j) % 1000003 - 501001 as double)), " +
-        "0d, (acc, x) -> acc + x)"
-    val bucketExpr = (0 until 8).map(p =>
-      s"(case when ${planeDot(p)} >= 0 then ${1L << p} else 0 end)").mkString(" + ")
-    val e = vecs(spark, dir).withColumn("bucket", expr(s"cast($bucketExpr as long)"))
+    val e = vecs(spark, dir).withColumn("bucket", expr("graft_hyperplane_bucket(v)"))
     val q = e.filter(col("vec_id") < 10).as("q")
     val c = e.as("c")
     import org.apache.spark.sql.expressions.Window
