@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PortableHash._
@@ -61,50 +61,69 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Number of 12-bit chunks the 48-bit simhash is bucketed into, and
-    * the hamming threshold those chunks guarantee full recall for.
-    * Pigeonhole: a pair differing in ≤ (SimChunks − 1) bits must leave at
-    * least one chunk untouched, so candidate generation at
-    * maxHamming = SimChunks − 1 = 3 misses NOTHING — unlike the previous
-    * 2×24-bit layout, whose guarantee was only hamming ≤ 1 while the
-    * filter claimed ≤ 8 (a silent recall hole; VERDICT r1 #1).
+  /** Manku-style combination-key bucketing for the 48-bit simhash
+    * (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW 2007 — the public construction). The hash splits into
+    * SimBlocks = 6 blocks of SimBlockBits = 8 bits. A pair at hamming
+    * ≤ SimMaxHamming = 3 has its differing bits inside ≤ 3 blocks, so
+    * ≥ 6 − 3 = 3 blocks are identical — by pigeonhole the pair shares at
+    * least one of the C(6,3) = 20 block-*triples*, so keying every doc on
+    * all 20 concatenated triples (24-bit keys) gives TOTAL recall at the
+    * threshold. Scale math vs the r02 single-chunk layout: 20 key spaces
+    * of 2²⁴ = 16.7 M buckets each, so E[random candidate pairs] ≈
+    * 20·C(n,2)/2²⁴ ≈ n²/1.7M — ~800× fewer spurious candidates than the
+    * 12-bit chunks (n²/2048) at the cost of 20 keys/doc instead of 4.
+    * Candidate volume stays governable at 10⁹ docs by widening blocks;
+    * the recall guarantee is structural, not tuned.
     */
-  val SimChunks = 4
-  val SimChunkBits = 12
-  val SimMaxHamming: Int = SimChunks - 1
+  val SimBlocks = 6
+  val SimBlockBits = 8
+  val SimMaxHamming = 3
 
-  /** Chunk-bucketed simhash candidate pairs with exact hamming filter.
+  /** The C(6,3)=20 block-index triples, lexicographic — the oracle SQL is
+    * generated from this same sequence so both engines key identically. */
+  val SimCombos: Seq[Seq[Int]] =
+    (0 until SimBlocks).combinations(SimBlocks - SimMaxHamming).toSeq
+
+  /** Combination-key simhash candidate pairs with exact hamming filter.
     * Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming ≤ maxHamming).
     * Exposed separately so tests can plant boundary signatures (a pair at
-    * exactly maxHamming with its differing bits spread across chunks)
-    * and assert recall.
+    * exactly maxHamming with its differing bits spread across maxHamming
+    * distinct blocks) and assert recall.
     */
-  def simhashPairs(sims: DataFrame, chunks: Int = SimChunks,
-      chunkBits: Int = SimChunkBits, maxHamming: Int = SimMaxHamming): DataFrame = {
-    val mod = 1L << chunkBits
-    val chunked = sims
+  def simhashPairs(sims: DataFrame, blocks: Int = SimBlocks,
+      blockBits: Int = SimBlockBits, maxHamming: Int = SimMaxHamming): DataFrame = {
+    val blockMod = 1L << blockBits
+    def block(i: Int) =
+      expr(s"(simhash div ${1L << (blockBits * i)}) % $blockMod")
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keyCols = combos.zipWithIndex.map { case (c, idx) =>
+      val key = c.foldLeft(lit(0L): Column)((acc, i) => acc * blockMod + block(i))
+      struct(lit(idx).as("k"), key.as("ckey"))
+    }
+    val keyed = sims
       .select(col("doc_id"), col("simhash"),
-        explode(expr(s"sequence(0, ${chunks - 1})")).as("k"))
-      .withColumn("chunk",
-        expr(s"(simhash div cast(pow(2, $chunkBits * k) as long)) % $mod"))
-    val a = chunked.as("a"); val b = chunked.as("b")
+        explode(array(keyCols: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"),
+        col("c.k").as("k"), col("c.ckey").as("ckey"))
+    val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b,
-        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+        col("a.k") === col("b.k") && col("a.ckey") === col("b.ckey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
       // filter before distinct: the candidate stream is dominated by
-      // random chunk collisions above the threshold — drop them before
+      // random key collisions above the threshold — drop them before
       // the dedup shuffle rather than after
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d23: 48-bit SimHash + chunk-bucket hamming near-dup pairs.
-    * Token hashes fold into a sign-vector simhash; 4 chunks of 12 bits
+  /** d23: 48-bit SimHash + combination-key hamming near-dup pairs.
+    * Token hashes fold into a sign-vector simhash; 20 block-triple keys
     * bucket candidates; exact hamming ≤ 3 filters. Recall is total at
-    * that threshold (see [[SimMaxHamming]]).
+    * that threshold and candidate volume is linear-ish (see [[SimCombos]]).
     */
   def d23Simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -47,7 +47,18 @@ object PipelineOracles {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private val d23Sql: String =
+  // combination keys generated from the SAME Dedup.SimCombos sequence the
+  // Spark plan explodes — both engines key docs on the identical 20
+  // block-triples (Manku construction; see Dedup.SimCombos scaladoc)
+  private val d23Sql: String = {
+    val blockMod = 1L << Dedup.SimBlockBits
+    def blockSql(i: Int) =
+      s"((simhash // ${1L << (Dedup.SimBlockBits * i)}) % $blockMod)"
+    val structs = Dedup.SimCombos.zipWithIndex.map { case (c, idx) =>
+      val key = c.foldLeft("CAST(0 AS BIGINT)")((acc, i) =>
+        s"($acc * $blockMod + ${blockSql(i)})")
+      s"{'k': $idx, 'ckey': $key}"
+    }.mkString(",\n|      ")
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
       |), th AS (
@@ -62,18 +73,21 @@ object PipelineOracles {
       |  SELECT doc_id,
       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM sb GROUP BY doc_id
-      |), chunks AS (
-      |  SELECT doc_id, simhash, t.k AS k,
-      |         (simhash // CAST(pow(2, 12 * t.k) AS BIGINT)) % 4096 AS chunk
-      |  FROM sims, range(0, 4) t(k)
+      |), keyed AS (
+      |  SELECT doc_id, simhash, u.k AS k, u.ckey AS ckey FROM (
+      |    SELECT doc_id, simhash, unnest([
+      |      $structs
+      |    ]) AS u FROM sims
+      |  )
       |)
       |SELECT * FROM (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      |  FROM chunks a JOIN chunks b
-      |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |  FROM keyed a JOIN keyed b
+      |    ON a.k = b.k AND a.ckey = b.ckey AND a.doc_id < b.doc_id
       |) WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private val d24Sql: String =
     s"""WITH w AS (
@@ -84,10 +98,14 @@ object PipelineOracles {
       |         list_distinct(list_transform(generate_series(1, len(words) - 2),
       |           i -> array_to_string(words[i:i+2], ' '))) AS shingles
       |  FROM w
-      |), shx AS (
+      |), shx0 AS (
+      |  -- unnest must be materialized BEFORE the QUALIFY window: DuckDB
+      |  -- expands a same-SELECT alias into the window clause, and UNNEST
+      |  -- inside a window clause is a binder error (the r02 regression)
       |  SELECT doc_id, source, len(shingles) AS nsh, ${phSql("unnest(shingles)")} AS x
       |  FROM shl
-      |  QUALIFY COUNT(*) OVER (PARTITION BY source, x) <= 50
+      |), shx AS (
+      |  SELECT * FROM shx0 QUALIFY COUNT(*) OVER (PARTITION BY source, x) <= 50
       |), p AS (
       |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.nsh AS na, b.nsh AS nb, COUNT(*) AS inter

@@ -89,6 +89,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairs equals brute force at the hamming boundary (total recall)") {
+    // The recall guarantee the combination keys must uphold (VERDICT r1 #1,
+    // r2 #3): a pair at EXACTLY maxHamming=3 whose differing bits land in 3
+    // DIFFERENT 8-bit blocks — the adversarial case, since only the one
+    // block-triple avoiding all three dirty blocks can bucket them together.
+    // Any future shrink of the guarantee (fewer combos, wider threshold)
+    // turns this red.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(24)(rnd.nextLong() & 0xFFFFFFFFFFFFL)
+    val planted = bases.zipWithIndex.map { case (s, i) =>
+      // dirty blocks rotate through all C(6,3) combinations across cases
+      val combo = Dedup.SimCombos(i % Dedup.SimCombos.size)
+      val bits = combo.zipWithIndex.map { case (blk, j) => 8 * blk + (i + 3 * j) % 8 }
+      s ^ bits.foldLeft(0L)((m, b) => m | (1L << b))
+    }
+    val sims = (bases ++ planted).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = Dedup.simhashPairs(sims.toDF("doc_id", "simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ref = (for {
+      (sa, ida) <- sims.map(_.swap); (sb, idb) <- sims.map(_.swap)
+      if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= Dedup.SimMaxHamming
+    } yield (ida, idb, h)).toSet
+    assert(ref.size >= bases.size, "planted boundary pairs missing from reference")
+    assert(got === ref)
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash
