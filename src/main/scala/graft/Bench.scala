@@ -16,18 +16,34 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // min of two timed passes per query: single-run numbers carry
-    // multi-second GC noise at this heap size
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // multi-second GC noise at this heap size. A query that THROWS is
+    // recorded as a failure (-1 + errors entry), never as the wall time
+    // of the failure path — a broken query must not look fast (r2 #5).
+    def pass(): Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+        name -> r
+      }
     val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = p1.map { case (k, v) =>
+      k -> ((v, p2(k)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
+      })
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val qs = results.map { case (k, v) =>
+      jstr(k) + ":" + v.fold(_ => "-1", t => t.toString) }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.collect { case Right(t) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

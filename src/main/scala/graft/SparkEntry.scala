@@ -39,6 +39,9 @@ object SparkEntry {
     "q42_moving_avg"      -> (CoreQueries.q42MovingAvg _),
     "q44_anti_join"       -> (CoreQueries.q44AntiJoin _),
     "q45_skew_salting"    -> (CoreQueries.q45SkewSalting _),
+    "q46_chain_resolve"   -> (Chains.q46ChainResolve _),
+    "q47_param_unpivot"   -> (EventLog.q47ParamUnpivot _),
+    "q48_self_dim_join"   -> (EventLog.q48SelfDimJoin _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),
@@ -62,7 +65,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreOracles.sql ++ PipelineOracles.sql ++ Map(
+    CoreOracles.sql ++ PipelineOracles.sql ++ ExtOracles.sql ++ Map(
       "st33_stream_window" ->
         """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
           |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value

@@ -11,13 +11,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   // memoize resolved plans per (session, path): a fresh spark.read re-lists
   // files and re-reads the footer schema every call — measurable fixed
-  // overhead when 39 operators each load 1-3 tables
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // overhead when 40+ operators each load 1-3 tables. Weak on BOTH the
+  // session key and the plan value (a DataFrame strongly references its
+  // session, so a strong value would pin the weak key forever) — dead
+  // sessions from tests/repeated runs stay collectable (ADVICE r2).
+  // A cleared value just re-lists on the next call.
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, java.lang.ref.WeakReference[DataFrame]]]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = cache.synchronized {
+      var t = cache.get(spark)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty
+        cache.put(spark, t)
+      }
+      t
+    }
+    val path = s"$dir/$name.parquet"
+    m.get(path).flatMap(r => Option(r.get)).getOrElse {
+      val df = spark.read.parquet(path)
+      m.put(path, new java.lang.ref.WeakReference(df))
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** q46: transitive link-chain resolution — iterate-to-fixpoint connected
+  * chains over an explicit parent-link column.
+  *
+  * Mirrors the reference's `logical_cases` loop
+  * (scratch/other/event-history.R:42-52): field appeals are chained to
+  * their parent appeal via `BFDDEC = BFDPDCN` links, repeatedly
+  * self-joining until no row advances, so every record ends up labeled
+  * with the root of its logical case. Unlike q15's 365-day gap heuristic,
+  * this follows ARBITRARY-span links — the real semantics.
+  *
+  * Scale posture (100 TB): pointer DOUBLING — each round joins the
+  * unsettled rows against the full state on `cur = id`, composing known
+  * ancestor paths, so resolved distance squares per round and a chain of
+  * depth d settles in ceil(log2 d) + 1 rounds (the reference's one-hop
+  * loop needs d). Settled rows leave the join; `localCheckpoint` between
+  * rounds truncates lineage so the plan does not grow with iteration
+  * count. Driver-side logic is coordination only (an `isEmpty` per
+  * round), never data.
+  */
+object Chains {
+
+  /** Resolve each record's chain root over a (id, parent) link table.
+    * `parent` links pointing at ids absent from the table are treated as
+    * terminal (the record is its chain's root) — dangling links happen in
+    * the reference data when the parent case predates the extract.
+    * Output: (id, chain_root, depth); depth = hops from id to root.
+    */
+  def resolveChains(linksRaw: DataFrame, maxIters: Int = 20): DataFrame = {
+    // null out dangling parents once, up front: a left join against the
+    // id set — after this, parent IS NULL  ⇔  the record is a root
+    val ids = linksRaw.select(col("id").as("pid"))
+    val links = linksRaw.as("a")
+      .join(ids.as("p"), col("a.parent") === col("p.pid"), "left")
+      .select(col("a.id").as("id"),
+        when(col("p.pid").isNull, lit(null).cast("long"))
+          .otherwise(col("a.parent")).as("parent"))
+
+    // state invariant: cur = an ancestor exactly `depth` hops up;
+    // settled ⇔ cur is a root. Doubling round: an active row looks up its
+    // ancestor's OWN state row and jumps to that row's ancestor.
+    var state = links.select(
+      col("id"),
+      coalesce(col("parent"), col("id")).as("cur"),
+      when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"),
+      col("parent").isNull.as("settled"))
+      .localCheckpoint()
+    var iter = 0
+    while (!state.filter(!col("settled")).isEmpty && iter < maxIters) {
+      val settled = state.filter(col("settled"))
+      val active = state.filter(!col("settled"))
+      val advanced = active.as("s")
+        .join(state.as("t"), col("s.cur") === col("t.id"))
+        .select(col("s.id").as("id"), col("t.cur").as("cur"),
+          (col("s.depth") + col("t.depth")).as("depth"),
+          col("t.settled").as("settled"))
+      state = settled.unionByName(advanced).localCheckpoint()
+      iter += 1
+    }
+    state.select(col("id"), col("cur").as("chain_root"), col("depth"))
+  }
+
+  /** q46: chain resolution over a synthesized parent-link on orders.
+    * The link rule is deterministic arithmetic both engines reproduce:
+    * every 10th key roots a chain; one key per thousand carries a
+    * dangling link (nonexistent parent → root by join-miss, the
+    * predates-the-extract case); all others link to the previous key.
+    * Oracle: DuckDB WITH RECURSIVE over the same links.
+    */
+  def q46ChainResolve(spark: SparkSession, dir: String): DataFrame = {
+    val linksRaw = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("id"),
+      when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null).cast("long"))
+        .when(pmod(col("o_orderkey"), lit(1000)) === 555,
+          col("o_orderkey") - 1L + 10000000L)
+        .otherwise(col("o_orderkey") - 1L).as("parent"))
+    resolveChains(linksRaw)
+      .withColumn("chain_size", count(lit(1)).over(Window.partitionBy("chain_root")))
+      .select(col("id").as("o_orderkey"), col("chain_root"), col("depth"), col("chain_size"))
+      .orderBy("o_orderkey")
+  }
+}

@@ -265,16 +265,22 @@ object CoreQueries {
       .orderBy("end_state", "fy")
   }
 
-  /** q14: event log → wide per-entity phase matrix.
-    * Mirrors scratch/other/phase-history.R's spread of first-event dates
-    * into per-phase columns (NOD, FORM9, …) — here first ts per type.
+  /** q14: event log → wide per-entity phase matrix, DYNAMIC pivot.
+    * Mirrors scratch/other/phase-history.R's `spread(EVENT_TYPE, DATE)`
+    * (and form8-changes.R:43): the column set is whatever event types
+    * exist in the data — `Dataset.pivot(col)` discovers the distinct
+    * values (sorted, so deterministic), no hardcoded literals. The
+    * discovery pass is one distinct-aggregation on the pivot column;
+    * at scale that's a map-side-combined shuffle of |distinct types|
+    * rows, negligible next to the main aggregation.
     */
   def q14Pivot(spark: SparkSession, dir: String): DataFrame = {
-    def firstOf(t: String) = min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
-    Tables.events(spark, dir)
+    val wide = Tables.events(spark, dir)
       .groupBy("user_id")
-      .agg(firstOf("click"), firstOf("error"), firstOf("purchase"),
-        firstOf("signup"), firstOf("view"))
+      .pivot("event_type")
+      .agg(min(col("ts")))
+    wide.select(wide.columns.map(c =>
+        if (c == "user_id") col(c) else col(s"`$c`").as(s"first_$c")): _*)
       .orderBy("user_id")
   }
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** q47–q48: the reference's generic event-extraction utilities.
+  *
+  * q47 re-expresses `event_getDateCols(cols, labs)` (reference
+  * events.R:22-48): the ONE parameterized unpivot all 20 `event_*`
+  * extractors are instances of — a caller-chosen column list with paired
+  * caller-chosen labels becomes a long (entity, event_type, value) log.
+  * q48 re-expresses `event_getPriorLocs`' STAFF self-join (reference
+  * events.R:95-100): a dim row resolving attributes of its PARENT row in
+  * the same dim (staff → parent location → name).
+  */
+object EventLog {
+
+  /** Parameterized unpivot: `cols(i)` becomes rows labeled `labels(i)`.
+    * Identity columns pass through. The unpivot is a zero-shuffle
+    * projection (Spark Expand) — each input row emits cols.size output
+    * rows map-side, so the utility composes with any downstream agg
+    * without its own exchange.
+    */
+  def unpivotLog(df: DataFrame, idCols: Seq[String], cols: Seq[String],
+      labels: Seq[String], typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    require(cols.size == labels.size, "cols and labels must pair up")
+    val renamed = df.select(
+      (idCols.map(col) ++ cols.zip(labels).map { case (c, l) => col(c).as(l) }): _*)
+    renamed.unpivot(idCols.map(col).toArray, labels.map(col).toArray,
+      typeCol, valueCol)
+  }
+
+  /** q47: three differently-parameterized invocations of [[unpivotLog]]
+    * (different tables, column-set sizes, and labels) unioned into one
+    * log — the generic form of the reference's per-extractor gathers.
+    */
+  def q47ParamUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def shaped(df: DataFrame, caseCol: String, lineCol: Option[String]): DataFrame =
+      df.select(col(caseCol).as("case_key"),
+        lineCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("line"),
+        col("event_type"), col("value"))
+    val measures = shaped(
+      unpivotLog(li, Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice"), Seq("QTY", "PRICE")),
+      "l_orderkey", Some("l_linenumber"))
+    val rates = shaped(
+      unpivotLog(li, Seq("l_orderkey", "l_linenumber"),
+        Seq("l_discount", "l_tax"), Seq("DISCOUNT", "TAX")),
+      "l_orderkey", Some("l_linenumber"))
+    val totals = shaped(
+      unpivotLog(ord, Seq("o_orderkey"), Seq("o_totalprice"), Seq("TOTAL")),
+      "o_orderkey", None)
+    measures.unionByName(rates).unionByName(totals)
+      .filter(col("value").isNotNull)
+      .orderBy("case_key", "line", "event_type")
+  }
+
+  /** q48: self-referential dim resolution — every customer resolves its
+    * "team lead" (the row at its decade-base key) IN THE SAME dim, then
+    * the lead's nation name via a broadcast dim hop. One self-join on the
+    * dim (shuffle bounded by dim size, never the fact table) plus a
+    * broadcast — the exact shape of staff → parent location → name.
+    */
+  def q48SelfDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val leads = c.select(col("c_custkey").as("lead_key"),
+      col("c_name").as("lead_name"), col("c_nationkey").as("lead_nationkey"))
+    c.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_custkey") - pmod(col("c_custkey"), lit(10))).as("lead_key"))
+      .join(leads, Seq("lead_key"), "left")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("lead_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("lead_key"), col("lead_name"),
+        col("n_name").as("lead_nation"),
+        (col("c_nationkey") === col("lead_nationkey")).as("same_nation"))
+      .orderBy("c_custkey")
+  }
+}

@@ -163,13 +163,18 @@ object PipelineOracles {
         s"j -> v[j] * CAST((${1315423911L * p} + 2654435761 * j) % 1000003 - 501001 AS DOUBLE)))"
       s"(CASE WHEN $planeDot >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString(", ")
     s"""$vecCte, bk AS (
       |  SELECT vec_id, v, norm, CAST($bucket AS BIGINT) AS bucket FROM n
+      |), qp AS (
+      |  -- multi-probe: own bucket + each hamming-1 neighbor (query side only)
+      |  SELECT vec_id, v, norm, unnest([$probeList]) AS probe
+      |  FROM bk WHERE vec_id < 10
       |), p AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         ROUND(${dotSql("q", "c")} / (q.norm * c.norm), 6) AS cos_sim
-      |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-      |  WHERE q.vec_id < 10
+      |  FROM qp q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
       |), r AS (
       |  SELECT query_id, neighbor_id, cos_sim,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id

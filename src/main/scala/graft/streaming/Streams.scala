@@ -72,21 +72,43 @@ object Streams {
     val sessions = ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
-        val evs = it.map(_.us).toArray.sorted
-        val out = ArrayBuffer.empty[SessionOut]
-        var cur = state.getOption
-        evs.foreach { us =>
-          cur match {
-            case Some(s) if us - s.end > GapUs =>
-              out += toOut(uid, s); cur = Some(SessionState(us, us, 1))
-            case Some(s) =>
-              cur = Some(s.copy(end = math.max(s.end, us), n = s.n + 1))
-            case None =>
-              cur = Some(SessionState(us, us, 1))
+        // Incremental interval merge: events stream through one at a time
+        // and fold into a sorted buffer of DISJOINT session intervals —
+        // memory is O(sessions in batch) per key, never O(events in
+        // batch) (the r1/r2 `toArray.sorted` hardening item). Gap-based
+        // sessionization is the transitive closure of "within GapUs"
+        // adjacency on the time line, so order-independent interval
+        // merging yields exactly the sorted-scan partition.
+        val iv = ArrayBuffer.empty[SessionState] // disjoint, sorted by start
+        def insert(s0: Long, e0: Long, n0: Long): Unit = {
+          var lo = 0; var hi = iv.length
+          while (lo < hi) { // first interval with start > s0
+            val m = (lo + hi) >>> 1
+            if (iv(m).start <= s0) lo = m + 1 else hi = m
+          }
+          val predIdx = lo - 1
+          val mergePred = predIdx >= 0 && s0 - iv(predIdx).end <= GapUs
+          if (mergePred) {
+            val p = iv(predIdx)
+            iv(predIdx) = SessionState(p.start, math.max(p.end, e0), p.n + n0)
+            // the widened predecessor may now bridge into the successor
+            if (lo < iv.length && iv(lo).start - iv(predIdx).end <= GapUs) {
+              val q = iv(lo)
+              iv(predIdx) = SessionState(iv(predIdx).start,
+                math.max(iv(predIdx).end, q.end), iv(predIdx).n + q.n)
+              iv.remove(lo)
+            }
+          } else if (lo < iv.length && iv(lo).start - e0 <= GapUs) {
+            val q = iv(lo)
+            iv(lo) = SessionState(s0, math.max(q.end, e0), q.n + n0)
+          } else {
+            iv.insert(lo, SessionState(s0, e0, n0))
           }
         }
-        cur.foreach(state.update)
-        out.iterator
+        state.getOption.foreach(s => insert(s.start, s.end, s.n))
+        it.foreach(e => insert(e.us, e.us, 1))
+        if (iv.nonEmpty) state.update(iv.last)
+        iv.dropRight(1).iterator.map(toOut(uid, _))
       }
     val name = s"st34_out_${counter.incrementAndGet()}"
     val q = sessions.toDF().writeStream

@@ -89,6 +89,20 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join side was shuffle-exchanged:\n$p")
   }
 
+  test("s27 multi-probe stays an equi-join with codegen'd bucket projection") {
+    val df = operators.Similarity.s27AnnLsh(spark, dir)
+    val p = planString(df)
+    // candidate generation must remain a hash equi-join on probe=bucket
+    // (the multi-probe explode must not degrade it to nested-loop)
+    assert(!p.contains("CartesianProduct"), s"cartesian in multi-probe join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in multi-probe join:\n$p")
+    // bucket projection runs inside whole-stage codegen (r1 criterion)
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_hyperplane_bucket"),
+      s"native bucket expression missing:\n$analyzed")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)
