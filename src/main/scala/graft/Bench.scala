@@ -10,9 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated key filter for single-query iteration;
+    // the driver never sets it, so driver runs always cover everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     // warmup pass: JIT + codegen caches + file listing, so measured times
     // reflect steady-state execution rather than first-query JVM warmup
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // min of two timed passes per query: single-run numbers carry
@@ -20,7 +24,7 @@ object Bench {
     // recorded as a failure (-1 + errors entry), never as the wall time
     // of the failure path — a broken query must not look fast (r2 #5).
     def pass(): Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>

@@ -87,6 +87,17 @@ object Dedup {
 
   /** Combination-key simhash candidate pairs with exact hamming filter.
     * Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming ≤ maxHamming).
+    *
+    * The candidate join runs over DISTINCT signatures, not docs: web-ish
+    * corpora are dominated by exact/near-exact duplicates, and a
+    * signature shared by g docs would otherwise re-enumerate C(g,2)
+    * pairs × 20 combo keys in the join (hamming-0 pairs share ALL 20
+    * keys — worst multiplicity). Signature pairs expand back to doc
+    * pairs afterwards with two cheap equi-joins, and same-signature doc
+    * pairs are emitted directly at hamming 0 — so the expensive join is
+    * |distinct sigs|², not |docs|², and carries multiplicity ≤ C(5,3)=10
+    * (a cross-sig pair has ≥ 1 dirty block).
+    *
     * Exposed separately so tests can plant boundary signatures (a pair at
     * exactly maxHamming with its differing bits spread across maxHamming
     * distinct blocks) and assert recall.
@@ -101,23 +112,30 @@ object Dedup {
       val key = c.foldLeft(lit(0L): Column)((acc, i) => acc * blockMod + block(i))
       struct(lit(idx).as("k"), key.as("ckey"))
     }
-    val keyed = sims
-      .select(col("doc_id"), col("simhash"),
-        explode(array(keyCols: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"),
-        col("c.k").as("k"), col("c.ckey").as("ckey"))
+    val keyed = sims.select(col("simhash")).distinct()
+      .select(col("simhash"), explode(array(keyCols: _*)).as("c"))
+      .select(col("simhash"), col("c.k").as("k"), col("c.ckey").as("ckey"))
     val a = keyed.as("a"); val b = keyed.as("b")
-    a.join(b,
+    val sigPairs = a.join(b,
         col("a.k") === col("b.k") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
-      // filter before distinct: the candidate stream is dominated by
-      // random key collisions above the threshold — drop them before
+      // filter before distinct: drop above-threshold collisions before
       // the dedup shuffle rather than after
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("doc_a", "doc_b")
+    val cross = sigPairs
+      .join(sims.select(col("doc_id").as("ida"), col("simhash").as("sig_a")), Seq("sig_a"))
+      .join(sims.select(col("doc_id").as("idb"), col("simhash").as("sig_b")), Seq("sig_b"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val intra = sims.as("x")
+      .join(sims.as("y"),
+        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   /** d23: 48-bit SimHash + combination-key hamming near-dup pairs.

@@ -74,18 +74,30 @@ object PipelineOracles {
       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM sb GROUP BY doc_id
       |), keyed AS (
-      |  SELECT doc_id, simhash, u.k AS k, u.ckey AS ckey FROM (
-      |    SELECT doc_id, simhash, unnest([
+      |  -- candidate join over DISTINCT signatures (dup docs expand later)
+      |  SELECT simhash, u.k AS k, u.ckey AS ckey FROM (
+      |    SELECT simhash, unnest([
       |      $structs
-      |    ]) AS u FROM sims
+      |    ]) AS u FROM (SELECT DISTINCT simhash FROM sims)
       |  )
+      |), sp AS (
+      |  SELECT * FROM (
+      |    SELECT DISTINCT a.simhash AS sig_a, b.simhash AS sig_b,
+      |           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |    FROM keyed a JOIN keyed b
+      |      ON a.k = b.k AND a.ckey = b.ckey AND a.simhash < b.simhash
+      |  ) WHERE hamming <= 3
       |)
-      |SELECT * FROM (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      |  FROM keyed a JOIN keyed b
-      |    ON a.k = b.k AND a.ckey = b.ckey AND a.doc_id < b.doc_id
-      |) WHERE hamming <= 3
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT LEAST(da.doc_id, db.doc_id) AS doc_a,
+      |         GREATEST(da.doc_id, db.doc_id) AS doc_b, sp.hamming AS hamming
+      |  FROM sp
+      |  JOIN sims da ON sp.sig_a = da.simhash
+      |  JOIN sims db ON sp.sig_b = db.simhash
+      |  UNION ALL
+      |  SELECT x.doc_id, y.doc_id, 0
+      |  FROM sims x JOIN sims y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+      |)
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
