@@ -32,7 +32,14 @@ object Chains {
     * the reference data when the parent case predates the extract.
     * Output: (id, chain_root, depth); depth = hops from id to root.
     */
-  def resolveChains(linksRaw: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** @param depthHint expected max chain depth (e.g. "appeals are
+    *   remanded under 16 times"): rounds that the hint says are needed
+    *   run WITHOUT a per-round emptiness probe (each probe is a
+    *   scheduler round-trip that dominates wall-time at small scale).
+    *   Correctness never depends on the hint — a probe-checked loop
+    *   always follows until true fixpoint. */
+  def resolveChains(linksRaw: DataFrame, maxIters: Int = 20,
+      depthHint: Int = 1): DataFrame = {
     // null out dangling parents once, up front: a left join against the
     // id set — after this, parent IS NULL  ⇔  the record is a root
     val ids = linksRaw.select(col("id").as("pid"))
@@ -45,25 +52,37 @@ object Chains {
     // state invariant: cur = an ancestor exactly `depth` hops up;
     // settled ⇔ cur is a root. Doubling round: an active row looks up its
     // ancestor's OWN state row and jumps to that row's ancestor.
-    var state = links.select(
+    // Per round exactly ONE distributed job (the eager checkpoint of the
+    // advanced rows) — settled rows are never re-checkpointed, they
+    // accumulate as a union of already-materialized RDDs, and the
+    // emptiness probe reads the freshly checkpointed partitions.
+    val st0 = links.select(
       col("id"),
       coalesce(col("parent"), col("id")).as("cur"),
       when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"),
       col("parent").isNull.as("settled"))
       .localCheckpoint()
+    var settled = st0.filter(col("settled"))
+    var active = st0.filter(!col("settled"))
     var iter = 0
-    while (!state.filter(!col("settled")).isEmpty && iter < maxIters) {
-      val settled = state.filter(col("settled"))
-      val active = state.filter(!col("settled"))
+    def round(): Unit = {
+      val lookup = settled.unionByName(active)
       val advanced = active.as("s")
-        .join(state.as("t"), col("s.cur") === col("t.id"))
+        .join(lookup.as("t"), col("s.cur") === col("t.id"))
         .select(col("s.id").as("id"), col("t.cur").as("cur"),
           (col("s.depth") + col("t.depth")).as("depth"),
           col("t.settled").as("settled"))
-      state = settled.unionByName(advanced).localCheckpoint()
+        .localCheckpoint()
+      settled = settled.unionByName(advanced.filter(col("settled")))
+      active = advanced.filter(!col("settled"))
       iter += 1
     }
-    state.select(col("id"), col("cur").as("chain_root"), col("depth"))
+    // hint-guided blind rounds (round r resolves depth ≤ 2^r), then
+    // probe-checked rounds to the true fixpoint
+    while (iter < maxIters && (1L << iter) < depthHint) round()
+    while (iter < maxIters && !active.isEmpty) round()
+    settled.unionByName(active)
+      .select(col("id"), col("cur").as("chain_root"), col("depth"))
   }
 
   /** q46: chain resolution over a synthesized parent-link on orders.
@@ -80,7 +99,7 @@ object Chains {
         .when(pmod(col("o_orderkey"), lit(1000)) === 555,
           col("o_orderkey") - 1L + 10000000L)
         .otherwise(col("o_orderkey") - 1L).as("parent"))
-    resolveChains(linksRaw)
+    resolveChains(linksRaw, depthHint = 16)
       .withColumn("chain_size", count(lit(1)).over(Window.partitionBy("chain_root")))
       .select(col("id").as("o_orderkey"), col("chain_root"), col("depth"), col("chain_size"))
       .orderBy("o_orderkey")

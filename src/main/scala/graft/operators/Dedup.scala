@@ -179,13 +179,16 @@ object Dedup {
     // back (1 self-join total instead of 3 joins + a third evaluation
     // of the shingle pipeline)
     import org.apache.spark.sql.expressions.Window
+    // df-cap via a count window over (source, x): ONE shuffle that the
+    // self-join below (same keys) reuses via ReuseExchange — a separate
+    // hot-key aggregate + anti-join was measured 2× slower because its
+    // aggregation exchange differs from the join's, forcing the whole
+    // shingling pipeline to evaluate twice
     val sh = shingled(spark, dir)
       .select(col("doc_id"), col("source"), size(col("shingles")).as("nsh"),
         explode(col("shingles")).as("s"))
       .withColumn("x", ph(col("s")))
       .drop("s")
-      // df-cap via a count window over (source, x): ONE shuffle that the
-      // self-join below (same keys) reuses — no extra aggregation+join
       .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "x")))
       .filter(col("df") <= ShingleDfCap)
       .drop("df")

@@ -111,9 +111,9 @@ object PipelineOracles {
       |           i -> array_to_string(words[i:i+2], ' '))) AS shingles
       |  FROM w
       |), shx0 AS (
-      |  -- unnest must be materialized BEFORE the QUALIFY window: DuckDB
-      |  -- expands a same-SELECT alias into the window clause, and UNNEST
-      |  -- inside a window clause is a binder error (the r02 regression)
+      |  -- unnest materialized in its own CTE: DuckDB expands same-SELECT
+      |  -- aliases in place, and UNNEST is illegal inside window/agg
+      |  -- clauses (the r02 regression)
       |  SELECT doc_id, source, len(shingles) AS nsh, ${phSql("unnest(shingles)")} AS x
       |  FROM shl
       |), shx AS (
