@@ -42,6 +42,8 @@ object SparkEntry {
     "q46_chain_resolve"   -> (Chains.q46ChainResolve _),
     "q47_param_unpivot"   -> (EventLog.q47ParamUnpivot _),
     "q48_self_dim_join"   -> (EventLog.q48SelfDimJoin _),
+    "q49_hll_sketch"      -> (Sketches.q49HllSketch _),
+    "st35_stream_dedup"   -> (graft.streaming.Streams.st35StreamDedup _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),

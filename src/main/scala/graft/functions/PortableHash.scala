@@ -43,4 +43,16 @@ object PortableHash {
   val HplaneMod: Long = 1000003L
   val HplaneShift: Long = 501001L
   val NumPlanes = 8
+
+  /** Portable HLL (q49): p = 8 → m = 256 buckets; the 60-bit [[ph]]
+    * splits into 8 bucket bits + a 52-bit pattern word. Rho and the
+    * normalizer Z are computed in pure int64 (Z in units of 2⁻⁵³), so
+    * cross-engine double-summation order can never break parity — only
+    * the final division and the small-range ln() are floating-point.
+    * Both constants are injected verbatim into the Spark plan AND the
+    * DuckDB oracle. */
+  val HllBuckets = 256
+  val HllPatternBits = 52
+  /** Standard HLL bias constant α₂₅₆ (Flajolet et al. 2007). */
+  val HllAlpha: Double = 0.7213 / (1 + 1.079 / 256.0)
 }

@@ -58,9 +58,62 @@ object ExtOracles {
       |LEFT JOIN nation n ON l.c_nationkey = n.n_nationkey
       |ORDER BY c.c_custkey""".stripMargin
 
+  // exact mirror of Sketches.q49HllSketch — constants injected from the
+  // same PortableHash fields the Spark plan uses
+  private val q49Sql: String = {
+    import graft.functions.PortableHash._
+    val m = HllBuckets; val pb1 = HllPatternBits + 1
+    val two53 = 1L << pb1
+    s"""WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), h AS (
+      |  SELECT source, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+      |), rr AS (
+      |  SELECT source, h % $m AS bucket,
+      |         CASE WHEN h // $m = 0 THEN $pb1
+      |              ELSE $pb1 - length(bin(h // $m)) END AS rho
+      |  FROM h
+      |), bm AS (
+      |  SELECT source, bucket, MAX(rho) AS mx FROM rr GROUP BY source, bucket
+      |), z AS (
+      |  SELECT source,
+      |         CAST(SUM(CAST(1 AS BIGINT) << CAST($pb1 - mx AS INT)) AS BIGINT) AS zp,
+      |         COUNT(*) AS nb
+      |  FROM bm GROUP BY source
+      |), e AS (
+      |  SELECT source, zp + ($m - nb) * $two53 AS zint, $m - nb AS zeros FROM z
+      |), est AS (
+      |  -- all literals cast to DOUBLE: DuckDB types bare decimal
+      |  -- literals as DECIMAL and overflows the multiplication
+      |  SELECT source, zeros,
+      |         CAST($HllAlpha AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
+      |           * CAST(${two53.toDouble} AS DOUBLE) / CAST(zint AS DOUBLE) AS est_raw
+      |  FROM e
+      |), fin AS (
+      |  SELECT source,
+      |         ROUND(CASE WHEN zeros > 0 AND est_raw <= CAST(${2.5 * m} AS DOUBLE)
+      |                    THEN CAST(${m.toDouble} AS DOUBLE)
+      |                         * ln(CAST(${m.toDouble} AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |                    ELSE est_raw END, 4) AS hll_estimate
+      |  FROM est
+      |), ex AS (
+      |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact FROM h GROUP BY source
+      |)
+      |SELECT f.source AS source, n_exact, hll_estimate,
+      |       ROUND(ABS(hll_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+      |FROM fin f JOIN ex ON f.source = ex.source
+      |ORDER BY source""".stripMargin
+  }
+
+  private val st35Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q46_chain_resolve" -> q46Sql,
     "q47_param_unpivot" -> q47Sql,
-    "q48_self_dim_join" -> q48Sql
+    "q48_self_dim_join" -> q48Sql,
+    "q49_hll_sketch"    -> q49Sql,
+    "st35_stream_dedup" -> st35Sql
   )
 }

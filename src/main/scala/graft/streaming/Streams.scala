@@ -43,6 +43,27 @@ object Streams {
       .orderBy("hour_start", "event_type")
   }
 
+  /** st35: streaming exactly-once deduplication — `dropDuplicates` over
+    * the key columns with streaming state, the building block of
+    * idempotent event ingestion (a re-delivered event must not double
+    * count). Output is the distinct key set, which is deterministic
+    * regardless of arrival order; the oracle is batch SELECT DISTINCT.
+    * At scale the dedup state is per-key and watermark-expirable; the
+    * bounded replay here keeps NoTimeout state.
+    */
+  def st35StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dd = ev.select(col("user_id"), col("event_type"))
+      .dropDuplicates(Seq("user_id", "event_type"))
+    val name = s"st35_out_${counter.incrementAndGet()}"
+    val q = dd.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Instant,
