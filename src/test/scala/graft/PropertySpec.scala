@@ -119,6 +119,42 @@ class PropertySpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("chain resolution matches in-memory root-following on random forests") {
+    // Random parent forests (parent < id keeps them acyclic, like the
+    // reference's remand chains which always link to an EARLIER case),
+    // with dangling links (parent ids absent from the table) and nulls.
+    // Verifies root labels AND depths from the pointer-doubling loop,
+    // including depths that are not powers of two.
+    import spark.implicits._
+    import graft.operators.Chains
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 120 + trial * 37
+      val links = (0L until n.toLong).map { id =>
+        val r = rnd.nextInt(10)
+        val parent: java.lang.Long =
+          if (r < 2 || id == 0) null                       // explicit root
+          else if (r < 3) java.lang.Long.valueOf(id + 1000000L) // dangling
+          else java.lang.Long.valueOf(rnd.nextInt(id.toInt).toLong) // earlier id
+        (id, parent)
+      }
+      val lookup = links.toMap
+      def ref(id: Long): (Long, Long) = { // (root, depth)
+        var cur = id; var d = 0L
+        while (lookup(cur) != null && lookup.contains(lookup(cur).longValue)) {
+          cur = lookup(cur).longValue; d += 1
+        }
+        (cur, d)
+      }
+      val df = links.map { case (id, p) =>
+        (id, Option(p).map(_.longValue)) }.toDF("id", "parent")
+      val got = Chains.resolveChains(df, depthHint = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = (0L until n.toLong).map(id => id -> ref(id)).toMap
+      assert(got === want, s"trial $trial mismatch")
+    }
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash
