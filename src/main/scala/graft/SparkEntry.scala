@@ -56,6 +56,7 @@ object SparkEntry {
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),
     "t31_fingerprint"     -> (TextAnalysis.t31Fingerprint _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
+    "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),

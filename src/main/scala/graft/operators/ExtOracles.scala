@@ -105,6 +105,31 @@ object ExtOracles {
       |ORDER BY source""".stripMargin
   }
 
+  // exact mirror of Multimodal.m33FrameSample: frame byte ranges and
+  // integer features recomputed by slicing the payload's hex string
+  // (DuckDB 1.0 cannot slice blobs directly)
+  private val m33Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len FROM documents
+      |), f AS (
+      |  SELECT doc_id, hx, CAST(t.k AS INT) AS frame_idx,
+      |         (t.k * len) // ${Multimodal.NumFrames} AS s,
+      |         ((t.k + 1) * len) // ${Multimodal.NumFrames} AS e
+      |  FROM d, range(0, ${Multimodal.NumFrames}) t(k)
+      |), b AS (
+      |  SELECT doc_id, frame_idx, e - s AS n_frame_bytes,
+      |         list_transform(generate_series(s, e - 1),
+      |           i -> ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT) AS bytes
+      |  FROM f WHERE e > s
+      |)
+      |SELECT doc_id, frame_idx, CAST(n_frame_bytes AS BIGINT) AS n_frame_bytes,
+      |       CAST(list_sum(bytes) AS BIGINT) AS byte_sum,
+      |       CAST(list_min(bytes) AS INT) AS byte_min,
+      |       CAST(list_max(bytes) AS INT) AS byte_max,
+      |       CAST(list_sum(bytes) AS BIGINT) // CAST(n_frame_bytes AS BIGINT) AS luma_q
+      |FROM b
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   private val st35Sql: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
@@ -114,6 +139,7 @@ object ExtOracles {
     "q47_param_unpivot" -> q47Sql,
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,
+    "m33_frame_sample"  -> m33Sql,
     "st35_stream_dedup" -> st35Sql
   )
 }

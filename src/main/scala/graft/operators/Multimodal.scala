@@ -36,6 +36,52 @@ object Multimodal {
     (hex, first)
   }
 
+  /** Frames per payload for m33 — the "video" sampling rate. */
+  val NumFrames = 4
+
+  /** Per-frame features; luma_q models a quantized per-frame brightness
+    * (integer mean byte value) — the kind of cheap scalar a pre-filter
+    * stage computes before an expensive model sees the frame. */
+  case class FrameFeat(doc_id: Long, frame_idx: Int, n_frame_bytes: Long,
+      byte_sum: Long, byte_min: Int, byte_max: Int, luma_q: Long)
+
+  /** m33: frame-sampling feature extraction — one payload fans out to
+    * [[NumFrames]] fixed-offset frames, each reduced to a feature row
+    * (sum/min/max/quantized-mean over the frame's bytes). This is the
+    * video-pipeline batch shape: `mapPartitions` + `flatMap` (1 row → K
+    * frame rows) with a per-partition "decoder", exactly how a
+    * frame-sample + feature-extract stage runs as a Pandas UDF over
+    * `mapInPandas` in the Python stack. The frame math is deterministic
+    * integer arithmetic over the raw bytes, so the DuckDB oracle
+    * reproduces it via hex-string slicing — the decode itself is the
+    * stubbed step (no codecs in this container), the plumbing is real.
+    */
+  def m33FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+        col("n_chars").as("meta_n_chars"), lit("txt").as("meta_fmt"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val len = r.payload.length
+        (0 until NumFrames).iterator.flatMap { k =>
+          val s = (k.toLong * len / NumFrames).toInt
+          val e = ((k + 1).toLong * len / NumFrames).toInt
+          if (e > s) {
+            var sum = 0L; var mn = 255; var mx = 0; var i = s
+            while (i < e) {
+              val b = r.payload(i) & 0xff
+              sum += b; if (b < mn) mn = b; if (b > mx) mx = b; i += 1
+            }
+            Some(FrameFeat(r.doc_id, k, (e - s).toLong, sum, mn, mx, sum / (e - s)))
+          } else None
+        }
+      }
+    }.toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def m32Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
