@@ -44,6 +44,17 @@ object PortableHash {
   val HplaneShift: Long = 501001L
   val NumPlanes = 8
 
+  /** IVF ANN (s28): deterministic pseudo-centroids in the hyperplane
+    * family — component j (1-based) of centroid c is
+    * (HplaneA·(c+IvfOffset) + HplaneB·j) mod HplaneMod − HplaneShift.
+    * IvfOffset keeps the centroid family disjoint from the s27 planes.
+    * Cell assignment ranks cosine(v, centroid) = dot / ‖centroid‖ (the
+    * ‖v‖ factor is rank-invariant); ‖centroid‖² is an exact int64 sum,
+    * so both engines agree bit-for-bit. */
+  val IvfCells = 16
+  val IvfProbes = 2
+  val IvfOffset = 101
+
   /** Portable HLL (q49): p = 8 → m = 256 buckets; the 60-bit [[ph]]
     * splits into 8 bucket bits + a 52-bit pattern word. Rho and the
     * normalizer Z are computed in pure int64 (Z in units of 2⁻⁵³), so

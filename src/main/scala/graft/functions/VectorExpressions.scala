@@ -170,6 +170,95 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int = PortableHash.Num
     copy(child = c)
 }
 
+/** Native Catalyst expression for IVF cell assignment (s28).
+  *
+  * Returns the [[PortableHash.IvfProbes]] nearest pseudo-centroid
+  * indices (best first) by cosine, as an array<long>: the corpus indexes
+  * on element 0 (its home cell); the query side explodes all probes.
+  * Centroid component w(c,j) and the ranking score
+  * dot(v, C_c) / sqrt(Σ w(c,j)²) use only deterministic integer weights
+  * (the norm² sum is exact in int64), so the DuckDB oracle reproduces
+  * the same cells. Ties rank the lower cell index first — mirrored by
+  * the oracle's ORDER BY score DESC, c. One codegen'd primitive loop,
+  * same shape as [[HyperplaneBucket]].
+  */
+case class IvfCells(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import PortableHash.{HplaneA, HplaneB, HplaneMod, HplaneShift, IvfCells => NCells, IvfOffset}
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ivf_cells expects array<float|double>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var best1 = Double.NegativeInfinity; var idx1 = -1L
+    var best2 = Double.NegativeInfinity; var idx2 = -1L
+    var c = 0
+    while (c < NCells) {
+      var dot = 0.0
+      var nrm2 = 0L
+      var j = 0
+      while (j < n) {
+        val w = (HplaneA * (c + IvfOffset) + HplaneB * (j + 1)) % HplaneMod - HplaneShift
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        dot += x * w
+        nrm2 += w * w
+        j += 1
+      }
+      val score = dot / math.sqrt(nrm2.toDouble)
+      if (score > best1) { best2 = best1; idx2 = idx1; best1 = score; idx1 = c }
+      else if (score > best2) { best2 = score; idx2 = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(idx1, idx2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot"); val nrm2 = ctx.freshName("nrm2")
+      val w = ctx.freshName("w"); val score = ctx.freshName("score")
+      val b1 = ctx.freshName("b1"); val i1 = ctx.freshName("i1")
+      val b2 = ctx.freshName("b2"); val i2 = ctx.freshName("i2")
+      val getX = if (isFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      s"""
+         |final int $n = $a.numElements();
+         |double $b1 = Double.NEGATIVE_INFINITY; long $i1 = -1L;
+         |double $b2 = Double.NEGATIVE_INFINITY; long $i2 = -1L;
+         |for (int $c = 0; $c < $NCells; $c++) {
+         |  double $dot = 0.0;
+         |  long $nrm2 = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $w = (${HplaneA}L * ($c + $IvfOffset) + ${HplaneB}L * ($j + 1)) % ${HplaneMod}L - ${HplaneShift}L;
+         |    $dot += $getX * (double) $w;
+         |    $nrm2 += $w * $w;
+         |  }
+         |  double $score = $dot / java.lang.Math.sqrt((double) $nrm2);
+         |  if ($score > $b1) { $b2 = $b1; $i2 = $i1; $b1 = $score; $i1 = $c; }
+         |  else if ($score > $b2) { $b2 = $score; $i2 = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[]{$i1, $i2});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): IvfCells =
+    copy(child = c)
+}
+
 /** Session registration for graft's native SQL functions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -177,6 +266,8 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hyperplane_bucket", exprs => HyperplaneBucket(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells", exprs => IvfCells(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash48", exprs => Simhash48(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

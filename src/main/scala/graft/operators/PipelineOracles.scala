@@ -197,6 +197,40 @@ object PipelineOracles {
       |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // s28 mirror: centroid weights/norms from the same integer formula as
+  // graft_ivf_cells; norm² is an exact int64 sum so cells agree exactly;
+  // ties rank the lower cell index first on both engines
+  private val s28Sql: String = {
+    val wSql = s"(($HplaneA * (t.c + $IvfOffset) + $HplaneB * j) % $HplaneMod) - $HplaneShift"
+    s"""$vecCte, sc AS (
+      |  SELECT vec_id, v, norm, t.c AS c,
+      |         list_sum(list_transform(generate_series(1, 64),
+      |           j -> v[j] * CAST($wSql AS DOUBLE)))
+      |           / sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+      |               j -> ($wSql) * ($wSql))) AS DOUBLE)) AS score
+      |  FROM n, range(0, $IvfCells) t(c)
+      |), rk AS (
+      |  SELECT vec_id, v, norm, c,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
+      |  FROM sc
+      |), corp AS (
+      |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn = 1
+      |), qp AS (
+      |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn <= $IvfProbes AND vec_id < 10
+      |), p AS (
+      |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+      |         ROUND(${dotSql("q", "c2")} / (q.norm * c2.norm), 6) AS cos_sim
+      |  FROM qp q JOIN corp c2 ON q.cell = c2.cell AND q.vec_id <> c2.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
   private val stopEn = Seq("the", "a", "of", "and", "to")
@@ -304,6 +338,7 @@ object PipelineOracles {
     "d25_embed_neardup" -> d25Sql,
     "s26_ann_topk"     -> s26Sql,
     "s27_ann_lsh"      -> s27Sql,
+    "s28_ann_ivf"      -> s28Sql,
     "t28_langid"       -> t28Sql,
     "t29_quality"      -> t29Sql,
     "t30_tokencount"   -> t30Sql,

@@ -83,4 +83,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "cos_sim")
       .orderBy("query_id", "rnk")
   }
+
+  /** s28: IVF-cell ANN — the other standard ANN scale architecture.
+    * Where s27 buckets by hash-sign bits, IVF partitions the corpus into
+    * Voronoi cells of a centroid set (here [[graft.functions.IvfCells]]'
+    * deterministic pseudo-centroids; a production build would k-means
+    * them) and searches only the query's nprobe nearest cells. The
+    * corpus indexes on its home cell (element 0); the query side
+    * explodes its 2 probe cells — candidate generation stays a cell
+    * equi-join, cost |Q|·nprobe·cell-size, never corpus².
+    */
+  def s28AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("cells", expr("graft_ivf_cells(v)"))
+    val c = e.withColumn("cell", col("cells").getItem(0)).drop("cells").as("c")
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("cell", explode(col("cells"))).drop("cells").as("q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_sim", round(expr(cosExpr) / (col("q.norm") * col("c.norm")), 6))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .orderBy("query_id", "rnk")
+  }
 }
