@@ -43,6 +43,7 @@ object SparkEntry {
     "q47_param_unpivot"   -> (EventLog.q47ParamUnpivot _),
     "q48_self_dim_join"   -> (EventLog.q48SelfDimJoin _),
     "q49_hll_sketch"      -> (Sketches.q49HllSketch _),
+    "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),
     "st35_stream_dedup"   -> (graft.streaming.Streams.st35StreamDedup _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),

@@ -279,7 +279,7 @@ object CoreQueries {
       .groupBy("user_id")
       .pivot("event_type")
       .agg(min(col("ts")))
-    wide.select(wide.columns.map(c =>
+    wide.select(wide.columns.toIndexedSeq.map(c =>
         if (c == "user_id") col(c) else col(s"`$c`").as(s"first_$c")): _*)
       .orderBy("user_id")
   }

@@ -130,6 +130,36 @@ object ExtOracles {
       |FROM b
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // exact mirror of RangeJoin.q50SnapshotAges (grid-bucketized interval
+  // join; DuckDB can afford the same equi shape)
+  private val q50Sql: String =
+    """WITH comp AS (
+      |  SELECT l_orderkey, MAX(l_shipdate) AS completed FROM lineitem GROUP BY 1
+      |), iv AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS startd,
+      |         COALESCE(CASE WHEN o_orderstatus = 'F' THEN CAST(completed AS DATE) END,
+      |                  DATE '2002-06-01') AS endd
+      |  FROM orders LEFT JOIN comp ON o_orderkey = l_orderkey
+      |), cells AS (
+      |  SELECT o_orderkey, startd, endd,
+      |         CAST(unnest(generate_series(CAST(date_trunc('quarter', startd) AS DATE),
+      |           CAST(date_trunc('quarter', GREATEST(endd, startd)) AS DATE),
+      |           INTERVAL 3 MONTH)) AS DATE) AS cell
+      |  FROM iv
+      |), snaps AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-04-01', DATE '2002-04-01',
+      |    INTERVAL 3 MONTH)) AS DATE) AS s
+      |), j AS (
+      |  SELECT s, CAST(date_diff('day', startd, s) AS DOUBLE) AS age_days
+      |  FROM snaps JOIN cells ON cell = s
+      |  WHERE startd <= s AND endd > s
+      |)
+      |SELECT CAST(s AS TIMESTAMP) AS snapshot, COUNT(*) AS n_open,
+      |       ROUND(quantile_cont(age_days, 0.5), 4) AS p50_age_days,
+      |       ROUND(quantile_cont(age_days, 0.9), 4) AS p90_age_days
+      |FROM j GROUP BY s
+      |ORDER BY snapshot""".stripMargin
+
   private val st35Sql: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
@@ -139,6 +169,7 @@ object ExtOracles {
     "q47_param_unpivot" -> q47Sql,
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,
+    "q50_snapshot_ages" -> q50Sql,
     "m33_frame_sample"  -> m33Sql,
     "st35_stream_dedup" -> st35Sql
   )

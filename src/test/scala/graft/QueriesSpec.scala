@@ -79,4 +79,43 @@ class QueriesSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     assert(d.join(docs, d("canonical_id") === docs("doc_id"), "left_anti").count() === 0)
   }
+
+  test("q46 chain roots are fixpoints with depth 0") {
+    val rows = graft.operators.Chains.q46ChainResolve(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (root, _) = byId(r.getLong(0))
+      assert(byId(root) === ((root, 0L)),
+        s"root $root of ${r.getLong(0)} is not a depth-0 fixpoint")
+    }
+  }
+
+  test("q49 HLL estimates land inside the m=256 error envelope") {
+    // HLL standard error is 1.04/sqrt(m) = 6.5% at m=256; 4σ = 26%
+    graft.operators.Sketches.q49HllSketch(spark, dir)
+      .select("source", "rel_err").collect().foreach { r =>
+        assert(r.getDouble(1) <= 0.26,
+          s"source ${r.getString(0)} rel_err ${r.getDouble(1)} exceeds envelope")
+      }
+  }
+
+  test("q50 grid-bucketized range join equals the naive theta join") {
+    import org.apache.spark.sql.functions._
+    val grid = graft.operators.RangeJoin.q50SnapshotAges(spark, dir)
+      .select(col("snapshot"), col("n_open")).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    val comp = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    val iv = Tables.orders(spark, dir)
+      .join(comp, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderdate").cast("date").as("startd"),
+        coalesce(when(col("o_orderstatus") === "F", col("completed").cast("date")),
+          lit("2002-06-01").cast("date")).as("endd"))
+    val snaps = spark.range(1).select(explode(expr(
+      "sequence(date '1995-04-01', date '2002-04-01', interval 3 month)")).as("s"))
+    val naive = snaps.join(iv, col("startd") <= col("s") && col("endd") > col("s"))
+      .groupBy(col("s").cast("timestamp").as("snapshot")).count().collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(grid === naive)
+  }
 }
