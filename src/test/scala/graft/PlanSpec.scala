@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite {
       s"native bucket expression missing:\n$analyzed")
   }
 
+  test("q50 grid range join is an equi-join (no cartesian/nested-loop)") {
+    val p = planString(operators.RangeJoin.q50SnapshotAges(spark, dir))
+    // the whole point of the grid bucketization: the interval x point
+    // join must hash on the cell key, never theta-join
+    assert(!p.contains("CartesianProduct"), s"cartesian in grid range join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in grid range join:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)
