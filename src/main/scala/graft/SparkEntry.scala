@@ -44,6 +44,8 @@ object SparkEntry {
     "q48_self_dim_join"   -> (EventLog.q48SelfDimJoin _),
     "q49_hll_sketch"      -> (Sketches.q49HllSketch _),
     "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),
+    "q51_quantile_sketch" -> (Sketches.q51QuantileSketch _),
+    "st36_stream_static_join" -> (graft.streaming.Streams.st36StreamStaticJoin _),
     "st35_stream_dedup"   -> (graft.streaming.Streams.st35StreamDedup _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),

@@ -160,6 +160,48 @@ object ExtOracles {
       |FROM j GROUP BY s
       |ORDER BY snapshot""".stripMargin
 
+  // exact mirror of Sketches.q51QuantileSketch — all numeric literals
+  // cast to DOUBLE (DuckDB types bare decimals as DECIMAL)
+  private val q51Sql: String = {
+    def pick(q: String, name: String) =
+      s"""SELECT flag, ROUND(CAST(bin AS DOUBLE) * CAST(100.0 AS DOUBLE) + CAST(100.0 AS DOUBLE)
+        |           * (target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE), 4) AS $name
+        |  FROM (
+        |    SELECT flag, bin, cnt, cum, CAST($q AS DOUBLE) * CAST(n AS DOUBLE) AS target,
+        |           ROW_NUMBER() OVER (PARTITION BY flag ORDER BY bin) AS rn
+        |    FROM c WHERE CAST(cum AS DOUBLE) >= CAST($q AS DOUBLE) * CAST(n AS DOUBLE)
+        |  ) WHERE rn = 1""".stripMargin
+    s"""WITH b AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |         CAST(FLOOR(l_extendedprice / CAST(100.0 AS DOUBLE)) AS BIGINT) AS bin
+      |  FROM lineitem
+      |), h AS (
+      |  SELECT flag, bin, COUNT(*) AS cnt FROM b GROUP BY flag, bin
+      |), c AS (
+      |  SELECT flag, bin, cnt,
+      |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+      |  FROM h
+      |), s50 AS (
+      |  ${pick("0.5", "p50_sketch")}
+      |), s95 AS (
+      |  ${pick("0.95", "p95_sketch")}
+      |), ex AS (
+      |  SELECT flag, COUNT(*) AS n_rows, ROUND(quantile_cont(v, 0.5), 4) AS p50_exact,
+      |         ROUND(quantile_cont(v, 0.95), 4) AS p95_exact
+      |  FROM b GROUP BY flag
+      |)
+      |SELECT ex.flag AS flag, n_rows, p50_sketch, p50_exact, p95_sketch, p95_exact
+      |FROM ex JOIN s50 ON ex.flag = s50.flag JOIN s95 ON ex.flag = s95.flag
+      |ORDER BY flag""".stripMargin
+  }
+
+  private val st36Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   private val st35Sql: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
@@ -170,7 +212,9 @@ object ExtOracles {
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,
     "q50_snapshot_ages" -> q50Sql,
+    "q51_quantile_sketch" -> q51Sql,
     "m33_frame_sample"  -> m33Sql,
-    "st35_stream_dedup" -> st35Sql
+    "st35_stream_dedup" -> st35Sql,
+    "st36_stream_static_join" -> st36Sql
   )
 }

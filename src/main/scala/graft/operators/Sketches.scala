@@ -21,6 +21,53 @@ import graft.functions.PortableHash._
   */
 object Sketches {
 
+  /** Bin width for the q51 histogram-quantile sketch. */
+  val QBinWidth = 100.0
+
+  /** q51: mergeable histogram quantile sketch. An exact PERCENTILE at
+    * 100 TB must materialize every value per group; the scale tool is a
+    * mergeable summary — here a fixed-width histogram (per-bin counts
+    * combine map-side and merge associatively, like q49's HLL buckets),
+    * with the quantile read off the cumulative distribution by linear
+    * interpolation inside the target bin. Deterministic arithmetic only
+    * (integer bins/counts; one multiply + divide at the end), so DuckDB
+    * reproduces the estimate exactly; the exact quantile is computed
+    * alongside to surface the sketch error.
+    */
+  def q51QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      .withColumn("bin", floor(col("v") / QBinWidth).cast("long"))
+    val wOrd = Window.partitionBy("flag").orderBy("bin")
+    val cum = binned.groupBy("flag", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("flag")))
+    // quantile q: first bin whose cumulative count reaches q·n, then
+    // interpolate within the bin
+    def sketch(q: Double, name: String): DataFrame = {
+      val wPick = Window.partitionBy("flag").orderBy("bin")
+      cum.withColumn("target", lit(q) * col("n").cast("double"))
+        .filter(col("cum").cast("double") >= col("target"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("flag"), round(
+          col("bin").cast("double") * QBinWidth + lit(QBinWidth) *
+            (col("target") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double"), 4).as(name))
+    }
+    val exact = binned.groupBy("flag").agg(
+      count(lit(1)).as("n_rows"),
+      round(expr("percentile(v, 0.5)"), 4).as("p50_exact"),
+      round(expr("percentile(v, 0.95)"), 4).as("p95_exact"))
+    exact
+      .join(sketch(0.5, "p50_sketch"), Seq("flag"))
+      .join(sketch(0.95, "p95_sketch"), Seq("flag"))
+      .select("flag", "n_rows", "p50_sketch", "p50_exact", "p95_sketch", "p95_exact")
+      .orderBy("flag")
+  }
+
   def q49HllSketch(spark: SparkSession, dir: String): DataFrame = {
     val two53 = 1L << (HllPatternBits + 1) // 2^53, the Z unit scale
     val toks = Tables.documents(spark, dir)

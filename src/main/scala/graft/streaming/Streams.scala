@@ -64,6 +64,28 @@ object Streams {
     spark.table(name).orderBy("user_id", "event_type")
   }
 
+  /** st36: stream–static join — the streaming fact joins a broadcast
+    * batch dim (user → customer → market segment) before aggregating;
+    * the standard enrichment shape (no stream-stream state, the dim is
+    * re-broadcast per micro-batch). Complete-mode windowless agg to a
+    * memory sink; oracle is the batch join + group.
+    */
+  def st36StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ev = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = ev.join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    val name = s"st36_out_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Instant,
