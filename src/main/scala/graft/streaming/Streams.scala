@@ -93,6 +93,39 @@ object Streams {
 
   private val GapUs = 1800L * 1000000L
 
+  /** Merge an interval (s0, e0, n0 events) into a sorted buffer of
+    * DISJOINT session intervals (the st34 per-key state fold). Exposed
+    * for property tests: gap sessionization is the transitive closure of
+    * within-gap adjacency, so folding events in ANY order must produce
+    * the sorted-scan partition — the test feeds random permutations.
+    */
+  private[graft] def mergeInterval(iv: ArrayBuffer[SessionState],
+      s0: Long, e0: Long, n0: Long, gapUs: Long = GapUs): Unit = {
+    var lo = 0; var hi = iv.length
+    while (lo < hi) { // first interval with start > s0
+      val m = (lo + hi) >>> 1
+      if (iv(m).start <= s0) lo = m + 1 else hi = m
+    }
+    val predIdx = lo - 1
+    val mergePred = predIdx >= 0 && s0 - iv(predIdx).end <= gapUs
+    if (mergePred) {
+      val p = iv(predIdx)
+      iv(predIdx) = SessionState(p.start, math.max(p.end, e0), p.n + n0)
+      // the widened predecessor may now bridge into the successor
+      if (lo < iv.length && iv(lo).start - iv(predIdx).end <= gapUs) {
+        val q = iv(lo)
+        iv(predIdx) = SessionState(iv(predIdx).start,
+          math.max(iv(predIdx).end, q.end), iv(predIdx).n + q.n)
+        iv.remove(lo)
+      }
+    } else if (lo < iv.length && iv(lo).start - e0 <= gapUs) {
+      val q = iv(lo)
+      iv(lo) = SessionState(s0, math.max(q.end, e0), q.n + n0)
+    } else {
+      iv.insert(lo, SessionState(s0, e0, n0))
+    }
+  }
+
   /** st34: stateful gap sessionization via flatMapGroupsWithState —
     * the streaming form of q07. A session is emitted when a subsequent
     * event of the same user closes it (gap > 30 min); each user's
@@ -118,38 +151,11 @@ object Streams {
         // Incremental interval merge: events stream through one at a time
         // and fold into a sorted buffer of DISJOINT session intervals —
         // memory is O(sessions in batch) per key, never O(events in
-        // batch) (the r1/r2 `toArray.sorted` hardening item). Gap-based
-        // sessionization is the transitive closure of "within GapUs"
-        // adjacency on the time line, so order-independent interval
-        // merging yields exactly the sorted-scan partition.
+        // batch) (the r1/r2 `toArray.sorted` hardening item). See
+        // [[mergeInterval]] for the order-independence argument.
         val iv = ArrayBuffer.empty[SessionState] // disjoint, sorted by start
-        def insert(s0: Long, e0: Long, n0: Long): Unit = {
-          var lo = 0; var hi = iv.length
-          while (lo < hi) { // first interval with start > s0
-            val m = (lo + hi) >>> 1
-            if (iv(m).start <= s0) lo = m + 1 else hi = m
-          }
-          val predIdx = lo - 1
-          val mergePred = predIdx >= 0 && s0 - iv(predIdx).end <= GapUs
-          if (mergePred) {
-            val p = iv(predIdx)
-            iv(predIdx) = SessionState(p.start, math.max(p.end, e0), p.n + n0)
-            // the widened predecessor may now bridge into the successor
-            if (lo < iv.length && iv(lo).start - iv(predIdx).end <= GapUs) {
-              val q = iv(lo)
-              iv(predIdx) = SessionState(iv(predIdx).start,
-                math.max(iv(predIdx).end, q.end), iv(predIdx).n + q.n)
-              iv.remove(lo)
-            }
-          } else if (lo < iv.length && iv(lo).start - e0 <= GapUs) {
-            val q = iv(lo)
-            iv(lo) = SessionState(s0, math.max(q.end, e0), q.n + n0)
-          } else {
-            iv.insert(lo, SessionState(s0, e0, n0))
-          }
-        }
-        state.getOption.foreach(s => insert(s.start, s.end, s.n))
-        it.foreach(e => insert(e.us, e.us, 1))
+        state.getOption.foreach(s => mergeInterval(iv, s.start, s.end, s.n))
+        it.foreach(e => mergeInterval(iv, e.us, e.us, 1))
         if (iv.nonEmpty) state.update(iv.last)
         iv.dropRight(1).iterator.map(toOut(uid, _))
       }

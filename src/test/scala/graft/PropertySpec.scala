@@ -119,6 +119,34 @@ class PropertySpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("st34 interval merge is order-independent and matches sorted-scan sessions") {
+    // The st34 state fold must produce the SAME session partition for any
+    // arrival order (streaming shuffles give no order guarantee within a
+    // micro-batch). Feed random event multisets in random permutations
+    // and compare (start, end, count) triples against the sorted-scan
+    // sessionizer, clustering timestamps around the gap boundary.
+    import scala.collection.mutable.ArrayBuffer
+    import graft.streaming.Streams
+    val rnd = new scala.util.Random(23)
+    (1 to 50).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      val events = Seq.fill(n)(rnd.nextInt(30).toLong * (GapUs / 2) +
+        rnd.nextInt(3).toLong)
+      // sorted-scan reference
+      val sorted = events.sorted
+      val ref = ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { us =>
+        if (ref.nonEmpty && us - ref.last._2 <= GapUs) {
+          val (s, e, c) = ref.remove(ref.length - 1); ref += ((s, math.max(e, us), c + 1))
+        } else ref += ((us, us, 1L))
+      }
+      val iv = ArrayBuffer.empty[Streams.SessionState]
+      rnd.shuffle(events).foreach(us => Streams.mergeInterval(iv, us, us, 1))
+      assert(iv.map(s => (s.start, s.end, s.n)).toSeq === ref.toSeq,
+        s"trial $trial: merge ${iv.toSeq} vs ref ${ref.toSeq}")
+    }
+  }
+
   test("chain resolution matches in-memory root-following on random forests") {
     // Random parent forests (parent < id keeps them acyclic, like the
     // reference's remand chains which always link to an EARLIER case),
