@@ -110,23 +110,50 @@ object TextHash {
   def minhashBandsData(tokens: ArrayData): ArrayData =
     new GenericArrayData(minhashBands(tokens).asInstanceOf[Array[Any]])
 
-  /** Distinct 3-gram word shingles, space-joined — one pass with a
-    * reused StringBuilder. */
+  private val Space = UTF8String.fromString(" ")
+
+  /** "w1 w2 w3" as a UTF8String without decoding to java.lang.String —
+    * UTF-8 byte concatenation equals the bytes of the concatenated
+    * string, so this is exactly concat_ws(' ', ...). */
+  private def shingleAt(words: ArrayData, i: Int): UTF8String =
+    UTF8String.concat(words.getUTF8String(i), Space,
+      words.getUTF8String(i + 1), Space, words.getUTF8String(i + 2))
+
+  /** Distinct 3-gram word shingles, space-joined — one pass, byte-level
+    * concat (no String decode/encode per shingle). */
   def shingles3Data(words: ArrayData): ArrayData = {
     val n = words.numElements()
     val seen = new java.util.HashSet[UTF8String]()
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i + 2 < n) {
-      val sb = new java.lang.StringBuilder()
-      sb.append(words.getUTF8String(i).toString).append(' ')
-        .append(words.getUTF8String(i + 1).toString).append(' ')
-        .append(words.getUTF8String(i + 2).toString)
-      val s = UTF8String.fromString(sb.toString)
+      val s = shingleAt(words, i)
       if (seen.add(s)) out += s
       i += 1
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Portable hashes of the distinct 3-gram shingles — the same loop as
+    * [[shingles3Data]] but emitting ph(shingle) int64s instead of the
+    * shingle strings. Distinctness is by STRING (matching the oracle's
+    * list_distinct-then-hash order), so a 60-bit hash collision between
+    * two distinct shingles appears twice in both engines. d24's posting
+    * explode carries fixed-width longs instead of ~30-byte strings, so
+    * the df-cap window + self-join shuffle ~8 bytes/row where it shuffled
+    * the string before.
+    */
+  def shingleHashes3Data(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i + 2 < n) {
+      val s = shingleAt(words, i)
+      if (seen.add(s)) out += ph(s.getBytes)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 
@@ -159,6 +186,20 @@ case class Shingles3(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.shingles3Data(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
+}
+
+/** shingle_hashes3(array<string>) → array<bigint>: portable hashes of the
+  * distinct 3-gram shingles (d24's join keys), computed without ever
+  * materializing shingle strings into the plan.
+  */
+case class ShingleHashes3(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes3"
+  override def staticMethod: String = "shingleHashes3Data"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingleHashes3Data(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): ShingleHashes3 = copy(child = c)
 }
 
 /** simhash48(array<string>) → bigint. */
