@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -78,5 +79,48 @@ object EventLog {
         col("n_name").as("lead_nation"),
         (col("c_nationkey") === col("lead_nationkey")).as("same_nation"))
       .orderBy("c_custkey")
+  }
+
+  /** q52: trace aggregation (process mining). Mirrors the reference's
+    * status-API trace analysis (scratch/other/status-api-traces.R:104-117):
+    * a per-case ordered activity sequence becomes a trace string, and
+    * traces are ranked by frequency with coverage shares — edeaR's
+    * `trace_coverage(level_of_analysis = "trace")`, whose top-88 rows feed
+    * the public status API. The case grain here is the session (q07's
+    * 30-min gap rule) — the analogue of one appeal's event log.
+    *
+    * Scale posture: the per-case sequence is `array_sort(collect_list)`
+    * inside the session aggregation — state bounded by events-per-case,
+    * never the corpus; the frequency table then lives on the TRACE grain
+    * (distinct behavior patterns — thousands, not billions), so the two
+    * unpartitioned windows (total + cumulative coverage) run over an
+    * already-tiny relation, the same safe-by-construction posture as
+    * q11/q12's cumulative curves.
+    */
+  def q52Traces(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_num", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val traces = sess.groupBy("user_id", "session_num")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type"))).as("trace"))
+    val freq = traces.groupBy("trace").agg(count(lit(1)).as("n_cases"))
+    val wRank = Window.orderBy(col("n_cases").desc, col("trace"))
+    freq
+      .withColumn("total", sum(col("n_cases")).over(Window.partitionBy()))
+      .withColumn("cum_n", sum(col("n_cases")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= 88)
+      .select(col("rnk"), col("trace"), col("n_cases"),
+        round(col("n_cases").cast("double") / col("total").cast("double"), 6).as("coverage"),
+        round(col("cum_n").cast("double") / col("total").cast("double"), 6).as("cum_coverage"))
+      .orderBy("rnk")
   }
 }

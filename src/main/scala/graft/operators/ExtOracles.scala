@@ -206,8 +206,47 @@ object ExtOracles {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q52: q07's sessionization feeding a string_agg trace per session,
+    * then trace frequency/coverage ranking — mirrors [[EventLog.q52Traces]].
+    */
+  private val q52Sql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM t
+      |), g AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_num
+      |  FROM s
+      |), tr AS (
+      |  SELECT user_id, session_num,
+      |         string_agg(event_type, '>' ORDER BY ts, event_id) AS trace
+      |  FROM g GROUP BY user_id, session_num
+      |), f AS (
+      |  SELECT trace, COUNT(*) AS n_cases FROM tr GROUP BY trace
+      |), r AS (
+      |  SELECT trace, n_cases,
+      |         SUM(n_cases) OVER () AS total,
+      |         SUM(n_cases) OVER (ORDER BY n_cases DESC, trace
+      |                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+      |         ROW_NUMBER() OVER (ORDER BY n_cases DESC, trace) AS rnk
+      |  FROM f
+      |)
+      |SELECT rnk, trace, n_cases,
+      |       ROUND(CAST(n_cases AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage,
+      |       ROUND(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_coverage
+      |FROM r WHERE rnk <= 88
+      |ORDER BY rnk""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q46_chain_resolve" -> q46Sql,
+    "q52_traces"        -> q52Sql,
     "q47_param_unpivot" -> q47Sql,
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,

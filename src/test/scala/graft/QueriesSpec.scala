@@ -118,4 +118,25 @@ class QueriesSpec extends AnyFunSuite {
       .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
     assert(grid === naive)
   }
+
+  test("q52 trace table: ranks dense from 1, coverage sums to cum, cases conserved") {
+    import org.apache.spark.sql.functions._
+    val t = graft.operators.EventLog.q52Traces(spark, dir).collect()
+    assert(t.nonEmpty)
+    // ranks are 1..n with no gaps, in output order
+    assert(t.map(_.getLong(0)).toSeq === (1L to t.length.toLong))
+    // coverage positive, cum_coverage monotone nondecreasing, ends ≤ 1
+    val cum = t.map(_.getDouble(4))
+    assert(t.forall(_.getDouble(3) > 0))
+    assert(cum.sliding(2).forall { case Array(a, b) => b >= a - 1e-9; case _ => true })
+    assert(cum.last <= 1.0 + 1e-9)
+    // frequency ordering: n_cases non-increasing down the ranking
+    val n = t.map(_.getLong(2))
+    assert(n.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+    // every session is attributed to exactly one trace: totals match q07
+    val totalCases = graft.operators.EventLog.q52Traces(spark, dir)
+      .agg(sum("n_cases")).head.getLong(0)
+    val sessions = graft.operators.CoreQueries.q07Sessionize(spark, dir).count()
+    assert(totalCases === sessions)
+  }
 }
