@@ -244,9 +244,82 @@ object ExtOracles {
       |FROM r WHERE rnk <= 88
       |ORDER BY rnk""".stripMargin
 
+  /** q53: Aalen-Johansen competing-risks CIF with delayed entry —
+    * mirrors [[Survival.q53CompetingRisks]].
+    */
+  private val q53Sql: String =
+    """WITH comp AS (
+      |  SELECT l_orderkey, MAX(l_shipdate) AS completed FROM lineitem GROUP BY l_orderkey
+      |), obs0 AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS birth,
+      |         CASE WHEN o_orderstatus = 'F' THEN CAST(completed AS DATE) END AS evdate,
+      |         CASE WHEN o_orderstatus <> 'F' THEN 'censor'
+      |              WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'expedited'
+      |              ELSE 'normal' END AS state
+      |  FROM orders LEFT JOIN comp ON o_orderkey = l_orderkey
+      |), obs AS (
+      |  SELECT GREATEST(0, date_diff('day', birth, DATE '1995-01-01')) AS age_enter,
+      |         COALESCE(date_diff('day', birth, evdate),
+      |                  date_diff('day', birth, DATE '2002-06-01')) AS age_exit,
+      |         state
+      |  FROM obs0
+      |  WHERE COALESCE(date_diff('day', birth, evdate),
+      |                 date_diff('day', birth, DATE '2002-06-01')) >
+      |        GREATEST(0, date_diff('day', birth, DATE '1995-01-01'))
+      |), ent AS (
+      |  SELECT age_enter AS t, COUNT(*) AS n_ent FROM obs GROUP BY age_enter
+      |), ex AS (
+      |  SELECT age_exit AS t,
+      |         CAST(SUM(CASE WHEN state='expedited' THEN 1 ELSE 0 END) AS BIGINT) AS d_expedited,
+      |         CAST(SUM(CASE WHEN state='normal' THEN 1 ELSE 0 END) AS BIGINT) AS d_normal,
+      |         CAST(SUM(CASE WHEN state='censor' THEN 1 ELSE 0 END) AS BIGINT) AS n_censored,
+      |         COUNT(*) AS n_exit
+      |  FROM obs GROUP BY age_exit
+      |), grid AS (
+      |  SELECT COALESCE(ent.t, ex.t) AS t,
+      |         COALESCE(n_ent, 0) AS n_ent,
+      |         COALESCE(d_expedited, 0) AS d_expedited,
+      |         COALESCE(d_normal, 0) AS d_normal,
+      |         COALESCE(n_censored, 0) AS n_censored,
+      |         COALESCE(n_exit, 0) AS n_exit
+      |  FROM ent FULL JOIN ex ON ent.t = ex.t
+      |), r AS (
+      |  SELECT *,
+      |    CAST(COALESCE(SUM(n_ent) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |       - COALESCE(SUM(n_exit) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+      |    d_expedited + d_normal AS d_tot
+      |  FROM grid
+      |), f AS (
+      |  SELECT *,
+      |    CASE WHEN d_tot > 0
+      |         THEN GREATEST(CAST(n_risk - d_tot AS DOUBLE) / CAST(n_risk AS DOUBLE), CAST(1e-300 AS DOUBLE))
+      |         ELSE CAST(1.0 AS DOUBLE) END AS factor
+      |  FROM r
+      |), s AS (
+      |  SELECT *,
+      |    EXP(SUM(LN(factor)) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS surv
+      |  FROM f
+      |), s2 AS (
+      |  SELECT *, COALESCE(LAG(surv) OVER (ORDER BY t), CAST(1.0 AS DOUBLE)) AS surv_prev FROM s
+      |), c AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN d_tot > 0 THEN surv_prev * CAST(d_expedited AS DOUBLE) / CAST(n_risk AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif_expedited,
+      |    SUM(CASE WHEN d_tot > 0 THEN surv_prev * CAST(d_normal AS DOUBLE) / CAST(n_risk AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+      |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif_normal
+      |  FROM s2
+      |)
+      |SELECT t AS t_days, n_risk, d_expedited, d_normal, n_censored,
+      |       ROUND(surv, 6) AS surv,
+      |       ROUND(cif_expedited, 6) AS cif_expedited,
+      |       ROUND(cif_normal, 6) AS cif_normal
+      |FROM c WHERE n_exit > 0
+      |ORDER BY t_days""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q46_chain_resolve" -> q46Sql,
     "q52_traces"        -> q52Sql,
+    "q53_competing_risks" -> q53Sql,
     "q47_param_unpivot" -> q47Sql,
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,

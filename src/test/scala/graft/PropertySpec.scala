@@ -183,6 +183,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q53 Aalen-Johansen matches in-memory reference; S + ΣCIF = 1; monotone") {
+    // Random left-truncated observation sets: enter < exit, three states.
+    // Verifies risk-set counts against brute force, CIF/survival values
+    // against a sequential in-memory estimator, the structural identity
+    // S(t) + Σ_k CIF_k(t) = 1 (telescoping of S(s⁻)−S(s)), and
+    // monotonicity of all curves.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val states = Vector("expedited", "normal", "censor")
+    (1 to 3).foreach { trial =>
+      val obs = (1 to 150 + trial * 31).map { _ =>
+        val enter = if (rnd.nextInt(3) == 0) 0L else rnd.nextInt(20).toLong
+        val exit = enter + 1 + rnd.nextInt(15)
+        (enter, exit, states(rnd.nextInt(3)))
+      }
+      val got = graft.operators.Survival.aalenJohansen(
+          obs.toDF("enter", "exit", "state"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      // in-memory reference over ascending exit times
+      var surv = 1.0; var cifE = 0.0; var cifN = 0.0
+      val want = obs.map(_._2).distinct.sorted.map { t =>
+        val nRisk = obs.count(o => o._1 < t && o._2 >= t).toLong
+        val dE = obs.count(o => o._2 == t && o._3 == "expedited").toLong
+        val dN = obs.count(o => o._2 == t && o._3 == "normal").toLong
+        val nC = obs.count(o => o._2 == t && o._3 == "censor").toLong
+        if (dE + dN > 0) {
+          val sPrev = surv
+          surv = surv * (nRisk - dE - dN).toDouble / nRisk
+          cifE += sPrev * dE.toDouble / nRisk
+          cifN += sPrev * dN.toDouble / nRisk
+        }
+        (t, nRisk, dE, dN, nC, surv, cifE, cifN)
+      }
+      assert(got.length === want.length, s"trial $trial row count")
+      got.zip(want).foreach { case (g, w) =>
+        assert((g._1, g._2, g._3, g._4, g._5) === ((w._1, w._2, w._3, w._4, w._5)),
+          s"trial $trial counts at t=${w._1}")
+        assert(math.abs(g._6 - w._6) < 1e-6 && math.abs(g._7 - w._7) < 1e-6 &&
+          math.abs(g._8 - w._8) < 1e-6, s"trial $trial values at t=${w._1}: $g vs $w")
+        assert(math.abs(g._6 + g._7 + g._8 - 1.0) < 1e-5,
+          s"trial $trial S+ΣCIF≠1 at t=${w._1}")
+      }
+      // monotone: surv nonincreasing, CIFs nondecreasing
+      assert(got.map(_._6).sliding(2).forall {
+        case Array(a, b) => b <= a + 1e-9; case _ => true })
+      assert(got.map(_._7).sliding(2).forall {
+        case Array(a, b) => b >= a - 1e-9; case _ => true })
+      assert(got.map(_._8).sliding(2).forall {
+        case Array(a, b) => b >= a - 1e-9; case _ => true })
+    }
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash
