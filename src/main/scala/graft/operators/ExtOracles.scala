@@ -316,10 +316,47 @@ object ExtOracles {
       |FROM c WHERE n_exit > 0
       |ORDER BY t_days""".stripMargin
 
+  /** q54: candidate-set merge disambiguation — mirrors
+    * [[Linking.q54MergeDisambiguation]].
+    */
+  private val q54Sql: String =
+    """WITH cats AS (
+      |  SELECT l_orderkey, list(p_brand) AS cats
+      |  FROM (SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |  GROUP BY l_orderkey
+      |), apps AS (
+      |  SELECT o_orderkey AS key, o_custkey AS cust,
+      |         year(CAST(o_orderdate AS DATE)) AS yr,
+      |         COALESCE(cats, []) AS cats
+      |  FROM orders LEFT JOIN cats ON o_orderkey = l_orderkey
+      |), pairs AS (
+      |  SELECT c.key AS child_key, p.key AS p_key,
+      |         CASE WHEN p.key IS NOT NULL AND len(list_intersect(c.cats, p.cats)) > 0
+      |              THEN 1 ELSE 0 END AS overlap
+      |  FROM apps c LEFT JOIN apps p ON c.cust = p.cust AND p.yr = c.yr - 1
+      |), v AS (
+      |  SELECT child_key,
+      |         COUNT(p_key) AS n_cand,
+      |         MIN(p_key) AS cand_single,
+      |         CAST(SUM(overlap) AS BIGINT) AS n_overlap,
+      |         MIN(CASE WHEN overlap = 1 THEN p_key END) AS overlap_single
+      |  FROM pairs GROUP BY child_key
+      |)
+      |SELECT child_key,
+      |       CASE WHEN n_cand = 0 THEN 'error_missingpriordec'
+      |            WHEN n_cand = 1 THEN 'match_priordec'
+      |            WHEN n_overlap = 1 THEN 'match_issues'
+      |            WHEN n_overlap > 1 THEN 'error_multipleissuecandidates'
+      |            ELSE 'error_noissuecandidate' END AS status,
+      |       CASE WHEN n_cand = 1 THEN cand_single
+      |            WHEN n_overlap = 1 THEN overlap_single END AS parent
+      |FROM v ORDER BY child_key""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q46_chain_resolve" -> q46Sql,
     "q52_traces"        -> q52Sql,
     "q53_competing_risks" -> q53Sql,
+    "q54_merge_disambiguation" -> q54Sql,
     "q47_param_unpivot" -> q47Sql,
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,

@@ -119,6 +119,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(grid === naive)
   }
 
+  test("q54 statuses match an in-memory re-derivation of the linking rule") {
+    import org.apache.spark.sql.functions._
+    val cats = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val apps = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate").cast("date")).as("yr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCust = apps.groupBy(_._2)
+    val want = apps.map { case (key, cust, yr) =>
+      val cands = byCust(cust).filter(_._3 == yr - 1)
+      val myCats = cats.getOrElse(key, Set.empty)
+      val hits = cands.filter(c => (cats.getOrElse(c._1, Set.empty) & myCats).nonEmpty)
+      val (status, parent): (String, Option[Long]) =
+        if (cands.isEmpty) ("error_missingpriordec", None)
+        else if (cands.length == 1) ("match_priordec", Some(cands.head._1))
+        else if (hits.length == 1) ("match_issues", Some(hits.head._1))
+        else if (hits.length > 1) ("error_multipleissuecandidates", None)
+        else ("error_noissuecandidate", None)
+      key -> ((status, parent))
+    }.toMap
+    val got = graft.operators.Linking.q54MergeDisambiguation(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got === want)
+  }
+
   test("q52 trace table: ranks dense from 1, coverage sums to cum, cases conserved") {
     import org.apache.spark.sql.functions._
     val t = graft.operators.EventLog.q52Traces(spark, dir).collect()
