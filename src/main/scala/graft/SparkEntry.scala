@@ -54,7 +54,7 @@ object SparkEntry {
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),
     "d24_ngram_jaccard"   -> (Dedup.d24NgramJaccard _),
-    "d25_embed_neardup"   -> (Dedup.d25EmbedNeardup _),
+    "d25_embed_neardup"   -> ((s, d) => Dedup.d25EmbedNeardup(s, d)),
     "s26_ann_topk"        -> (Similarity.s26AnnTopk _),
     "s27_ann_lsh"         -> (Similarity.s27AnnLsh _),
     "s28_ann_ivf"         -> (Similarity.s28AnnIvf _),

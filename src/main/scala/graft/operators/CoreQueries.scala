@@ -274,11 +274,22 @@ object CoreQueries {
     * at scale that's a map-side-combined shuffle of |distinct types|
     * rows, negligible next to the main aggregation.
     */
+  /** The event_type domain the q14 oracle is generated from. The pivot
+    * itself stays dynamic (discovers values from data); this list only
+    * anchors the oracle SQL, and q14 fails loudly if the discovered
+    * domain drifts from it instead of silently diverging from the oracle
+    * schema (ADVICE r3).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
   def q14Pivot(spark: SparkSession, dir: String): DataFrame = {
     val wide = Tables.events(spark, dir)
       .groupBy("user_id")
       .pivot("event_type")
       .agg(min(col("ts")))
+    val discovered = wide.columns.filter(_ != "user_id").sorted.toSeq
+    require(discovered == EventTypes,
+      s"event_type domain drifted from the oracle's: ${discovered.mkString(",")}")
     wide.select(wide.columns.toIndexedSeq.map(c =>
         if (c == "user_id") col(c) else col(s"`$c`").as(s"first_$c")): _*)
       .orderBy("user_id")

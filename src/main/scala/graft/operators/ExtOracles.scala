@@ -11,7 +11,7 @@ object ExtOracles {
     """WITH RECURSIVE l0 AS (
       |  SELECT o_orderkey AS id,
       |         CASE WHEN o_orderkey % 10 = 0 THEN NULL
-      |              WHEN o_orderkey % 1000 = 555 THEN o_orderkey - 1 + 10000000
+      |              WHEN o_orderkey % 1000 = 555 THEN -o_orderkey - 1
       |              ELSE o_orderkey - 1 END AS parent
       |  FROM orders
       |), links AS (

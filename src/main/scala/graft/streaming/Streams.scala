@@ -19,16 +19,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
   private val counter = new AtomicInteger(0)
 
+  /** Streaming source over the events table: batch-read the schema, then
+    * readStream the same file. The nanos shim is applied via the one
+    * sanctioned loader hook ([[graft.Tables.ensureNanosShim]]) — stream
+    * operators themselves never mutate session conf.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureNanosShim(spark)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** st33: tumbling-window aggregation with watermark.
     * 1-hour event-time windows per event_type; complete mode to a memory
     * sink so every window is emitted regardless of watermark progress.
     * Epoch-aligned windows ≡ date_trunc('hour', ts) in the oracle.
     */
   def st33StreamWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val ev = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = eventsStream(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = ev
       .withWatermark("ts", "1 hour")
@@ -52,11 +61,7 @@ object Streams {
     * bounded replay here keeps NoTimeout state.
     */
   def st35StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val ev = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val dd = ev.select(col("user_id"), col("event_type"))
+    val dd = eventsStream(spark, dir).select(col("user_id"), col("event_type"))
       .dropDuplicates(Seq("user_id", "event_type"))
     val name = s"st35_out_${counter.incrementAndGet()}"
     val q = dd.writeStream.outputMode("append").format("memory").queryName(name).start()
@@ -71,10 +76,7 @@ object Streams {
     * memory sink; oracle is the batch join + group.
     */
   def st36StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val ev = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = eventsStream(spark, dir)
     val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment")))
     val agg = ev.join(dim, col("user_id") === col("c_custkey"))
@@ -98,6 +100,15 @@ object Streams {
     * for property tests: gap sessionization is the transitive closure of
     * within-gap adjacency, so folding events in ANY order must produce
     * the sorted-scan partition — the test feeds random permutations.
+    *
+    * PRECONDITION (ADVICE r3): at most ONE successor is merged, which is
+    * only sound because (a) intervals already in the buffer are >gap
+    * separated, and (b) a possibly-WIDE interval (the carried state) is
+    * only ever folded into an EMPTY buffer — st34 folds state first,
+    * then point events (width 0, which can bridge at most predecessor +
+    * one successor). Folding a wide interval into a populated buffer
+    * could span ≥2 existing intervals and would leave overlapping
+    * entries; loop the successor merge before reusing this elsewhere.
     */
   private[graft] def mergeInterval(iv: ArrayBuffer[SessionState],
       s0: Long, e0: Long, n0: Long, gapUs: Long = GapUs): Unit = {
@@ -135,10 +146,7 @@ object Streams {
     */
   def st34StreamSession(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val ev = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val ev = eventsStream(spark, dir)
       .select(col("user_id"), expr("ts DIV 1000").as("us"))
       .as[Ev]
     def toOut(uid: Long, s: SessionState): SessionOut = SessionOut(uid,

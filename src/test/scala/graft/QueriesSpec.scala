@@ -119,6 +119,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(grid === naive)
   }
 
+  test("d25 block-size guard fails loudly on a degenerate label distribution") {
+    val ex = intercept[Exception] {
+      graft.operators.Dedup.d25EmbedNeardup(spark, dir, maxBlock = 3).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("d25 label block exceeds")))
+  }
+
   test("q54 statuses match an in-memory re-derivation of the linking rule") {
     import org.apache.spark.sql.functions._
     val cats = Tables.lineitem(spark, dir)
