@@ -111,6 +111,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in grid range join:\n$p")
   }
 
+  test("q52 case aggregation shares the sessionization shuffle") {
+    // the collect_list case-grain agg must reuse the user_id exchange the
+    // session windows already created; only the trace-grain work (tiny)
+    // and the final sort may add exchanges
+    val n = countExchanges(operators.EventLog.q52Traces(spark, dir))
+    assert(n <= 4, s"expected <=4 exchanges (user window + trace agg + rank + sort), got $n")
+  }
+
+  test("q53 risk-set windows run on the pre-aggregated age grid only") {
+    val df = operators.Survival.q53CompetingRisks(spark, dir)
+    val plan = executed(df).toString
+    // the full outer grid join must stay an equi-join and the window
+    // must sit above aggregates (grid grain), not above raw subjects
+    assert(!plan.contains("CartesianProduct"), s"cartesian in grid join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in grid join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no pre-aggregation below windows:\n$plan")
+  }
+
+  test("q54 candidate join is a blocked equi-join with array sets riding along") {
+    val p = planString(operators.Linking.q54MergeDisambiguation(spark, dir))
+    // per-entity blocking must remain an equi-join on (cust, yr-1) —
+    // the set intersection must evaluate in the projection, never as a
+    // join condition that degrades to nested-loop
+    assert(!p.contains("CartesianProduct"), s"cartesian in candidate join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in candidate join:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)
