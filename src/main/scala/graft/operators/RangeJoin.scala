@@ -44,6 +44,13 @@ object RangeJoin {
       .withColumn("age_days",
         datediff(col("s"), col("startd")).cast("double"))
       .groupBy(col("s"))
+      // percentile is Spark's counting TypedImperativeAggregate: the
+      // map-side partial collapses each partition to a value→count map,
+      // so the |snapshots|-group shuffle carries merged maps over the
+      // bounded age domain, never raw rows — already the scale shape.
+      // (An explicit (s, age) count + window interpolation read-off was
+      // measured ~45% SLOWER at sf0.1/sf1 (r4): two extra exchanges +
+      // window stages for work the partial agg already does map-side.)
       .agg(count(lit(1)).as("n_open"),
         round(expr("percentile(age_days, 0.5)"), 4).as("p50_age_days"),
         round(expr("percentile(age_days, 0.9)"), 4).as("p90_age_days"))
