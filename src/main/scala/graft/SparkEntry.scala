@@ -46,6 +46,7 @@ object SparkEntry {
     "q52_traces"          -> (EventLog.q52Traces _),
     "q53_competing_risks" -> (Survival.q53CompetingRisks _),
     "q54_merge_disambiguation" -> (Linking.q54MergeDisambiguation _),
+    "p55_corpus_clean"    -> (Pipeline.p55CorpusClean _),
     "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),
     "q51_quantile_sketch" -> (Sketches.q51QuantileSketch _),
     "st36_stream_static_join" -> (graft.streaming.Streams.st36StreamStaticJoin _),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** p55: the end-to-end training-data cleaning pipeline — the composition
+  * the individual t/d operators exist FOR, as one declarative plan:
+  *
+  *   language ID (t28's profile) → quality filter (t29's score)
+  *   → exact dedup (d21's md5 canonicalization)
+  *   → near-dup dedup (d22's minhash band buckets, greedy leader)
+  *   → per-source funnel report (survivors at each stage + final tokens)
+  *
+  * The stage predicates reuse the SAME column-chain definitions as the
+  * standalone operators (TextAnalysis.withPredLang / withQualityScore),
+  * so the composite cannot drift from them. Near-dup survival is greedy
+  * leader election: a document survives iff it is the minimum doc_id in
+  * EVERY band bucket it occupies among exact-dedup survivors — standard
+  * streaming-corpus practice (no transitive union-find pass; a cluster's
+  * leader survives, near members drop). Documents too short to shingle
+  * (<3 words) skip the near-dup stage by construction.
+  *
+  * Scale posture: every stage is a projection or a keyed window/agg —
+  * flags ride the row, the md5 window shuffles once on the content hash,
+  * the band stage shuffles once on (band_idx, band_key) (codegen'd
+  * single-pass `graft_minhash_bands`), and the report is one final
+  * map-side-combined aggregation on source. Nothing materializes pairs:
+  * unlike d22 (whose OUTPUT is the pair list), the pipeline only needs
+  * each doc's bucket minimum — candidate volume is |postings|, linear.
+  */
+object Pipeline {
+
+  /** Stricter than t29's 5000 report threshold: a cleaning pipeline
+    * keeps the best half, it doesn't just flag the floor. (On this
+    * corpus min score ≈ 5000, median ≈ 7080 — the bar must sit above
+    * the floor to select at all.)
+    */
+  val PipelineQualityBar = 7000L
+
+  def p55CorpusClean(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+    val flagged = TextAnalysis.withQualityScore(TextAnalysis.withPredLang(base))
+      .withColumn("lang_ok", col("pred_lang") === "en")
+      .withColumn("q_ok", col("lang_ok") && col("score_x10000") >= PipelineQualityBar)
+    val exact = flagged
+      .withColumn("canon_id",
+        min(when(col("q_ok"), col("doc_id"))).over(Window.partitionBy(md5(col("text")))))
+      .withColumn("exact_ok", col("q_ok") && col("doc_id") === col("canon_id"))
+    val leaders = exact
+      .filter(col("exact_ok") && size(col("words")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(graft_shingles3(words))"))
+          .as(Seq("band_idx", "band_key")))
+      .withColumn("bmin",
+        min(col("doc_id")).over(Window.partitionBy("band_idx", "band_key")))
+      .groupBy("doc_id").agg(min(col("bmin")).as("gmin"))
+    exact.join(leaders, Seq("doc_id"), "left")
+      .withColumn("final_ok",
+        col("exact_ok") && (col("gmin").isNull || col("gmin") === col("doc_id")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_input"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("exact_ok"), 1L).otherwise(0L)).as("n_exact_canonical"),
+        sum(when(col("final_ok"), 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("final_ok"), size(col("words")).cast("long")).otherwise(0L))
+          .as("final_tokens"))
+      .orderBy("source")
+  }
+}

@@ -327,6 +327,76 @@ object PipelineOracles {
       |       'txt' AS meta_fmt
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // exact mirror of Pipeline.p55CorpusClean — the langid/quality stages
+  // reuse the t28/t29 arithmetic verbatim, the band stage the d22
+  // generation, and the threshold comes from the same constant the
+  // Spark plan uses
+  private val p55Sql: String = {
+    val sigs = (0 until NumMinhash).map { j =>
+      s"MIN((${seedA(j)} * x + ${seedB(j)}) % $P) AS m$j"
+    }.mkString(",\n         ")
+    val bands = (0 until NumBands).map { b =>
+      val ms = (0 until RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band_idx, ${ms.mkString(" || '_' || ")} AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents
+      |), sc AS (
+      |  SELECT *,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopDe)})) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEs)})) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopFr)})) AS BIGINT) AS s_fr,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopZh)})) AS BIGINT) AS s_zh
+      |  FROM w
+      |), lg AS (
+      |  SELECT *, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |                 WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |                 WHEN s_fr >= s_zh THEN 'fr'
+      |                 ELSE 'zh' END AS pred_lang
+      |  FROM sc
+      |), q AS (
+      |  SELECT doc_id, source, text, words, (pred_lang = 'en') AS lang_ok,
+      |         CAST(FLOOR((0.3 * LEAST(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+      |             + 0.4 * (1.0 - ROUND(CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS DOUBLE) / CAST(len(words) AS DOUBLE), 4))
+      |             + 0.3 * LEAST(ROUND(CAST(length(text) - (len(words) - 1) AS DOUBLE) / CAST(len(words) AS DOUBLE), 4) / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) AS score_x10000
+      |  FROM lg
+      |), q2 AS (
+      |  SELECT *, lang_ok AND score_x10000 >= ${Pipeline.PipelineQualityBar} AS q_ok FROM q
+      |), ex AS (
+      |  SELECT *, MIN(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY md5(text)) AS canon_id FROM q2
+      |), ex2 AS (
+      |  SELECT *, q_ok AND doc_id = canon_id AS exact_ok FROM ex
+      |), shp AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(words) - 2),
+      |    i -> array_to_string(words[i:i+2], ' ')))) AS s
+      |  FROM ex2 WHERE exact_ok AND len(words) >= 3
+      |), h AS (
+      |  SELECT doc_id, ${phSql("s")} % $P AS x FROM shp
+      |), sig AS (
+      |  SELECT doc_id,
+      |         $sigs
+      |  FROM h GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), bmin AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_idx, band_key) AS bmin FROM bands
+      |), ld AS (
+      |  SELECT doc_id, MIN(bmin) AS gmin FROM bmin GROUP BY doc_id
+      |), fin AS (
+      |  SELECT ex2.*, ld.gmin, exact_ok AND (gmin IS NULL OR gmin = doc_id) AS final_ok
+      |  FROM ex2 LEFT JOIN ld USING (doc_id)
+      |)
+      |SELECT source, COUNT(*) AS n_input,
+      |       CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+      |       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+      |       CAST(SUM(CASE WHEN exact_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_canonical,
+      |       CAST(SUM(CASE WHEN final_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+      |       CAST(SUM(CASE WHEN final_ok THEN len(words) ELSE 0 END) AS BIGINT) AS final_tokens
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "d21_exact_dedup" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
@@ -339,6 +409,7 @@ object PipelineOracles {
     "s26_ann_topk"     -> s26Sql,
     "s27_ann_lsh"      -> s27Sql,
     "s28_ann_ivf"      -> s28Sql,
+    "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,
     "t29_quality"      -> t29Sql,
     "t30_tokencount"   -> t30Sql,

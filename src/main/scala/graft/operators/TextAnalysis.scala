@@ -24,55 +24,67 @@ object TextAnalysis {
   private def scoreCol(xs: Seq[String]): Column =
     expr(s"size(filter(words, w -> w in ${inList(xs)}))").cast("long")
 
+  /** Adds the five stopword-profile scores and `pred_lang` (fixed
+    * precedence tie-break en > de > es > fr > zh). Requires a `words`
+    * column. Shared by t28 and the p55 pipeline — ONE definition, so the
+    * composite can never drift from the standalone operator.
+    */
+  private[operators] def withPredLang(df: DataFrame): DataFrame = df
+    .withColumn("s_en", scoreCol(stopEn))
+    .withColumn("s_de", scoreCol(stopDe))
+    .withColumn("s_es", scoreCol(stopEs))
+    .withColumn("s_fr", scoreCol(stopFr))
+    .withColumn("s_zh", scoreCol(stopZh))
+    .withColumn("pred_lang",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+           col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+            col("s_de") >= col("s_zh"), "de")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh"))
+
   /** t28: language ID via stopword-profile scores with a fixed
     * precedence tie-break (en > de > es > fr > zh). A deterministic
     * n-gram heuristic — parity with the oracle matters, not accuracy.
     */
   def t28Langid(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("s_en", scoreCol(stopEn))
-      .withColumn("s_de", scoreCol(stopDe))
-      .withColumn("s_es", scoreCol(stopEs))
-      .withColumn("s_fr", scoreCol(stopFr))
-      .withColumn("s_zh", scoreCol(stopZh))
-      .withColumn("pred_lang",
-        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-             col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
-        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-              col("s_de") >= col("s_zh"), "de")
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
-        .when(col("s_fr") >= col("s_zh"), "fr")
-        .otherwise("zh"))
+    withPredLang(Tables.documents(spark, dir)
+        .withColumn("words", split(col("text"), " ")))
       .select(col("doc_id"), col("pred_lang"), col("lang").as("actual_lang"),
         (col("pred_lang") === col("lang")).cast("int").as("correct"),
         col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
       .orderBy("doc_id")
   }
 
+  /** Adds length/stopword quality metrics and `score_x10000`. Requires a
+    * `words` column. Shared by t29 and the p55 pipeline. The score is
+    * scaled to an integer (×10000, floor(x+0.5)) — identical IEEE
+    * doubles on both engines make floor deterministic, unlike decimal
+    * round() whose half-case handling differs across engines.
+    */
+  private[operators] def withQualityScore(df: DataFrame): DataFrame = df
+    .withColumn("n_chars_m", length(col("text")).cast("long"))
+    .withColumn("n_words", size(col("words")).cast("long"))
+    .withColumn("n_letters", (col("n_chars_m") - (col("n_words") - 1)).cast("long"))
+    .withColumn("avg_word_len",
+      round(col("n_letters").cast("double") / col("n_words").cast("double"), 4))
+    .withColumn("stop_ratio", round(
+      expr(s"size(filter(words, w -> w in ${inList(stopEn)}))").cast("double") /
+        col("n_words").cast("double"), 4))
+    .withColumn("score_x10000", floor(
+      (lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
+       lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+       lit(0.3) * least(col("avg_word_len") / 8.0, lit(1.0))) * 10000.0 + 0.5)
+      .cast("long"))
+
   /** t29: document quality scoring — length, stopword ratio, mean word
     * length — the length/punct/stopword-ratio heuristics of corpus
     * filtering pipelines.
     */
   def t29Quality(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("n_chars_m", length(col("text")).cast("long"))
-      .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("n_letters", (col("n_chars_m") - (col("n_words") - 1)).cast("long"))
-      .withColumn("avg_word_len",
-        round(col("n_letters").cast("double") / col("n_words").cast("double"), 4))
-      .withColumn("stop_ratio", round(
-        expr(s"size(filter(words, w -> w in ${inList(stopEn)}))").cast("double") /
-          col("n_words").cast("double"), 4))
-      // score scaled to an integer (×10000, floor(x+0.5)) — identical IEEE
-      // doubles on both engines make floor deterministic, unlike decimal
-      // round() whose half-case handling differs across engines.
-      .withColumn("score_x10000", floor(
-        (lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
-         lit(0.4) * (lit(1.0) - col("stop_ratio")) +
-         lit(0.3) * least(col("avg_word_len") / 8.0, lit(1.0))) * 10000.0 + 0.5)
-        .cast("long"))
+    withQualityScore(Tables.documents(spark, dir)
+        .withColumn("words", split(col("text"), " ")))
       .withColumn("quality_ok", (col("score_x10000") >= 5000L).cast("int"))
       .select("doc_id", "n_chars_m", "n_words", "avg_word_len", "stop_ratio",
         "score_x10000", "quality_ok")

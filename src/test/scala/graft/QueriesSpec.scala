@@ -119,6 +119,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(grid === naive)
   }
 
+  test("p55 funnel is monotone and consistent with the standalone operators") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Pipeline.p55CorpusClean(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(nIn, nLang, nQ, nEx, nFin) = (1 to 5).map(r.getLong)
+      assert(nIn >= nLang && nLang >= nQ && nQ >= nEx && nEx >= nFin,
+        s"funnel not monotone: $r")
+      assert(nFin >= 0 && (nFin > 0) == (r.getLong(6) > 0), s"token total inconsistent: $r")
+    }
+    // stage-1+2 totals must equal what the standalone t28/t29 chains say
+    val nQTotal = rows.map(_.getLong(3)).sum
+    val expected = graft.operators.TextAnalysis.t28Langid(spark, dir).as("l")
+      .join(graft.operators.TextAnalysis.t29Quality(spark, dir).as("q"), Seq("doc_id"))
+      .filter(col("l.pred_lang") === "en" &&
+        col("q.score_x10000") >= graft.operators.Pipeline.PipelineQualityBar)
+      .count()
+    assert(nQTotal === expected)
+  }
+
   test("d25 block-size guard fails loudly on a degenerate label distribution") {
     val ex = intercept[Exception] {
       graft.operators.Dedup.d25EmbedNeardup(spark, dir, maxBlock = 3).count()
