@@ -64,15 +64,24 @@ object Survival {
     * risk-set counts) independent of the table mapping above.
     */
   def aalenJohansen(obs: DataFrame): DataFrame = {
-    // one grid row per distinct age: entry counts + per-state exit counts
-    val entries = obs.groupBy(col("enter").as("t")).agg(count(lit(1)).as("n_ent"))
-    val exits = obs.groupBy(col("exit").as("t")).agg(
-      sum(when(col("state") === "expedited", 1L).otherwise(0L)).as("d_expedited"),
-      sum(when(col("state") === "normal", 1L).otherwise(0L)).as("d_normal"),
-      sum(when(col("state") === "censor", 1L).otherwise(0L)).as("n_censored"),
-      count(lit(1)).as("n_exit"))
-    val grid = entries.join(exits, Seq("t"), "full")
-      .na.fill(0L, Seq("n_ent", "d_expedited", "d_normal", "n_censored", "n_exit"))
+    // one grid row per distinct age: entry counts + per-state exit counts.
+    // Each observation explodes to an entry marker and an exit marker
+    // BEFORE the shuffle, so ONE aggregation builds the whole grid —
+    // separate enter/exit groupBys would shuffle on different keys and
+    // evaluate the (possibly expensive) obs subplan twice (no exchange
+    // reuse across differently-keyed aggregations; measured 2× the obs
+    // cost on q53's join, r4)
+    val grid = obs
+      .select(explode(array(
+        struct(col("enter").as("t"), lit(null).cast("string").as("state")),
+        struct(col("exit").as("t"), col("state").as("state")))).as("e"))
+      .select(col("e.t").as("t"), col("e.state").as("state"))
+      .groupBy("t").agg(
+        sum(when(col("state").isNull, 1L).otherwise(0L)).as("n_ent"),
+        sum(when(col("state") === "expedited", 1L).otherwise(0L)).as("d_expedited"),
+        sum(when(col("state") === "normal", 1L).otherwise(0L)).as("d_normal"),
+        sum(when(col("state") === "censor", 1L).otherwise(0L)).as("n_censored"),
+        sum(when(col("state").isNotNull, 1L).otherwise(0L)).as("n_exit"))
     // the grid is the distinct-age grain (≤ a few thousand rows at any
     // corpus size) — unpartitioned windows are safe here, as in q12
     val wOrd = Window.orderBy("t")
