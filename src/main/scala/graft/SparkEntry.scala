@@ -50,6 +50,7 @@ object SparkEntry {
     "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),
     "q51_quantile_sketch" -> (Sketches.q51QuantileSketch _),
     "st36_stream_static_join" -> (graft.streaming.Streams.st36StreamStaticJoin _),
+    "st37_stream_stream_join" -> (graft.streaming.Streams.st37StreamStreamJoin _),
     "st35_stream_dedup"   -> (graft.streaming.Streams.st35StreamDedup _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
@@ -83,6 +84,14 @@ object SparkEntry {
           |FROM events GROUP BY hour_start, event_type
           |ORDER BY hour_start, event_type""".stripMargin,
       // st34: q07's sessions minus each user's trailing (still-open) session
+      "st37_stream_stream_join" ->
+        """SELECT v.user_id, v.event_id AS view_event, p.event_id AS purchase_event
+          |FROM events v JOIN events p
+          |  ON v.user_id = p.user_id
+          | AND v.event_type = 'view' AND p.event_type = 'purchase'
+          | AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+          | AND CAST(p.ts AS TIMESTAMP) < CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+          |ORDER BY 1, 2, 3""".stripMargin,
       "st34_stream_session" ->
         """WITH t AS (
           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

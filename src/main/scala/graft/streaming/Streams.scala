@@ -88,6 +88,38 @@ object Streams {
     spark.table(name).orderBy("c_mktsegment")
   }
 
+  /** st37: stream–stream inner join with an event-time range condition —
+    * view→purchase attribution: each purchase joins the same user's
+    * views in the preceding 30 minutes. Watermarks on BOTH sides plus
+    * the time bound let Spark expire join state (a view older than
+    * watermark + 30 min can never match again), so state is bounded by
+    * the in-flight window, not the stream. Inner-join matches emit as
+    * they are found (no watermark gating, unlike outer joins), so the
+    * bounded replay is deterministic; the oracle is the batch self-join
+    * with the identical range predicate.
+    */
+  def st37StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_event"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") < col("view_ts") + expr("interval 30 minutes"))
+    val name = s"st37_out_${counter.incrementAndGet()}"
+    val q = joined.select("user_id", "view_event", "purchase_event")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "view_event", "purchase_event")
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Instant,
