@@ -43,6 +43,16 @@ object Linking {
       .join(cats, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
         col("yr"), coalesce(col("cats"), array()).as("cats"))
+    disambiguate(apps)
+  }
+
+  /** The rule core over an appeal relation `(key: long, cust: long,
+    * yr: int, cats: array<string>)`. Exposed separately so property
+    * tests can feed randomized entity/candidate/set layouts (empty
+    * sets, all-ambiguous candidates, single-candidate shortcuts) and
+    * compare against an in-memory reference.
+    */
+  def disambiguate(apps: DataFrame): DataFrame = {
     val c = apps.as("c")
     val p = apps.select(col("key").as("p_key"), col("cust").as("p_cust"),
       col("yr").as("p_yr"), col("cats").as("p_cats")).as("p")

@@ -236,6 +236,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q54 disambiguation matches in-memory rule on random entity/set layouts") {
+    // Random small entities with random year spreads and category sets —
+    // exercises empty sets, single-candidate shortcuts, zero/one/many
+    // intersecting candidates, including the all-ambiguous shape.
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    (1 to 3).foreach { trial =>
+      val apps = (1 to 200 + trial * 41).map { i =>
+        val cust = rnd.nextInt(25).toLong
+        val yr = 2000 + rnd.nextInt(4)
+        val nc = rnd.nextInt(4) // 0..3 categories from a tiny alphabet
+        val cats = Seq.fill(nc)(s"c${rnd.nextInt(5)}").distinct
+        (i.toLong, cust, yr, cats)
+      }
+      val got = graft.operators.Linking.disambiguate(
+          apps.toDF("key", "cust", "yr", "cats"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      val byCust = apps.groupBy(_._2)
+      val want = apps.map { case (key, cust, yr, cats) =>
+        val cands = byCust(cust).filter(_._3 == yr - 1)
+        val hits = cands.filter(c => c._4.toSet.intersect(cats.toSet).nonEmpty)
+        val res: (String, Option[Long]) =
+          if (cands.isEmpty) ("error_missingpriordec", None)
+          else if (cands.length == 1) ("match_priordec", Some(cands.head._1))
+          else if (hits.length == 1) ("match_issues", Some(hits.head._1))
+          else if (hits.length > 1) ("error_multipleissuecandidates", None)
+          else ("error_noissuecandidate", None)
+        key -> res
+      }.toMap
+      assert(got === want, s"trial $trial mismatch")
+    }
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash
