@@ -11,9 +11,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated key filter for single-query iteration;
-    // the driver never sets it, so driver runs always cover everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // the driver never sets it, so driver runs always cover everything.
+    // Empty/unknown keys fail fast instead of benching nothing (ADVICE r4).
+    val queries = SparkEntry.resolveOnly(sys.env.get("SPARK_GRAFT_ONLY"))
     // warmup pass: JIT + codegen caches + file listing, so measured times
     // reflect steady-state execution rather than first-query JVM warmup
     queries.foreach { case (_, fn) =>

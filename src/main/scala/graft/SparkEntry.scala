@@ -74,6 +74,22 @@ object SparkEntry {
     "q40_multi_format"    -> (graft.sources.Sources.q40MultiFormat _)
   )
 
+  /** Resolve the optional SPARK_GRAFT_ONLY comma-list into a query map.
+    * Fails fast on an empty value or keys not in [[queries]] — silently
+    * selecting zero queries made verify/bench "succeed" while doing
+    * nothing (ADVICE r4). */
+  def resolveOnly(only: Option[String]): Map[String, (SparkSession, String) => DataFrame] =
+    only match {
+      case None => queries
+      case Some(v) =>
+        val ks = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = ks.diff(queries.keySet)
+        require(ks.nonEmpty, "SPARK_GRAFT_ONLY is set but selects no queries")
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY contains unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+        queries.filter(kv => ks(kv._1))
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

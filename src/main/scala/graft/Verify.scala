@@ -16,9 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated key filter for single-query iteration
-    // (mirrors Bench); the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val queries = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    // (mirrors Bench); the driver never sets it. An empty value or an
+    // unknown key fails fast — a typo would otherwise select zero
+    // queries and "succeed" with an empty output dir (ADVICE r4).
+    val queries = SparkEntry.resolveOnly(sys.env.get("SPARK_GRAFT_ONLY"))
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -261,14 +261,20 @@ case class IvfCells(child: Expression)
 
 /** Session registration for graft's native SQL functions. Idempotent per
   * session: operators call this defensively (any SparkSession may be
-  * passed in), but re-registration is skipped once the functions exist —
-  * otherwise every call logs a "replaced a previously registered
-  * function" WARN per function (VERDICT r3 hygiene #3).
+  * passed in), but re-registration is skipped once THIS register() has
+  * run for the session — otherwise every call logs a "replaced a
+  * previously registered function" WARN per function (VERDICT r3 hygiene
+  * #3). The sentinel is a weak session-keyed set, not the presence of
+  * one particular function (ADVICE r4: a name-presence probe would skip
+  * functions appended after an older register() already ran).
   */
 object GraftFunctions {
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingle_hashes3"))) return
+    if (!registered.add(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes3", exprs => ShingleHashes3(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

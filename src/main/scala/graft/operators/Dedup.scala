@@ -224,9 +224,11 @@ object Dedup {
     * baseline (s27/s28 are the unbounded scale path). This cap makes the
     * quadratic envelope explicit: a block of b rows joins C(b,2) pairs,
     * so 10k rows ≈ 50M pairs per block is the most a "baseline" should
-    * ever do. Enforced in-plan via assert_true, so a degenerate label
-    * distribution fails the job loudly instead of silently going O(n²)
-    * (VERDICT r3 next #6).
+    * ever do. Enforced by an explicit driver-side max-block-size check
+    * before the join is built — the prior in-plan assert_true depended
+    * on Catalyst not folding IsNull(assert_true(...)) away, which is
+    * fragile across Spark upgrades (ADVICE r4). The check is one cheap
+    * count-aggregate job over the (small, label-keyed) embeddings table.
     */
   val EmbedBlockCap = 10000
 
@@ -238,18 +240,15 @@ object Dedup {
   def d25EmbedNeardup(spark: SparkSession, dir: String,
       maxBlock: Int = EmbedBlockCap): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.expressions.Window
-    // the block-size window shuffles on label, the same key as the
-    // self-join below — ReuseExchange shares the exchange
+    val maxBlockSize = Tables.embeddings(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    require(maxBlockSize <= maxBlock,
+      s"d25 label block exceeds $maxBlock rows (quadratic baseline, " +
+        s"largest block = $maxBlockSize) — use s27 LSH / s28 IVF for unbounded corpora")
     val e = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
       .select(col("vec_id"), col("label"), col("embedding").as("v"), col("norm"))
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy("label")))
-      .withColumn("_guard", assert_true(col("block_n") <= lit(maxBlock),
-        lit(s"d25 label block exceeds $maxBlock rows (quadratic baseline) — " +
-          "use s27 LSH / s28 IVF for unbounded corpora")))
-      .filter(col("_guard").isNull)
-      .drop("_guard", "block_n")
     val a = e.as("a"); val b = e.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot", expr("graft_dot(a.v, b.v)"))

@@ -11,8 +11,16 @@ goal is a 10x-larger input with REALISTIC output scaling, so:
   quadratically across them (a real 10x corpus has ~10x the dup pairs,
   not 100x);
 - embedding labels shift per replica for the same reason (d25 blocks
-  stay constant-size, 10x the count);
+  stay constant-size, 10x the count); the label step is derived from
+  max(label)+1 of the source table so replicas can never share a label
+  regardless of the source label domain (ADVICE r4);
 - dims fixed at every SF (nation/region) are copied as-is.
+
+Caveat (bench-only): documents.lang ground truth is NOT updated after
+per-replica word suffixing, so t28's `correct` column is meaningless on
+replicas > 0 — t28 bench times remain representative (same work), but
+accuracy read-offs on this corpus are not.
+
 pyarrow preserves physical parquet types (events.ts stays TIMESTAMP_NS,
 the type the Spark loaders and oracles are written against).
 """
@@ -62,8 +70,17 @@ def doc_text(t, i):
     return t.set_column(t.schema.get_field_index("n_chars"), t.schema.field("n_chars"), n)
 
 
+_label_step = None
+
+
 def emb_label(t, i):
-    return shift(t, "label", i, step=1000)
+    # step = max(label)+1 of the SOURCE table, so replica label spaces are
+    # disjoint for any label domain (a hardcoded step silently merged
+    # blocks across replicas when the domain grew — ADVICE r4)
+    global _label_step
+    if _label_step is None:
+        _label_step = pc.max(t.column("label")).as_py() + 1
+    return shift(t, "label", i, step=_label_step)
 
 
 rep("orders", ["o_orderkey", "o_custkey"])
