@@ -57,6 +57,7 @@ object SparkEntry {
     "d23_simhash"         -> (Dedup.d23Simhash _),
     "d24_ngram_jaccard"   -> (Dedup.d24NgramJaccard _),
     "d25_embed_neardup"   -> ((s, d) => Dedup.d25EmbedNeardup(s, d)),
+    "d26_dup_clusters"    -> (Dedup.d26DupClusters _),
     "s26_ann_topk"        -> (Similarity.s26AnnTopk _),
     "s27_ann_lsh"         -> (Similarity.s27AnnLsh _),
     "s28_ann_ivf"         -> (Similarity.s28AnnIvf _),

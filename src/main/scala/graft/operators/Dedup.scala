@@ -37,12 +37,11 @@ object Dedup {
       .orderBy("content_hash")
   }
 
-  /** d22: MinHash + LSH banding near-dup candidate pairs.
-    * 16 portable minhashes, 4 bands × 4 rows; docs sharing any band
-    * bucket become a candidate pair. Linear in corpus size: the only
-    * join is band-bucket self-join (skew-bounded by band selectivity).
+  /** Distinct minhash band-bucket candidate pairs (doc_a < doc_b) — the
+    * shared candidate graph for d22 (pair listing) and d26 (duplicate
+    * cluster resolution). Unsorted; callers add presentation order.
     */
-  def d22MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashBandPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // single-pass band keys per document (graft_minhash_bands) — no token
     // explode, no signature shuffle, one evaluation per doc (a bare sig
@@ -58,7 +57,97 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d22: MinHash + LSH banding near-dup candidate pairs.
+    * 16 portable minhashes, 4 bands × 4 rows; docs sharing any band
+    * bucket become a candidate pair. Linear in corpus size: the only
+    * join is band-bucket self-join (skew-bounded by band selectivity).
+    */
+  def d22MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashBandPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** Minimum-label connected components over an undirected edge list
+    * (u, v), u ≠ v. Returns (node, cluster_id) where cluster_id is the
+    * smallest node id in the component — every node that appears in at
+    * least one edge gets a row.
+    *
+    * Algorithm: min-label propagation with a pointer-jump step each
+    * round (newlab(u) = min over neighbors' labels, then chase the
+    * label's OWN label — labels are node ids, so label composition is an
+    * equi-join). Plain propagation needs O(diameter) rounds; the jump
+    * step short-circuits long chains the same way q46's pointer doubling
+    * does. Each round is two linear equi-joins + one aggregation —
+    * nothing is ever all-pairs — and `localCheckpoint` truncates lineage
+    * so the plan does not grow with iteration count (reliable
+    * `checkpoint()` at cluster scale, as for q46).
+    *
+    * Fixpoint = component minimum: labels only decrease and never go
+    * below the component min μ; a fixpoint label is constant per
+    * component (an edge with unequal labels would still propagate), and
+    * a constant label m > μ is impossible because lab(μ) ≤ μ < m.
+    */
+  def connectedComponents(edgesRaw: DataFrame,
+      maxIters: Int = 30, hintRounds: Int = 2): DataFrame = {
+    // materialize the edge list once — it is re-joined every round, and
+    // without the checkpoint each round would re-evaluate the whole
+    // upstream candidate-generation lineage (shingle + band join)
+    val edges = edgesRaw.select(col("u"), col("v"))
+      .unionByName(edgesRaw.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    // init lab(u) = min(u, neighbors): the first propagation round folded
+    // into the aggregation that materializes the node set
+    var lab = edges.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("lab"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    def round(probe: Boolean): Unit = {
+      // 1) propagate: minimum label over the closed neighborhood
+      val nbr = edges.as("e").join(lab.as("l"), col("e.v") === col("l.node"))
+        .groupBy(col("e.u").as("node")).agg(min(col("l.lab")).as("nlab"))
+      val cand = lab.as("x").join(nbr.as("y"), col("x.node") === col("y.node"))
+        .select(col("x.node").as("node"), least(col("x.lab"), col("y.nlab")).as("clab"))
+      // 2) pointer jump: a label is itself a node — adopt ITS label
+      // (left join: the current label-holder may carry no smaller label)
+      val next = cand.as("c").join(lab.as("j"), col("c.clab") === col("j.node"), "left")
+        .select(col("c.node").as("node"),
+          least(col("c.clab"), coalesce(col("j.lab"), col("c.clab"))).as("lab"))
+        .localCheckpoint()
+      if (probe)
+        converged = next.as("n")
+          .join(lab.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.lab") =!= col("o.lab")).isEmpty
+      lab = next
+      iter += 1
+    }
+    // hint rounds run without the emptiness probe (a scheduler round-trip
+    // each — the q46 depthHint rationale), then probe to true fixpoint
+    while (iter < hintRounds && !converged) round(probe = false)
+    while (iter < maxIters && !converged) round(probe = true)
+    require(converged,
+      s"connected components did not converge in $maxIters rounds")
+    lab.select(col("node"), col("lab").as("cluster_id"))
+  }
+
+  /** d26: duplicate-cluster resolution — the near-dup graph's TRANSITIVE
+    * closure, which is what a production dedup actually deletes against:
+    * d22 emits candidate PAIRS, but a cluster {A,B,C} discovered as
+    * (A,B), (B,C) must keep exactly one survivor even though (A,C) was
+    * never emitted. Connected components over the d22 band-pair graph,
+    * cluster id = smallest member, survivor = the id-min member (the
+    * same election rule as d21/p55). Docs with no near-dup candidate are
+    * singletons by definition and are not materialized.
+    */
+  def d26DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashBandPairs(spark, dir)
+    val cc = connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    cc.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("node") === col("cluster_id")).as("is_survivor"))
+      .orderBy("doc_id")
   }
 
   /** Manku-style combination-key bucketing for the 48-bit simhash

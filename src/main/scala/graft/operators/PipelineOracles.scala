@@ -24,7 +24,10 @@ object PipelineOracles {
       |  FROM w
       |)""".stripMargin
 
-  private val d22Sql: String = {
+  /** CTE chain (follows a WITH/WITH RECURSIVE keyword) ending in
+    * `pairs(doc_a, doc_b)` — the d22 band-pair graph, shared by the d22
+    * listing and d26's connected components. */
+  private val d22PairsCtes: String = {
     val sigs = (0 until NumMinhash).map { j =>
       s"MIN((${seedA(j)} * x + ${seedB(j)}) % $P) AS m$j"
     }.mkString(",\n|         ")
@@ -32,7 +35,7 @@ object PipelineOracles {
       val ms = (0 until RowsPerBand).map(r => s"CAST(m${b * RowsPerBand + r} AS VARCHAR)")
       s"SELECT doc_id, $b AS band_idx, ${ms.mkString(" || '_' || ")} AS band_key FROM sig"
     }.mkString("\n|  UNION ALL\n|  ")
-    s"""$shingleCte, h AS (
+    s"""${shingleCte.stripPrefix("WITH ")}, h AS (
       |  SELECT doc_id, ${phSql("s")} % $P AS x FROM sh
       |), sig AS (
       |  SELECT doc_id,
@@ -40,12 +43,38 @@ object PipelineOracles {
       |  FROM h GROUP BY doc_id
       |), bands AS (
       |  $bands
-      |)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b
-      |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |)""".stripMargin
   }
+
+  private val d22Sql: String =
+    s"""WITH $d22PairsCtes
+      |SELECT doc_a, doc_b FROM pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // transitive closure by recursive reachability, then min-label per
+  // node — near-dup components are small (bounded by true-dup cluster
+  // size), so the closure is |component|² per component, never |graph|²
+  private val d26Sql: String =
+    s"""WITH RECURSIVE $d22PairsCtes, edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach(node, r) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.node = e.u
+      |), lab AS (
+      |  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+      |)
+      |SELECT node AS doc_id, cluster_id,
+      |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |       node = cluster_id AS is_survivor
+      |FROM lab
+      |ORDER BY doc_id""".stripMargin
 
   // combination keys generated from the SAME Dedup.SimCombos sequence the
   // Spark plan explodes — both engines key docs on the identical 20
@@ -403,6 +432,7 @@ object PipelineOracles {
         |FROM documents GROUP BY content_hash
         |ORDER BY content_hash""".stripMargin,
     "d22_minhash_lsh"  -> d22Sql,
+    "d26_dup_clusters" -> d26Sql,
     "d23_simhash"      -> d23Sql,
     "d24_ngram_jaccard" -> d24Sql,
     "d25_embed_neardup" -> d25Sql,

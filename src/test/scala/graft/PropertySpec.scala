@@ -183,6 +183,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components match in-memory union-find on random graphs") {
+    // Random sparse graphs: long paths (worst case for plain min-label
+    // propagation — exercises the pointer-jump acceleration), cliques,
+    // isolated edges, multi-component mixes.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { trial =>
+      val n = 60 + trial * 25
+      // path backbone chunks + random chords ⇒ components with both long
+      // diameters and shortcuts
+      val edges = ((0L until n.toLong).sliding(2).collect {
+        case Seq(a, b) if rnd.nextInt(4) != 0 => (a, b) // break ~1/4 of links
+      }.toSeq ++ (1 to n / 4).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong; (a, b)
+      }).filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { var c = x; while (parent(c) != c) c = parent(c); c }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = inGraph.map(v => v -> find(v)).toMap
+      val got = graft.operators.Dedup.connectedComponents(
+          edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial mismatch")
+    }
+  }
+
   test("q53 Aalen-Johansen matches in-memory reference; S + ΣCIF = 1; monotone") {
     // Random left-truncated observation sets: enter < exit, three states.
     // Verifies risk-set counts against brute force, CIF/survival values
