@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.PortableHash.ph
 
 /** p55: the end-to-end training-data cleaning pipeline — the composition
   * the individual t/d operators exist FOR, as one declarative plan:
@@ -38,6 +39,43 @@ object Pipeline {
     * the floor to select at all.)
     */
   val PipelineQualityBar = 7000L
+
+  /** p56 rate table: (lang, test permille, val permille). Lower-resource
+    * languages hold out larger eval shares — the standard practice when
+    * eval sets must stay statistically useful per language. Languages
+    * not listed fall back to [[DefaultTestPm]]/[[DefaultValPm]]. The
+    * oracle VALUES clause is generated from this same sequence.
+    */
+  val SplitRates: Seq[(String, Int, Int)] =
+    Seq(("en", 50, 100), ("de", 100, 150), ("fr", 100, 150), ("es", 100, 150))
+  val DefaultTestPm = 150
+  val DefaultValPm = 200
+
+  /** p56: deterministic stratified train/val/test split. Assignment is a
+    * pure function of (stratum, doc_id) — a salted portable hash mod
+    * 1000 against per-stratum permille thresholds — so the split is
+    * reproducible run-over-run, survives corpus growth (adding docs
+    * never reassigns existing ones, unlike ntile/random splits), and
+    * needs NO shuffle: one broadcast join against the 4-row rate table
+    * plus a map-side projection. The per-stratum salt decorrelates the
+    * split from any other hash-based sampling on doc_id.
+    */
+  def p56StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = SplitRates.toDF("lang", "test_pm", "val_pm")
+    Tables.documents(spark, dir)
+      .join(broadcast(rates), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("test_pm"), lit(DefaultTestPm)).as("test_pm"),
+        coalesce(col("val_pm"), lit(DefaultValPm)).as("val_pm"),
+        pmod(ph(concat_ws(":", lit("split"), col("lang"), col("doc_id"))),
+          lit(1000L)).as("u"))
+      .select(col("doc_id"), col("lang"),
+        when(col("u") < col("test_pm"), "test")
+          .when(col("u") < col("test_pm") + col("val_pm"), "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
 
   def p55CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

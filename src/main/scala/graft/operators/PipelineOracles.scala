@@ -50,6 +50,27 @@ object PipelineOracles {
       |)""".stripMargin
   }
 
+  // rate VALUES generated from Pipeline.SplitRates — both engines join
+  // the identical 4-row table and hash the identical salted key
+  private val p56Sql: String = {
+    val values = Pipeline.SplitRates
+      .map { case (l, t, v) => s"('$l', $t, $v)" }.mkString(", ")
+    s"""WITH rates(lang, test_pm, val_pm) AS (VALUES $values),
+      |d AS (
+      |  SELECT doc_id, documents.lang AS lang,
+      |         COALESCE(r.test_pm, ${Pipeline.DefaultTestPm}) AS test_pm,
+      |         COALESCE(r.val_pm, ${Pipeline.DefaultValPm}) AS val_pm,
+      |         ${phSql("'split:' || documents.lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS u
+      |  FROM documents LEFT JOIN rates r ON documents.lang = r.lang
+      |)
+      |SELECT doc_id, lang,
+      |       CASE WHEN u < test_pm THEN 'test'
+      |            WHEN u < test_pm + val_pm THEN 'val'
+      |            ELSE 'train' END AS split
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+  }
+
   private val d22Sql: String =
     s"""WITH $d22PairsCtes
       |SELECT doc_a, doc_b FROM pairs
@@ -433,6 +454,7 @@ object PipelineOracles {
         |ORDER BY content_hash""".stripMargin,
     "d22_minhash_lsh"  -> d22Sql,
     "d26_dup_clusters" -> d26Sql,
+    "p56_stratified_split" -> p56Sql,
     "d23_simhash"      -> d23Sql,
     "d24_ngram_jaccard" -> d24Sql,
     "d25_embed_neardup" -> d25Sql,

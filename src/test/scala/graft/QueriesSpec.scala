@@ -148,6 +148,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("d25 label block exceeds")))
   }
 
+  test("p56 split is deterministic and stratum shares sit in a loose band") {
+    import org.apache.spark.sql.functions._
+    val a = graft.operators.Pipeline.p56StratifiedSplit(spark, dir).collect()
+    val b = graft.operators.Pipeline.p56StratifiedSplit(spark, dir).collect()
+    assert(a.toSeq === b.toSeq) // pure function of (lang, doc_id)
+    // loose band only — tiny per-stratum samples at sf0.001; the exact
+    // assignment is value-locked by the DuckDB oracle compare
+    val byLang = a.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val holdout = rows.count(r => r.getString(2) != "train").toDouble / rows.size
+      assert(holdout < 0.6, s"$lang holdout share $holdout implausibly high")
+      assert(rows.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+    }
+  }
+
   test("q54 statuses match an in-memory re-derivation of the linking rule") {
     import org.apache.spark.sql.functions._
     val cats = Tables.lineitem(spark, dir)
