@@ -59,6 +59,7 @@ object SparkEntry {
     "d24_ngram_jaccard"   -> (Dedup.d24NgramJaccard _),
     "d25_embed_neardup"   -> ((s, d) => Dedup.d25EmbedNeardup(s, d)),
     "d26_dup_clusters"    -> (Dedup.d26DupClusters _),
+    "d27_incremental_dedup" -> (Dedup.d27IncrementalDedup _),
     "s26_ann_topk"        -> (Similarity.s26AnnTopk _),
     "s27_ann_lsh"         -> (Similarity.s27AnnLsh _),
     "s28_ann_ivf"         -> (Similarity.s28AnnIvf _),

@@ -309,6 +309,65 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d27 batch membership rule: every 5th doc_id is "newly arrived", the
+    * rest are the standing corpus. Deterministic arithmetic both engines
+    * reproduce (the q46 pattern for synthesized structure). */
+  val IncrementalBatchMod = 5
+
+  /** d27: incremental corpus dedup — admit a NEW batch against an
+    * EXISTING corpus, the shape every continuously-ingesting training
+    * pipeline runs (p55 is the from-scratch clean; this is the nightly
+    * increment). Per new doc, precedence-ordered status:
+    *
+    *   - `exact_corpus`: content hash already in the corpus (if so, every
+    *     batch doc with that hash is exact_corpus — so batch leadership
+    *     below never interacts with corpus hits);
+    *   - `exact_batch`: another batch doc with the same content hash and
+    *     a smaller doc_id (the id-min batch doc is the leader, d21 rule);
+    *   - `near_corpus`: shares ≥1 minhash band bucket with a corpus doc
+    *     (d22's candidate rule applied batch→corpus);
+    *   - `admitted`.
+    *
+    * Near-dup WITHIN the batch is deliberately out of scope here — the
+    * admitted set is re-led by p55's bucket-minimum rule on the next full
+    * pass; checking it incrementally would re-derive d22 on the batch.
+    *
+    * Scale posture: no self-join anywhere — the batch side is small by
+    * definition, and both checks are linear equi-joins against corpus
+    * INDEXES (the distinct content-hash set on h; the distinct band
+    * buckets on (band_idx, band_key)) that a production deployment keeps
+    * materialized between increments. AQE broadcasts the batch side when
+    * it fits; the corpus side streams. The within-batch leader window
+    * partitions on h — one narrow shuffle of the batch only.
+    */
+  def d27IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
+    val withH = Tables.documents(spark, dir).withColumn("h", md5(col("text")))
+    val corpusH = withH.filter(!isBatch).select(col("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val bands = shingled(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_bands(shingles)")).as(Seq("band_idx", "band_key")))
+    val corpusBands = bands.filter(!isBatch)
+      .select("band_idx", "band_key").distinct()
+    val nearIds = bands.filter(isBatch)
+      .join(corpusBands, Seq("band_idx", "band_key"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("is_near", lit(true))
+    withH.filter(isBatch)
+      .withColumn("hmin", min(col("doc_id")).over(Window.partitionBy("h")))
+      .join(corpusH, Seq("h"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in_corpus"), "exact_corpus")
+          .when(col("doc_id") =!= col("hmin"), "exact_batch")
+          .when(col("is_near"), "near_corpus")
+          .otherwise("admitted").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** d25 is all-pairs WITHIN a label block — the documented small-side
     * baseline (s27/s28 are the unbounded scale path). This cap makes the
     * quadratic envelope explicit: a block of b rows joins C(b,2) pairs,

@@ -25,9 +25,9 @@ object PipelineOracles {
       |)""".stripMargin
 
   /** CTE chain (follows a WITH/WITH RECURSIVE keyword) ending in
-    * `pairs(doc_a, doc_b)` — the d22 band-pair graph, shared by the d22
-    * listing and d26's connected components. */
-  private val d22PairsCtes: String = {
+    * `bands(doc_id, band_idx, band_key)` — every doc's minhash band
+    * keys, shared by d22/d26 (pair graph) and d27 (corpus band index). */
+  private val d22BandsCtes: String = {
     val sigs = (0 until NumMinhash).map { j =>
       s"MIN((${seedA(j)} * x + ${seedB(j)}) % $P) AS m$j"
     }.mkString(",\n|         ")
@@ -43,12 +43,16 @@ object PipelineOracles {
       |  FROM h GROUP BY doc_id
       |), bands AS (
       |  $bands
-      |), pairs AS (
+      |)""".stripMargin
+  }
+
+  /** [[d22BandsCtes]] + the distinct band-bucket pair join. */
+  private val d22PairsCtes: String =
+    s"""$d22BandsCtes, pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
       |)""".stripMargin
-  }
 
   // rate VALUES generated from Pipeline.SplitRates — both engines join
   // the identical 4-row table and hash the identical salted key
@@ -69,6 +73,31 @@ object PipelineOracles {
       |            ELSE 'train' END AS split
       |FROM d
       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val d27Sql: String = {
+    val m = Dedup.IncrementalBatchMod
+    s"""WITH $d22BandsCtes, corpus_h AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % $m <> 0
+      |), b AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |         MIN(doc_id) OVER (PARTITION BY md5(text)) AS hmin
+      |  FROM documents WHERE doc_id % $m = 0
+      |), near AS (
+      |  SELECT DISTINCT bb.doc_id
+      |  FROM bands bb JOIN (
+      |    SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % $m <> 0
+      |  ) cb ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key
+      |  WHERE bb.doc_id % $m = 0
+      |)
+      |SELECT b.doc_id,
+      |       CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
+      |            WHEN b.doc_id <> b.hmin THEN 'exact_batch'
+      |            WHEN near.doc_id IS NOT NULL THEN 'near_corpus'
+      |            ELSE 'admitted' END AS status
+      |FROM b LEFT JOIN corpus_h ch ON b.h = ch.h
+      |       LEFT JOIN near ON b.doc_id = near.doc_id
+      |ORDER BY 1""".stripMargin
   }
 
   private val d22Sql: String =
@@ -454,6 +483,7 @@ object PipelineOracles {
         |ORDER BY content_hash""".stripMargin,
     "d22_minhash_lsh"  -> d22Sql,
     "d26_dup_clusters" -> d26Sql,
+    "d27_incremental_dedup" -> d27Sql,
     "p56_stratified_split" -> p56Sql,
     "d23_simhash"      -> d23Sql,
     "d24_ngram_jaccard" -> d24Sql,

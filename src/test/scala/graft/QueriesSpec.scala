@@ -148,6 +148,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("d25 label block exceeds")))
   }
 
+  test("d27 statuses fire correctly on a crafted corpus/batch layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch = doc_id % 5 == 0; corpus = the rest
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"),       // corpus
+      (2L, "epsilon zeta eta theta"),       // corpus
+      (0L, "alpha beta gamma delta"),       // batch: exact hash in corpus
+      (5L, "nu xi omicron pi"),             // batch: new text, id-min leader
+      (10L, "nu xi omicron pi"),            // batch: same text, loses to 5
+      (20L, "unique words entirely here"))  // batch: admitted
+      .map { case (id, t) => (id, t, "en", "srcX", t.length.toLong) }
+    val tmp = java.nio.file.Files.createTempDirectory("d27spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.Dedup.d27IncrementalDedup(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "exact_corpus")
+    assert(got(5L) === "admitted")
+    assert(got(10L) === "exact_batch")
+    assert(got(20L) === "admitted")
+  }
+
   test("p56 split is deterministic and stratum shares sit in a loose band") {
     import org.apache.spark.sql.functions._
     val a = graft.operators.Pipeline.p56StratifiedSplit(spark, dir).collect()
