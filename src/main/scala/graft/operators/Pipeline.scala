@@ -77,6 +77,40 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** p57: source-mix rebalancing — downsample dominant sources toward a
+    * BALANCED target mix (equal share per source), the data-mixing pass
+    * every large-corpus training run applies before tokenization. The
+    * per-source keep rate in permyriad is pure integer arithmetic
+    * (least(10000, (N_total·10000) div (|S|·N_s))) so both engines derive
+    * identical thresholds, and row selection is the same deterministic
+    * salted-hash rule as p56 — reproducible and growth-stable, never a
+    * `rand()` sample.
+    *
+    * Scale posture: pass 1 is a map-side-combined count per source (tiny
+    * result), pass 2 re-scans with the 20-row threshold table broadcast —
+    * data rows are never shuffled; the windows computing totals run on
+    * the SOURCE grain. Output is the per-source mix report.
+    */
+  def p57SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_input"))
+      .withColumn("n_total", sum(col("n_input")).over(Window.partitionBy()))
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("keep_permyriad",
+        least(lit(10000L),
+          expr("(n_total * 10000) DIV (n_sources * n_input)")))
+      .select("source", "n_input", "keep_permyriad")
+    val kept = docs
+      .join(broadcast(counts), Seq("source"))
+      .filter(pmod(ph(concat_ws(":", lit("mix"), col("doc_id"))), lit(10000L))
+        < col("keep_permyriad"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    counts.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_input"), col("keep_permyriad"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   def p55CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.documents(spark, dir)

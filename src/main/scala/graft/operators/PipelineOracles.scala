@@ -75,6 +75,28 @@ object PipelineOracles {
       |ORDER BY doc_id""".stripMargin
   }
 
+  private val p57Sql: String =
+    s"""WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_input,
+      |         SUM(COUNT(*)) OVER () AS n_total,
+      |         COUNT(*) OVER () AS n_sources
+      |  FROM documents GROUP BY source
+      |), th AS (
+      |  SELECT source, n_input,
+      |         LEAST(10000, (n_total * 10000) // (n_sources * n_input)) AS keep_permyriad
+      |  FROM counts
+      |), kept AS (
+      |  SELECT d.source, COUNT(*) AS n_kept
+      |  FROM documents d JOIN th ON d.source = th.source
+      |  WHERE ${phSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < th.keep_permyriad
+      |  GROUP BY d.source
+      |)
+      |SELECT th.source, CAST(th.n_input AS BIGINT) AS n_input,
+      |       CAST(th.keep_permyriad AS BIGINT) AS keep_permyriad,
+      |       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM th LEFT JOIN kept ON th.source = kept.source
+      |ORDER BY 1""".stripMargin
+
   private val d27Sql: String = {
     val m = Dedup.IncrementalBatchMod
     s"""WITH $d22BandsCtes, corpus_h AS (
@@ -485,6 +507,7 @@ object PipelineOracles {
     "d26_dup_clusters" -> d26Sql,
     "d27_incremental_dedup" -> d27Sql,
     "p56_stratified_split" -> p56Sql,
+    "p57_source_mix"   -> p57Sql,
     "d23_simhash"      -> d23Sql,
     "d24_ngram_jaccard" -> d24Sql,
     "d25_embed_neardup" -> d25Sql,

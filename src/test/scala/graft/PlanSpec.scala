@@ -138,6 +138,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in candidate join:\n$p")
   }
 
+  test("p56 split is shuffle-free except the presentation sort") {
+    val df = operators.Pipeline.p56StratifiedSplit(spark, dir)
+    val plan = executed(df)
+    val p = plan.toString
+    // the rate join must broadcast (4-row table) and assignment must be
+    // a map-side projection: no hash-partition exchange anywhere
+    assert(p.contains("BroadcastHashJoin"), s"rate join did not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash exchange in a zero-shuffle split:\n$p")
+  }
+
+  test("d27 near-dup check is an equi-join, never cartesian") {
+    val p = planString(operators.Dedup.d27IncrementalDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in d27:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in d27:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)
