@@ -64,6 +64,7 @@ object SparkEntry {
     "s26_ann_topk"        -> (Similarity.s26AnnTopk _),
     "s27_ann_lsh"         -> (Similarity.s27AnnLsh _),
     "s28_ann_ivf"         -> (Similarity.s28AnnIvf _),
+    "s29_ann_rerank"      -> (Similarity.s29AnnRerank _),
     "t28_langid"          -> (TextAnalysis.t28Langid _),
     "t29_quality"         -> (TextAnalysis.t29Quality _),
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),

@@ -301,7 +301,10 @@ object PipelineOracles {
   // s28 mirror: centroid weights/norms from the same integer formula as
   // graft_ivf_cells; norm² is an exact int64 sum so cells agree exactly;
   // ties rank the lower cell index first on both engines
-  private val s28Sql: String = {
+  /** CTE chain ending in `p(query_id, neighbor_id, cos_sim)` — the IVF
+    * cell-join candidates with exact cosine, shared by s28 (top-3
+    * listing) and s29 (re-rank + recall eval). */
+  private val s28CandCtes: String = {
     val wSql = s"(($HplaneA * (t.c + $IvfOffset) + $HplaneB * j) % $HplaneMod) - $HplaneShift"
     s"""$vecCte, sc AS (
       |  SELECT vec_id, v, norm, t.c AS c,
@@ -322,7 +325,11 @@ object PipelineOracles {
       |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
       |         ROUND(${dotSql("q", "c2")} / (q.norm * c2.norm), 6) AS cos_sim
       |  FROM qp q JOIN corp c2 ON q.cell = c2.cell AND q.vec_id <> c2.vec_id
-      |), r AS (
+      |)""".stripMargin
+  }
+
+  private val s28Sql: String =
+    s"""$s28CandCtes, r AS (
       |  SELECT query_id, neighbor_id, cos_sim,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
@@ -330,7 +337,38 @@ object PipelineOracles {
       |)
       |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
-  }
+
+  private val s29Sql: String =
+    s"""$s28CandCtes, nc AS (
+      |  SELECT query_id, COUNT(*) AS n_candidates FROM p GROUP BY query_id
+      |), ar AS (
+      |  SELECT query_id, neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      |  FROM p
+      |), approx AS (
+      |  SELECT query_id, neighbor_id FROM ar WHERE rnk <= 5
+      |), ex0 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ROUND(${dotSql("q", "c")} / (q.norm * c.norm), 6) AS cos_sim
+      |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10
+      |), exr AS (
+      |  SELECT query_id, neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      |  FROM ex0
+      |), hits AS (
+      |  SELECT a.query_id, COUNT(*) AS n_hit
+      |  FROM approx a JOIN (SELECT query_id, neighbor_id FROM exr WHERE rnk <= 5) e
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  GROUP BY a.query_id
+      |)
+      |SELECT nc.query_id, nc.n_candidates,
+      |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 2) AS recall_at_5
+      |FROM nc LEFT JOIN hits h ON nc.query_id = h.query_id
+      |ORDER BY 1""".stripMargin
 
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -514,6 +552,7 @@ object PipelineOracles {
     "s26_ann_topk"     -> s26Sql,
     "s27_ann_lsh"      -> s27Sql,
     "s28_ann_ivf"      -> s28Sql,
+    "s29_ann_rerank"   -> s29Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,
     "t29_quality"      -> t29Sql,

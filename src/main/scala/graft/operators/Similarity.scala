@@ -93,6 +93,49 @@ object Similarity {
     * explodes its 2 probe cells — candidate generation stays a cell
     * equi-join, cost |Q|·nprobe·cell-size, never corpus².
     */
+  /** s29: two-stage retrieval + recall evaluation — the production ANN
+    * deployment shape: stage 1 generates candidates from the IVF cell
+    * index (s28's equi-join, |Q|·nprobe·cell-size), stage 2 re-ranks
+    * candidates by EXACT cosine and keeps top-5, and the output reports
+    * per-query recall@5 against the brute-force truth (s26's shape) —
+    * the offline eval every ANN index ships with (the q49/q51 pattern:
+    * approximate result + its measured error). The exact pass exists
+    * only for the eval column; production serves the re-ranked stage-2
+    * list and runs this query on a sampled query set.
+    */
+  def s29AnnRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(spark, dir).withColumn("cells", expr("graft_ivf_cells(v)"))
+    val c = e.withColumn("cell", col("cells").getItem(0)).drop("cells").as("c")
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("cell", explode(col("cells"))).drop("cells").as("q")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // stage 1 (cell equi-join) + stage 2 (exact cosine on candidates);
+    // a corpus vector matches at most one probe (single home cell), so
+    // candidates are duplicate-free by construction
+    val cand = q.join(c, col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_sim", round(expr(cosExpr) / (col("q.norm") * col("c.norm")), 6))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("cos_sim"))
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    val approx = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+    val e2 = vecs(spark, dir)
+    val exact = broadcast(e2.filter(col("vec_id") < 10)).as("q")
+      .join(e2.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_sim", round(expr(cosExpr) / (col("q.norm") * col("c.norm")), 6))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select("query_id", "neighbor_id")
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    nCand.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0), 2)
+          .as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   def s28AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).withColumn("cells", expr("graft_ivf_cells(v)"))
     val c = e.withColumn("cell", col("cells").getItem(0)).drop("cells").as("c")
