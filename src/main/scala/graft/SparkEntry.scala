@@ -69,6 +69,7 @@ object SparkEntry {
     "t29_quality"         -> (TextAnalysis.t29Quality _),
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),
     "t31_fingerprint"     -> (TextAnalysis.t31Fingerprint _),
+    "t32_contamination"   -> (TextAnalysis.t32Contamination _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),

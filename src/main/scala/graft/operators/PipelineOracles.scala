@@ -452,6 +452,35 @@ object PipelineOracles {
       |GROUP BY fp
       |ORDER BY fp""".stripMargin
 
+  // mirror of TextAnalysis.t32Contamination: same ≥3-word gate, same
+  // distinct-3-gram shingle hashes, same doc_id % 13 benchmark split,
+  // same 0.2 flag threshold (cast to DOUBLE — a bare literal is DECIMAL
+  // in DuckDB and would compare under decimal semantics)
+  private val t32Sql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
+      |    i -> array_to_string(words[i:i+2], ' '))) AS shingles
+      |  FROM w
+      |), shx AS (
+      |  SELECT doc_id, len(shingles) AS nsh, ${phSql("unnest(shingles)")} AS x
+      |  FROM shl
+      |), bench AS (
+      |  SELECT DISTINCT x FROM shx WHERE doc_id % 13 = 0
+      |), hits AS (
+      |  SELECT c.doc_id, c.nsh, COUNT(b.x) AS n_hit
+      |  FROM shx c LEFT JOIN bench b ON c.x = b.x
+      |  WHERE c.doc_id % 13 <> 0
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, nsh, n_hit,
+      |       ROUND(CAST(n_hit AS DOUBLE) / nsh, 4) AS overlap,
+      |       CAST(ROUND(CAST(n_hit AS DOUBLE) / nsh, 4) >= CAST(0.2 AS DOUBLE) AS INT) AS contaminated
+      |FROM hits
+      |ORDER BY doc_id""".stripMargin
+
   // first_byte is byte-oriented (first OCTET of the utf-8 payload, via a
   // hex-string prefix — DuckDB 1.0 can't slice blobs), matching Spark's
   // payload(0) & 0xff; ascii() would return the code POINT of the first
@@ -558,6 +587,7 @@ object PipelineOracles {
     "t29_quality"      -> t29Sql,
     "t30_tokencount"   -> t30Sql,
     "t31_fingerprint"  -> t31Sql,
+    "t32_contamination" -> t32Sql,
     "m32_multimodal"   -> m32Sql
   )
 }

@@ -124,4 +124,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .orderBy("fp")
   }
+
+  /** Contamination flag threshold: a fifth of a training doc's distinct
+    * 3-gram shingles appearing verbatim in the eval set is far above this
+    * corpus's chance-overlap floor (mean 0.06 at sf0.01) while still
+    * catching partial inclusions, not just exact copies. */
+  val ContaminationThreshold = 0.2
+
+  /** t32: eval-benchmark decontamination screen. Docs with
+    * `doc_id % 13 == 0` stand in for a held-out eval benchmark; every
+    * remaining (training) doc is scored by the fraction of its distinct
+    * 3-gram shingles that appear anywhere in the benchmark — the
+    * n-gram-overlap screen LLM corpus pipelines run before training so
+    * eval answers don't leak into the training set.
+    *
+    * 100 TB posture: the benchmark shingle index is tiny (eval suites
+    * are MBs, not TBs) — `broadcast()` pins it to the build side, so the
+    * corpus is ONE scan with a map-side hash probe; the only shuffle is
+    * the per-doc partial-aggregated hit count (≤ 1 row per doc after
+    * map-side combine). Shingles are hashed inside
+    * `graft_shingle_hashes3` (codegen'd), so no shingle string is ever
+    * materialized into the plan — same posture as d24.
+    */
+  def t32Contamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), expr("graft_shingle_hashes3(words)").as("xs"))
+      .select(col("doc_id"), size(col("xs")).cast("long").as("nsh"),
+        explode(col("xs")).as("x"))
+    val bench = sh.filter(col("doc_id") % 13 === 0)
+      .select("x").distinct().withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 13 =!= 0)
+      .join(broadcast(bench), Seq("x"), "left")
+      .groupBy(col("doc_id"), col("nsh"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("doc_id"), col("nsh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("nsh").cast("double"), 4)
+          .as("overlap"))
+      .withColumn("contaminated",
+        (col("overlap") >= ContaminationThreshold).cast("int"))
+      .orderBy("doc_id")
+  }
 }

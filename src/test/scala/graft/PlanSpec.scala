@@ -155,6 +155,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in d27:\n$p")
   }
 
+  test("t32 benchmark probe is a broadcast join; corpus side never shuffles pre-count") {
+    val p = planString(operators.TextAnalysis.t32Contamination(spark, dir))
+    // the eval-set shingle index must be the broadcast build side — a
+    // shuffle join here would re-partition the whole corpus by shingle
+    assert(p.contains("BroadcastHashJoin"), s"benchmark probe did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the probe:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

@@ -235,4 +235,34 @@ class QueriesSpec extends AnyFunSuite {
     val sessions = graft.operators.CoreQueries.q07Sessionize(spark, dir).count()
     assert(totalCases === sessions)
   }
+
+  test("t32 screens every training doc once; overlap bounded; planted dup flagged") {
+    import org.apache.spark.sql.functions._
+    val t = graft.operators.TextAnalysis.t32Contamination(spark, dir)
+    val rows = t.collect()
+    // exactly the ≥3-word docs with doc_id % 13 != 0, each once
+    val expected = graft.Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3 && col("doc_id") % 13 =!= 0)
+      .count()
+    assert(rows.length.toLong === expected)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // n_hit ≤ nsh and overlap = round(n_hit/nsh, 4) ∈ [0, 1]
+    rows.foreach { r =>
+      val nsh = r.getLong(1); val nHit = r.getLong(2); val ov = r.getDouble(3)
+      assert(nHit >= 0 && nHit <= nsh)
+      assert(ov >= 0.0 && ov <= 1.0)
+      assert(r.getInt(4) === (if (ov >= graft.operators.TextAnalysis.ContaminationThreshold) 1 else 0))
+    }
+    // an exact copy of a benchmark doc must flag: identical text means
+    // identical shingle sets, so overlap is exactly 1.0
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val benchText = docs.filter(col("doc_id") % 13 === 0).select("text").distinct()
+    val copies = docs.filter(col("doc_id") % 13 =!= 0)
+      .join(benchText, Seq("text"), "left_semi").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = rows.filter(_.getInt(4) === 1).map(_.getLong(0)).toSet
+    assert(copies.subsetOf(flagged),
+      s"benchmark copies not flagged: ${copies -- flagged}")
+  }
 }
