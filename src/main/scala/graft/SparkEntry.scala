@@ -49,6 +49,7 @@ object SparkEntry {
     "p55_corpus_clean"    -> (Pipeline.p55CorpusClean _),
     "p56_stratified_split" -> (Pipeline.p56StratifiedSplit _),
     "p57_source_mix"      -> (Pipeline.p57SourceMix _),
+    "p58_seq_pack"        -> (Pipeline.p58SeqPack _),
     "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),
     "q51_quantile_sketch" -> (Sketches.q51QuantileSketch _),
     "st36_stream_static_join" -> (graft.streaming.Streams.st36StreamStaticJoin _),

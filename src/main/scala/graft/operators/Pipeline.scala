@@ -111,6 +111,48 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** p58 packing window: tokens per training example. Small enough that
+    * sf0.001 sources still produce multi-chunk output; the arithmetic is
+    * L-independent. */
+  val PackChunkTokens = 256L
+
+  /** p58: sequence packing — concatenate each source's docs in doc_id
+    * order and cut the token stream into fixed [[PackChunkTokens]]-token
+    * training windows (the concat-and-chunk packing LLM pretraining
+    * uses; docs span chunk boundaries rather than padding). Output is
+    * the per-chunk manifest: docs overlapping each chunk, tokens in it,
+    * fill ratio (only a source's last chunk may be short).
+    *
+    * Everything is a prefix sum: a doc's chunk span is
+    * [cum_before div L, (cum_before+tokens-1) div L] off ONE per-source
+    * cumulative window — no iterative packing loop, no driver state.
+    * Scale posture: one shuffle total — the per-source window sort; the
+    * chunk fan-out is a bounded explode (≤ tokens/L + 1 rows per doc)
+    * and the per-chunk aggregation reuses the window's partitioning
+    * (source ⊂ (source, chunk_idx) clustering, so no second exchange).
+    * Integer token arithmetic end-to-end — both engines derive identical
+    * chunk boundaries, never a float cumsum.
+    */
+  def p58SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val L = PackChunkTokens
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("source"), col("cum_before"), col("tokens"),
+        explode(expr(s"sequence(cum_before DIV $L, (cum_before + tokens - 1) DIV $L)"))
+          .as("chunk_idx"))
+      .withColumn("contrib",
+        least(col("cum_before") + col("tokens"), (col("chunk_idx") + 1) * L)
+          - greatest(col("cum_before"), col("chunk_idx") * L))
+      .groupBy("source", "chunk_idx")
+      .agg(count(lit(1)).as("n_docs"), sum(col("contrib")).as("n_tokens"))
+      .withColumn("fill_x10000", expr(s"n_tokens * 10000 DIV $L"))
+      .orderBy("source", "chunk_idx")
+  }
+
   def p55CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.documents(spark, dir)

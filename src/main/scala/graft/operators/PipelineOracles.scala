@@ -499,6 +499,36 @@ object PipelineOracles {
   // reuse the t28/t29 arithmetic verbatim, the band stage the d22
   // generation, and the threshold comes from the same constant the
   // Spark plan uses
+  // mirror of Pipeline.p58SeqPack: same per-source doc_id-ordered token
+  // prefix sum, same integer chunk-boundary arithmetic (// is DuckDB's
+  // integer floor division, DIV Spark's); chunk_idx is materialized in
+  // its own CTE before any expression uses it (unnest expands in place
+  // inside same-SELECT aliases — the r02 regression)
+  private val p58Sql: String = {
+    val L = Pipeline.PackChunkTokens
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, tokens,
+      |         CAST(COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM toks
+      |), s AS (
+      |  SELECT source, cum_before, tokens,
+      |         CAST(unnest(generate_series(cum_before // $L, (cum_before + tokens - 1) // $L)) AS BIGINT) AS chunk_idx
+      |  FROM c
+      |)
+      |SELECT source, chunk_idx, COUNT(*) AS n_docs,
+      |       CAST(SUM(LEAST(cum_before + tokens, (chunk_idx + 1) * $L)
+      |              - GREATEST(cum_before, chunk_idx * $L)) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(LEAST(cum_before + tokens, (chunk_idx + 1) * $L)
+      |              - GREATEST(cum_before, chunk_idx * $L)) * 10000 // $L AS BIGINT) AS fill_x10000
+      |FROM s
+      |GROUP BY source, chunk_idx
+      |ORDER BY source, chunk_idx""".stripMargin
+  }
+
   private val p55Sql: String = {
     val sigs = (0 until NumMinhash).map { j =>
       s"MIN((${seedA(j)} * x + ${seedB(j)}) % $P) AS m$j"
@@ -575,6 +605,7 @@ object PipelineOracles {
     "d27_incremental_dedup" -> d27Sql,
     "p56_stratified_split" -> p56Sql,
     "p57_source_mix"   -> p57Sql,
+    "p58_seq_pack"     -> p58Sql,
     "d23_simhash"      -> d23Sql,
     "d24_ngram_jaccard" -> d24Sql,
     "d25_embed_neardup" -> d25Sql,
