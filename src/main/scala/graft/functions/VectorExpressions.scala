@@ -273,8 +273,11 @@ object GraftFunctions {
     java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  def register(spark: SparkSession): Unit = {
-    if (!registered.add(spark)) return
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    // Mark the session only AFTER every function registers: a concurrent
+    // first caller must not return early to a half-registered session,
+    // and a mid-registration throw must leave the session retryable.
+    if (registered.contains(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes3", exprs => ShingleHashes3(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -291,5 +294,6 @@ object GraftFunctions {
       "graft_minhash_bands", exprs => MinhashBands(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
+    registered.add(spark)
   }
 }

@@ -390,7 +390,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val maxBlockSize = Tables.embeddings(spark, dir)
       .groupBy("label").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head.getLong(0)
+      .agg(coalesce(max(col("n")), lit(0L))).head.getLong(0)
     require(maxBlockSize <= maxBlock,
       s"d25 label block exceeds $maxBlock rows (quadratic baseline, " +
         s"largest block = $maxBlockSize) — use s27 LSH / s28 IVF for unbounded corpora")

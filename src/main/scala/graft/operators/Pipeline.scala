@@ -68,8 +68,12 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         coalesce(col("test_pm"), lit(DefaultTestPm)).as("test_pm"),
         coalesce(col("val_pm"), lit(DefaultValPm)).as("val_pm"),
-        pmod(ph(concat_ws(":", lit("split"), col("lang"), col("doc_id"))),
-          lit(1000L)).as("u"))
+        // coalesce the stratum before hashing: Spark's concat_ws SKIPS
+        // nulls ('split:42') while SQL's || yields NULL — a NULL lang
+        // would silently send docs to 'train' in one engine only
+        // (ADVICE r5). The sentinel cannot collide with a real lang code.
+        pmod(ph(concat_ws(":", lit("split"), coalesce(col("lang"), lit("__null__")),
+          col("doc_id"))), lit(1000L)).as("u"))
       .select(col("doc_id"), col("lang"),
         when(col("u") < col("test_pm"), "test")
           .when(col("u") < col("test_pm") + col("val_pm"), "val")
@@ -139,7 +143,9 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("tokens"))
+        // coalesce before split: Spark's size(NULL) is -1 where SQL's
+        // len(NULL) is NULL (ADVICE r5) — '' tokenizes as 1 both sides
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("tokens"))
       .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
       .select(col("source"), col("cum_before"), col("tokens"),
         explode(expr(s"sequence(cum_before DIV $L, (cum_before + tokens - 1) DIV $L)"))

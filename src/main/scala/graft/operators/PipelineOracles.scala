@@ -64,7 +64,7 @@ object PipelineOracles {
       |  SELECT doc_id, documents.lang AS lang,
       |         COALESCE(r.test_pm, ${Pipeline.DefaultTestPm}) AS test_pm,
       |         COALESCE(r.val_pm, ${Pipeline.DefaultValPm}) AS val_pm,
-      |         ${phSql("'split:' || documents.lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS u
+      |         ${phSql("'split:' || COALESCE(documents.lang, '__null__') || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS u
       |  FROM documents LEFT JOIN rates r ON documents.lang = r.lang
       |)
       |SELECT doc_id, lang,
@@ -507,7 +507,7 @@ object PipelineOracles {
   private val p58Sql: String = {
     val L = Pipeline.PackChunkTokens
     s"""WITH toks AS (
-      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  SELECT doc_id, source, CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS tokens
       |  FROM documents
       |), c AS (
       |  SELECT source, tokens,
