@@ -71,6 +71,10 @@ object SparkEntry {
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),
     "t31_fingerprint"     -> (TextAnalysis.t31Fingerprint _),
     "t32_contamination"   -> (TextAnalysis.t32Contamination _),
+    "t33_pii_scrub"       -> (TextAnalysis.t33PiiScrub _),
+    "t34_repetition"      -> (TextAnalysis.t34Repetition _),
+    "p59_shard_shuffle"   -> (Pipeline.p59ShardShuffle _),
+    "d28_embed_celldedup" -> (Dedup.d28EmbedCellDedup _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),

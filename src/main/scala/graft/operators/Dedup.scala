@@ -406,4 +406,47 @@ object Dedup {
         col("b.vec_id").as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** d28 cosine threshold — same bar as d25 so the two operators are
+    * directly comparable: d25 finds pairs within LABEL blocks, d28
+    * within IVF cells with no label needed. */
+  val CellDedupThreshold = 0.4
+
+  /** d28: corpus-wide embedding near-dup detection blocked by IVF cells —
+    * the unbounded-corpus scale path d25's label-blocked baseline defers
+    * to. Every vector indexes on its home Voronoi cell (element 0 of the
+    * codegen'd [[graft.functions.IvfCells]] assignment) and probes its
+    * top-2 cells, so a boundary pair is found when EITHER side's probe
+    * list reaches the other's home cell; candidate generation is a cell
+    * equi-join, never corpus². Pairs are canonicalized (least, greatest)
+    * and deduped because the two probe routes can discover the same pair
+    * twice.
+    *
+    * 100 TB posture: candidates ≈ Σ_cell |cell|² — production scales the
+    * cell count with the corpus (nlist ≈ N/target_cell_size, k-means
+    * centroids) so |cell| stays ~constant and the join stays linear;
+    * 16 deterministic pseudo-centroid cells are this harness's stand-in
+    * (same honest caveat as s28). Recall vs the exact d25 semantics is
+    * the standard IVF trade, measured by s29's recall harness.
+    */
+  def d28EmbedCellDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+      .withColumn("cells", expr("graft_ivf_cells(embedding)"))
+    val home = e.withColumn("cell", col("cells").getItem(0))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    val probe = e.withColumn("cell", explode(col("cells")))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    probe.as("a").join(home.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(expr("graft_dot(a.embedding, b.embedding)") /
+          (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cos_sim") >= CellDedupThreshold)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"), col("cos_sim"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
 }

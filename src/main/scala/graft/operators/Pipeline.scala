@@ -159,6 +159,38 @@ object Pipeline {
       .orderBy("source", "chunk_idx")
   }
 
+  /** p59 shard count. Production sizes this as corpus_bytes /
+    * target_shard_bytes (e.g. 100 TB / ~1 GB ⇒ ~10⁵ shards); 8 keeps
+    * per-shard output readable at test SFs. */
+  val NumShards = 8L
+
+  /** p59: deterministic training-order shuffle into shards — the final
+    * "global shuffle" pass that turns a cleaned corpus into randomized
+    * training shards. Order key = salted portable hash of doc_id (never
+    * `rand()`), shard = key mod [[NumShards]], position = rank of the
+    * key within the shard — fully reproducible run-over-run and across
+    * engines, and independent of input partitioning/arrival order.
+    *
+    * 100 TB posture: shard assignment is a map-side projection; the
+    * per-shard position is the write path's
+    * `repartition(shard) + sortWithinPartitions(key)` — one shuffle,
+    * each shard sorts independently, and shard count is chosen so a
+    * shard fits one output file (so no global sort ever happens). The
+    * window formulation here IS that plan: hash partition on shard,
+    * in-partition sort.
+    */
+  def p59ShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ph(concat_ws(":", lit("shard"), col("doc_id"))).as("k"))
+      .withColumn("shard", pmod(col("k"), lit(NumShards)).cast("int"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy(col("k"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   def p55CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.documents(spark, dir)

@@ -301,10 +301,10 @@ object PipelineOracles {
   // s28 mirror: centroid weights/norms from the same integer formula as
   // graft_ivf_cells; norm² is an exact int64 sum so cells agree exactly;
   // ties rank the lower cell index first on both engines
-  /** CTE chain ending in `p(query_id, neighbor_id, cos_sim)` — the IVF
-    * cell-join candidates with exact cosine, shared by s28 (top-3
-    * listing) and s29 (re-rank + recall eval). */
-  private val s28CandCtes: String = {
+  /** CTE chain ending in `rk(vec_id, v, norm, c, rn)` — every vector's
+    * IVF cells ranked by centroid score; rn=1 is the home cell. Shared
+    * by s28/s29 (query-side probes) and d28 (corpus-wide cell dedup). */
+  private val ivfRankCtes: String = {
     val wSql = s"(($HplaneA * (t.c + $IvfOffset) + $HplaneB * j) % $HplaneMod) - $HplaneShift"
     s"""$vecCte, sc AS (
       |  SELECT vec_id, v, norm, t.c AS c,
@@ -317,7 +317,14 @@ object PipelineOracles {
       |  SELECT vec_id, v, norm, c,
       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
       |  FROM sc
-      |), corp AS (
+      |)""".stripMargin
+  }
+
+  /** CTE chain ending in `p(query_id, neighbor_id, cos_sim)` — the IVF
+    * cell-join candidates with exact cosine, shared by s28 (top-3
+    * listing) and s29 (re-rank + recall eval). */
+  private val s28CandCtes: String = {
+    s"""$ivfRankCtes, corp AS (
       |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn = 1
       |), qp AS (
       |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn <= $IvfProbes AND vec_id < 10
@@ -481,6 +488,116 @@ object PipelineOracles {
       |FROM hits
       |ORDER BY doc_id""".stripMargin
 
+  // mirror of Dedup.d28EmbedCellDedup: same ranked-cell CTEs as s28,
+  // corpus on home cell (rn=1), every vector probes rn<=2; pairs
+  // canonicalized + DISTINCT (two probe routes can find the same pair)
+  private val d28Sql: String =
+    s"""$ivfRankCtes, home AS (
+      |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn = 1
+      |), probe AS (
+      |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn <= $IvfProbes
+      |), p0 AS (
+      |  SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+      |         GREATEST(a.vec_id, b.vec_id) AS vec_b,
+      |         ROUND(${dotSql("a", "b")} / (a.norm * b.norm), 6) AS cos_sim
+      |  FROM probe a JOIN home b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |), p AS (
+      |  SELECT DISTINCT vec_a, vec_b, cos_sim FROM p0
+      |)
+      |SELECT vec_a, vec_b, cos_sim FROM p
+      |WHERE cos_sim >= CAST(${Dedup.CellDedupThreshold} AS DOUBLE)
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // mirror of TextAnalysis.t33PiiScrub: identical footer synthesis and
+  // patterns (shared Scala constants); DuckDB needs the 'g' flag where
+  // Spark's regexp_replace is global by default, and counts via
+  // len(regexp_extract_all)
+  private val t33Sql: String = {
+    val email = TextAnalysis.EmailPat
+    val ssn = TextAnalysis.SsnPat
+    val phone = TextAnalysis.PhonePat
+    s"""WITH raw AS (
+      |  SELECT source,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |         || CASE WHEN doc_id % 3 = 0
+      |              THEN ' ssn ' || CAST(doc_id % 400 + 100 AS VARCHAR)
+      |                   || '-' || CAST(doc_id % 89 + 10 AS VARCHAR)
+      |                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |              ELSE '' END
+      |         || CASE WHEN doc_id % 2 = 0
+      |              THEN ' phone 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      |              ELSE '' END AS raw
+      |  FROM documents
+      |), scrubbed AS (
+      |  SELECT source, raw,
+      |         CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_email,
+      |         CAST(len(regexp_extract_all(raw, '$ssn')) AS BIGINT) AS n_ssn,
+      |         CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phone,
+      |         regexp_replace(regexp_replace(regexp_replace(raw,
+      |           '$email', '<EMAIL>', 'g'),
+      |           '$ssn', '<SSN>', 'g'),
+      |           '$phone', '<PHONE>', 'g') AS clean
+      |  FROM raw
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+      |       CAST(SUM(n_ssn) AS BIGINT) AS n_ssns,
+      |       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+      |       CAST(SUM(length(raw) - length(clean)) AS BIGINT) AS chars_redacted,
+      |       MIN(md5(clean)) AS content_witness
+      |FROM scrubbed
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  }
+
+  // mirror of TextAnalysis.t34Repetition: same >=2-word gate, 1-based
+  // slice bigrams vs Spark's 0-based transform, integer permyriad
+  // arithmetic and the same shared flag thresholds
+  private val t34Sql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), base AS (
+      |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+      |         CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct, words
+      |  FROM w
+      |), bg AS (
+      |  SELECT doc_id, n_words, n_distinct,
+      |         unnest(list_transform(generate_series(1, len(words) - 1),
+      |           i -> array_to_string(words[i:i+1], ' '))) AS b
+      |  FROM base
+      |), bgc AS (
+      |  SELECT doc_id, n_words, n_distinct, b, COUNT(*) AS c
+      |  FROM bg GROUP BY 1, 2, 3, 4
+      |), agg AS (
+      |  SELECT doc_id, n_words, n_distinct,
+      |         CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+      |         CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |  FROM bgc GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, n_words, n_distinct,
+      |       (n_words - n_distinct) * 10000 // n_words AS dup_word_pm,
+      |       top_bigram_n * 10000 // n_bigrams AS top_bigram_pm,
+      |       CAST((n_words - n_distinct) * 10000 // n_words >= ${TextAnalysis.DupWordFlagPm}
+      |            OR top_bigram_n * 10000 // n_bigrams >= ${TextAnalysis.TopBigramFlagPm}
+      |         AS INT) AS rep_flagged
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
+  // mirror of Pipeline.p59ShardShuffle: same salted hash, shard mod,
+  // per-shard rank
+  private val p59Sql: String =
+    s"""WITH k AS (
+      |  SELECT doc_id,
+      |         ${phSql("'shard:' || CAST(doc_id AS VARCHAR)")} AS k
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(k % ${Pipeline.NumShards} AS INT) AS shard,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY k % ${Pipeline.NumShards}
+      |                               ORDER BY k, doc_id) AS BIGINT) AS pos
+      |FROM k
+      |ORDER BY shard, pos""".stripMargin
+
   // first_byte is byte-oriented (first OCTET of the utf-8 payload, via a
   // hex-string prefix — DuckDB 1.0 can't slice blobs), matching Spark's
   // payload(0) & 0xff; ascii() would return the code POINT of the first
@@ -619,6 +736,10 @@ object PipelineOracles {
     "t30_tokencount"   -> t30Sql,
     "t31_fingerprint"  -> t31Sql,
     "t32_contamination" -> t32Sql,
+    "t33_pii_scrub"    -> t33Sql,
+    "t34_repetition"   -> t34Sql,
+    "p59_shard_shuffle" -> p59Sql,
+    "d28_embed_celldedup" -> d28Sql,
     "m32_multimodal"   -> m32Sql
   )
 }

@@ -167,4 +167,115 @@ object TextAnalysis {
         (col("overlap") >= ContaminationThreshold).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
+    * the regex subset where Java (Spark) and RE2 (DuckDB) agree exactly:
+    * character classes, bounded repetition, literals — no backrefs, no
+    * lookaround, no word boundaries.
+    */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val SsnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhonePat = "555-01[0-9]{2}"
+
+  /** t33: PII detection + redaction — the scrubbing pass every
+    * training-corpus pipeline runs before text reaches a tokenizer:
+    * match emails / SSN-shaped ids / phone numbers, replace each with a
+    * typed placeholder, and report per-source counts plus a content
+    * witness (min md5 of the redacted text — proves the redacted BYTES
+    * match the oracle, not just the counts).
+    *
+    * The synthetic corpus carries no PII (no digits, no '@'), so the
+    * operator first appends a deterministic ingest-footer derived from
+    * doc_id (email always; SSN for doc_id%3==0; phone for doc_id%2==0 —
+    * SSN area codes land in 100–499, so the 555-prefixed phone pattern
+    * cannot overlap). The footer synthesis is the m32-style stand-in;
+    * the scrubbing machinery — tiered regexp_replace + regexp_count,
+    * all codegen'd — is the real operator and would run unchanged on a
+    * corpus with native PII.
+    *
+    * 100 TB posture: pure per-row projection + one map-side-combined
+    * aggregation on source — no join, no window, embarrassingly
+    * parallel.
+    */
+  def t33PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val footer = concat(
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit(" ssn "), (col("doc_id") % 400 + 100).cast("string"),
+        lit("-"), (col("doc_id") % 89 + 10).cast("string"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, concat(
+        lit(" phone 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("raw", concat(col("text"), footer))
+      // Scala-API regexp_count/lit, not expr() — a pattern embedded in a
+      // SQL string literal would lose its backslashes to the parser
+      .withColumn("n_email", regexp_count(col("raw"), lit(EmailPat)).cast("long"))
+      .withColumn("n_ssn", regexp_count(col("raw"), lit(SsnPat)).cast("long"))
+      .withColumn("n_phone", regexp_count(col("raw"), lit(PhonePat)).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          lit(EmailPat), lit("<EMAIL>")),
+          lit(SsnPat), lit("<SSN>")),
+          lit(PhonePat), lit("<PHONE>")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_ssn")).as("n_ssns"),
+        sum(col("n_phone")).as("n_phones"),
+        sum(length(col("raw")).cast("long") - length(col("clean")).cast("long"))
+          .as("chars_redacted"),
+        min(md5(col("clean"))).as("content_witness"))
+      .orderBy("source")
+  }
+
+  /** t34 flag thresholds (permyriad), set against this corpus's measured
+    * distributions (dup-word q10/50/90 = 2500/5380/6785; top-bigram
+    * q50/90/99 = 333/689/1112): a doc is repetition-flagged when its
+    * duplicate-word share sits above ~the 75th percentile or its top
+    * bigram is pathologically dominant. */
+  val DupWordFlagPm = 6000L
+  val TopBigramFlagPm = 700L
+
+  /** t34: repetition signals — the Gopher-style repetitious-text quality
+    * filter (duplicate-word fraction + most-frequent-bigram share) LLM
+    * corpus pipelines apply alongside t29's length heuristics. All
+    * integer permyriad arithmetic so both engines agree exactly.
+    *
+    * Every signal is WITHIN-document, so the whole operator is a per-row
+    * projection — zero shuffles (an explode + doc_id-keyed groupBy
+    * formulation paid two exchanges to compute what each row already
+    * holds). The top-bigram count is the longest run in the SORTED
+    * bigram array, computed by one `aggregate` fold; per-doc cost is
+    * O(L log L), bounded by document length, embarrassingly parallel —
+    * the ideal 100 TB shape. Docs with <2 words have no bigrams and are
+    * excluded on both engines by the same predicate.
+    */
+  def t34Repetition(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("bs", expr(
+        "array_sort(transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1])))"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+        expr("""aggregate(bs,
+             named_struct('prev', '', 'run', 0L, 'best', 0L),
+             (s, x) -> named_struct(
+               'prev', x,
+               'run', IF(x = s.prev, s.run + 1L, 1L),
+               'best', GREATEST(s.best, IF(x = s.prev, s.run + 1L, 1L))),
+             s -> s.best)""").as("top_bigram_n"),
+        size(col("bs")).cast("long").as("n_bigrams"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        expr("(n_words - n_distinct) * 10000 DIV n_words").as("dup_word_pm"),
+        expr("top_bigram_n * 10000 DIV n_bigrams").as("top_bigram_pm"))
+      .withColumn("rep_flagged",
+        (col("dup_word_pm") >= DupWordFlagPm ||
+         col("top_bigram_pm") >= TopBigramFlagPm).cast("int"))
+      .orderBy("doc_id")
+  }
 }

@@ -265,4 +265,64 @@ class QueriesSpec extends AnyFunSuite {
     assert(copies.subsetOf(flagged),
       s"benchmark copies not flagged: ${copies -- flagged}")
   }
+
+  test("p59 shards partition the corpus; positions are contiguous per shard") {
+    import org.apache.spark.sql.functions._
+    val s = graft.operators.Pipeline.p59ShardShuffle(spark, dir)
+    val nDocs = Tables.documents(spark, dir).count()
+    // every doc exactly once
+    assert(s.count() === nDocs)
+    assert(s.select("doc_id").distinct().count() === nDocs)
+    // per shard: positions are exactly 1..count (rank with no gaps/ties)
+    val bad = s.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("np"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("n") || col("np") =!= col("n"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("t33 redacts every synthesized identifier and counts match the footer rule") {
+    import org.apache.spark.sql.functions._
+    val t = graft.operators.TextAnalysis.t33PiiScrub(spark, dir).collect()
+    val expected = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("nssn"),
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("nph"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    t.foreach { r =>
+      val (n, nssn, nph) = expected(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === n, "exactly one email per doc")
+      assert(r.getLong(3) === nssn, "one SSN per doc_id%3==0 doc")
+      assert(r.getLong(4) === nph, "one phone per doc_id%2==0 doc")
+      assert(r.getLong(5) > 0L, "redaction must shrink the text")
+    }
+  }
+
+  test("t34 signals are bounded and the flag matches its thresholds") {
+    val rows = graft.operators.TextAnalysis.t34Repetition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nd) = (r.getLong(1), r.getLong(2))
+      val (dupPm, topPm) = (r.getLong(3), r.getLong(4))
+      assert(nd >= 1 && nd <= n)
+      assert(dupPm >= 0 && dupPm < 10000)
+      assert(topPm > 0 && topPm <= 10000)
+      val want = dupPm >= graft.operators.TextAnalysis.DupWordFlagPm ||
+        topPm >= graft.operators.TextAnalysis.TopBigramFlagPm
+      assert(r.getInt(5) === (if (want) 1 else 0))
+    }
+  }
+
+  test("d28 pairs are canonical, deduped, and a superset is found vs same-cell d25 semantics") {
+    val p = graft.operators.Dedup.d28EmbedCellDedup(spark, dir).collect()
+    p.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs canonicalized vec_a < vec_b")
+      assert(r.getDouble(2) >= graft.operators.Dedup.CellDedupThreshold)
+    }
+    assert(p.map(r => (r.getLong(0), r.getLong(1))).distinct.length === p.length,
+      "no duplicate pairs from the two probe routes")
+  }
 }
