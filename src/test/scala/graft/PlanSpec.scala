@@ -163,6 +163,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the probe:\n$p")
   }
 
+  test("t34 repetition signals are a pure projection (no exchange before the sort)") {
+    val df = operators.TextAnalysis.t34Repetition(spark, dir)
+    val plan = executed(df).toString
+    // every signal is within-document: the only exchange allowed is the
+    // final presentation sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hash exchange in a per-row operator:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"aggregation in a per-row operator:\n$plan")
+  }
+
+  test("p59 shard shuffle is one hash exchange + in-partition sort") {
+    val df = operators.Pipeline.p59ShardShuffle(spark, dir)
+    val n = countExchanges(df)
+    // shard hash partitioning + final presentation sort — the write path
+    // (repartition + sortWithinPartitions) pays exactly the first
+    assert(n <= 2, s"expected <=2 exchanges (shard partition + sort), got $n")
+  }
+
+  test("d28 cell dedup is an equi-join on cells, never cartesian") {
+    val p = planString(operators.Dedup.d28EmbedCellDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in cell dedup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in cell dedup:\n$p")
+  }
+
+  test("t33 PII scrub is projection + one aggregation, no join") {
+    val p = planString(operators.TextAnalysis.t33PiiScrub(spark, dir))
+    assert(!p.contains("Join"), s"unexpected join in a per-row scrub:\n$p")
+    // regex machinery must stay inside whole-stage codegen
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)
