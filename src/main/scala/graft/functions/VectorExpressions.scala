@@ -259,6 +259,98 @@ case class IvfCells(child: Expression)
     copy(child = c)
 }
 
+/** [[IvfCells]] with a caller-chosen cell count — for corpus-sized
+  * indexes (d28), where nlist must scale with the corpus (≈ √N balances
+  * the O(N·nlist) assignment against the O(N²/nlist) within-cell join)
+  * while s28/s29's fixed 16-cell query index stays untouched. The cell
+  * count must be a foldable integer literal: it parameterizes the
+  * centroid family, so it is part of the plan, not of the data.
+  */
+case class IvfCellsN(child: Expression, nCellsExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import PortableHash.{HplaneA, HplaneB, HplaneMod, HplaneShift, IvfOffset}
+
+  override def left: Expression = child
+  override def right: Expression = nCellsExpr
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, nCellsExpr.dataType, nCellsExpr.foldable) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType | LongType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (t, nt, f) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ivf_cells_n expects (array<float|double>, foldable int), got (${t.sql}, ${nt.sql}, foldable=$f)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells_n"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private lazy val nCells: Long = nCellsExpr.eval(null) match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
+  }
+
+  override def nullSafeEval(v: Any, unused: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var best1 = Double.NegativeInfinity; var idx1 = -1L
+    var best2 = Double.NegativeInfinity; var idx2 = -1L
+    var c = 0L
+    while (c < nCells) {
+      var dot = 0.0
+      var nrm2 = 0L
+      var j = 0
+      while (j < n) {
+        val w = (HplaneA * (c + IvfOffset) + HplaneB * (j + 1)) % HplaneMod - HplaneShift
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        dot += x * w
+        nrm2 += w * w
+        j += 1
+      }
+      val score = dot / math.sqrt(nrm2.toDouble)
+      if (score > best1) { best2 = best1; idx2 = idx1; best1 = score; idx1 = c }
+      else if (score > best2) { best2 = score; idx2 = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(idx1, idx2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot"); val nrm2 = ctx.freshName("nrm2")
+      val w = ctx.freshName("w"); val score = ctx.freshName("score")
+      val b1 = ctx.freshName("b1"); val i1 = ctx.freshName("i1")
+      val b2 = ctx.freshName("b2"); val i2 = ctx.freshName("i2")
+      val getX = if (isFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      s"""
+         |final int $n = $a.numElements();
+         |double $b1 = Double.NEGATIVE_INFINITY; long $i1 = -1L;
+         |double $b2 = Double.NEGATIVE_INFINITY; long $i2 = -1L;
+         |for (long $c = 0L; $c < ${nCells}L; $c++) {
+         |  double $dot = 0.0;
+         |  long $nrm2 = 0L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $w = (${HplaneA}L * ($c + $IvfOffset) + ${HplaneB}L * ($j + 1)) % ${HplaneMod}L - ${HplaneShift}L;
+         |    $dot += $getX * (double) $w;
+         |    $nrm2 += $w * $w;
+         |  }
+         |  double $score = $dot / java.lang.Math.sqrt((double) $nrm2);
+         |  if ($score > $b1) { $b2 = $b1; $i2 = $i1; $b1 = $score; $i1 = $c; }
+         |  else if ($score > $b2) { $b2 = $score; $i2 = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[]{$i1, $i2});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfCellsN =
+    copy(child = l, nCellsExpr = r)
+}
+
 /** Session registration for graft's native SQL functions. Idempotent per
   * session: operators call this defensively (any SparkSession may be
   * passed in), but re-registration is skipped once THIS register() has
@@ -286,6 +378,8 @@ object GraftFunctions {
       "graft_hyperplane_bucket", exprs => HyperplaneBucket(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ivf_cells", exprs => IvfCells(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ivf_cells_n", exprs => IvfCellsN(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash48", exprs => Simhash48(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

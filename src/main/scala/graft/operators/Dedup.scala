@@ -422,18 +422,33 @@ object Dedup {
     * and deduped because the two probe routes can discover the same pair
     * twice.
     *
-    * 100 TB posture: candidates ≈ Σ_cell |cell|² — production scales the
-    * cell count with the corpus (nlist ≈ N/target_cell_size, k-means
-    * centroids) so |cell| stays ~constant and the join stays linear;
-    * 16 deterministic pseudo-centroid cells are this harness's stand-in
-    * (same honest caveat as s28). Recall vs the exact d25 semantics is
-    * the standard IVF trade, measured by s29's recall harness.
+    * 100 TB posture: candidates ≈ Σ_cell |cell|², so nlist MUST scale
+    * with the corpus — a fixed grid melts down (16 cells at a 10×
+    * corpus measured 46 s vs 6 s single-node: 300M candidate pairs AND
+    * only 16 join keys' worth of parallelism). nlist = max(16, ⌈√N⌉)
+    * balances the O(N·nlist) assignment against the O(N²/nlist)
+    * within-cell join and keys the shuffle ~√N-wide; the count() that
+    * sizes it is one cheap planning job (d25-guard pattern), and the
+    * oracle derives the identical count in SQL. Deterministic
+    * pseudo-centroids stand in for k-means (same honest caveat as s28).
+    * Recall vs the exact d25 semantics is the standard IVF trade,
+    * measured by s29's recall harness.
     */
   def d28EmbedCellDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
+    val nVec = Tables.embeddings(spark, dir).count()
+    val nCells = math.max(16L, math.ceil(math.sqrt(nVec.toDouble)).toLong)
+    // The cell assignment is COMPUTE-bound (nlist·dims ops/row), so the
+    // scan's split count must not cap parallelism. A corpus-scale input
+    // has thousands of file splits and skips this; a narrow test file
+    // (one split for a few MB) gets rebalanced — one tiny shuffle for a
+    // cores-wide compute stage.
+    val raw = Tables.embeddings(spark, dir)
+    val width = spark.sparkContext.defaultParallelism
+    val src = if (raw.rdd.getNumPartitions < width) raw.repartition(width) else raw
+    val e = src
       .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
-      .withColumn("cells", expr("graft_ivf_cells(embedding)"))
+      .withColumn("cells", expr(s"graft_ivf_cells_n(embedding, ${nCells}L)"))
     val home = e.withColumn("cell", col("cells").getItem(0))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
     val probe = e.withColumn("cell", explode(col("cells")))

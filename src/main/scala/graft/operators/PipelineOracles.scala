@@ -302,9 +302,10 @@ object PipelineOracles {
   // graft_ivf_cells; norm² is an exact int64 sum so cells agree exactly;
   // ties rank the lower cell index first on both engines
   /** CTE chain ending in `rk(vec_id, v, norm, c, rn)` — every vector's
-    * IVF cells ranked by centroid score; rn=1 is the home cell. Shared
-    * by s28/s29 (query-side probes) and d28 (corpus-wide cell dedup). */
-  private val ivfRankCtes: String = {
+    * IVF cells ranked by centroid score; rn=1 is the home cell. The cell
+    * relation must alias t(c). Shared by s28/s29 (fixed 16-cell query
+    * index) and d28 (corpus-scaled nlist). */
+  private def ivfRankCtesFor(cellSrc: String): String = {
     val wSql = s"(($HplaneA * (t.c + $IvfOffset) + $HplaneB * j) % $HplaneMod) - $HplaneShift"
     s"""$vecCte, sc AS (
       |  SELECT vec_id, v, norm, t.c AS c,
@@ -312,13 +313,20 @@ object PipelineOracles {
       |           j -> v[j] * CAST($wSql AS DOUBLE)))
       |           / sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
       |               j -> ($wSql) * ($wSql))) AS DOUBLE)) AS score
-      |  FROM n, range(0, $IvfCells) t(c)
+      |  FROM n, $cellSrc
       |), rk AS (
       |  SELECT vec_id, v, norm, c,
       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
       |  FROM sc
       |)""".stripMargin
   }
+  private val ivfRankCtes: String = ivfRankCtesFor(s"range(0, $IvfCells) t(c)")
+
+  /** d28's corpus-scaled cell count, derived from the data in SQL —
+    * identical to the Spark side's max(16, ceil(sqrt(count()))). */
+  private val d28CellSrc: String =
+    """(SELECT unnest(generate_series(0,
+      |    (SELECT GREATEST(16, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM embeddings) - 1)) AS c) t""".stripMargin
 
   /** CTE chain ending in `p(query_id, neighbor_id, cos_sim)` — the IVF
     * cell-join candidates with exact cosine, shared by s28 (top-3
@@ -492,7 +500,7 @@ object PipelineOracles {
   // corpus on home cell (rn=1), every vector probes rn<=2; pairs
   // canonicalized + DISTINCT (two probe routes can find the same pair)
   private val d28Sql: String =
-    s"""$ivfRankCtes, home AS (
+    s"""${ivfRankCtesFor(d28CellSrc)}, home AS (
       |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn = 1
       |), probe AS (
       |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn <= $IvfProbes
