@@ -55,6 +55,7 @@ object SparkEntry {
     "st36_stream_static_join" -> (graft.streaming.Streams.st36StreamStaticJoin _),
     "st37_stream_stream_join" -> (graft.streaming.Streams.st37StreamStreamJoin _),
     "st35_stream_dedup"   -> (graft.streaming.Streams.st35StreamDedup _),
+    "st38_stream_corpus_admit" -> (graft.streaming.Streams.st38StreamCorpusAdmit _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),

@@ -496,6 +496,31 @@ object PipelineOracles {
       |FROM hits
       |ORDER BY doc_id""".stripMargin
 
+  // batch mirror of Streams.st38StreamCorpusAdmit: d27's corpus-index
+  // checks without the within-batch leader (not streaming-expressible
+  // deterministically — see the operator's scaladoc)
+  private val st38Sql: String = {
+    val m = Dedup.IncrementalBatchMod
+    s"""WITH $d22BandsCtes, corpus_h AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % $m <> 0
+      |), near AS (
+      |  SELECT DISTINCT bb.doc_id
+      |  FROM bands bb JOIN (
+      |    SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % $m <> 0
+      |  ) cb ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key
+      |  WHERE bb.doc_id % $m = 0
+      |)
+      |SELECT d.doc_id,
+      |       CASE WHEN ch.h IS NOT NULL THEN 'exact_corpus'
+      |            WHEN near.doc_id IS NOT NULL THEN 'near_corpus'
+      |            ELSE 'admitted' END AS status
+      |FROM documents d
+      |     LEFT JOIN corpus_h ch ON md5(d.text) = ch.h
+      |     LEFT JOIN near ON d.doc_id = near.doc_id
+      |WHERE d.doc_id % $m = 0
+      |ORDER BY 1""".stripMargin
+  }
+
   // mirror of Dedup.d28EmbedCellDedup: same ranked-cell CTEs as s28,
   // corpus on home cell (rn=1), every vector probes rn<=2; pairs
   // canonicalized + DISTINCT (two probe routes can find the same pair)
@@ -748,6 +773,7 @@ object PipelineOracles {
     "t34_repetition"   -> t34Sql,
     "p59_shard_shuffle" -> p59Sql,
     "d28_embed_celldedup" -> d28Sql,
+    "st38_stream_corpus_admit" -> st38Sql,
     "m32_multimodal"   -> m32Sql
   )
 }

@@ -147,6 +147,59 @@ object Streams {
       .orderBy("user_id", "view_event", "purchase_event")
   }
 
+  /** st38: streaming corpus admission — d27's nightly batch-vs-corpus
+    * check as a CONTINUOUS ingestion query: the stream of newly arrived
+    * docs (d27's doc_id % 5 batch rule) runs two stream–static joins
+    * against the standing corpus's materialized indexes (distinct
+    * content hashes; distinct minhash band buckets) and emits a
+    * precedence-ordered admission status per doc. Statuses depend only
+    * on the STATIC indexes — never on arrival order or stream state —
+    * so the result is deterministic and batch-mirrorable; d27's
+    * `exact_batch` (within-batch leader election) is deliberately not
+    * replicated because a streaming leader would be first-arrival,
+    * i.e. racy — the admitted set is re-led by the next full p55 pass,
+    * exactly as d27 documents for within-batch near-dups.
+    *
+    * Scale posture: the band explode multiplies the (small) stream side
+    * only; both joins probe static indexes that production keeps
+    * materialized between increments (broadcast when they fit, shuffled
+    * equi-joins otherwise); the per-doc status aggregation is keyed
+    * state a watermark would expire in production (bounded replay here
+    * uses complete mode, st36's harness shape).
+    */
+  def st38StreamCorpusAdmit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val isBatch = pmod(col("doc_id"), lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(!isBatch)
+      .withColumn("words", split(col("text"), " "))
+    val corpusH = corpus.select(md5(col("text")).as("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val corpusBands = corpus.filter(size(col("words")) >= 3)
+      .select(posexplode(expr("graft_minhash_bands(graft_shingles3(words))"))
+        .as(Seq("band_idx", "band_key")))
+      .distinct()
+      .withColumn("band_hit", lit(true))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(isBatch)
+      .withColumn("h", md5(col("text")))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("h"),
+        posexplode_outer(when(size(col("words")) >= 3,
+          expr("graft_minhash_bands(graft_shingles3(words))")))
+          .as(Seq("band_idx", "band_key")))
+      .join(broadcast(corpusH), Seq("h"), "left")
+      .join(broadcast(corpusBands), Seq("band_idx", "band_key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("in_corpus")).as("in_corpus"), max(col("band_hit")).as("is_near"))
+      .select(col("doc_id"),
+        when(col("in_corpus"), "exact_corpus")
+          .when(col("is_near"), "near_corpus")
+          .otherwise("admitted").as("status"))
+    runToTable(spark, stream, "complete", "st38").orderBy("doc_id")
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Instant,

@@ -266,6 +266,20 @@ class QueriesSpec extends AnyFunSuite {
       s"benchmark copies not flagged: ${copies -- flagged}")
   }
 
+  test("st38 statuses equal d27's wherever d27 does not elect a batch leader") {
+    // st38 deliberately omits exact_batch (arrival-order-dependent); on
+    // every other doc the streaming admission must agree with the batch
+    // operator bit-for-bit
+    val stream = graft.streaming.Streams.st38StreamCorpusAdmit(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.operators.Dedup.d27IncrementalDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stream.keySet === batch.keySet)
+    batch.foreach { case (id, st) =>
+      if (st != "exact_batch") assert(stream(id) === st, s"doc $id: d27=$st st38=${stream(id)}")
+    }
+  }
+
   test("p59 shards partition the corpus; positions are contiguous per shard") {
     import org.apache.spark.sql.functions._
     val s = graft.operators.Pipeline.p59ShardShuffle(spark, dir)
