@@ -302,6 +302,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_ivf_cells_n(v, 16) is exactly graft_ivf_cells(v) on real vectors") {
+    // the parameterized corpus-sized variant must be a strict
+    // generalization of the fixed query-index expression
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val mismatches = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(expr("graft_ivf_cells(embedding)").as("fixed"),
+        expr("graft_ivf_cells_n(embedding, 16)").as("param"))
+      .filter(col("fixed") =!= col("param"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash
