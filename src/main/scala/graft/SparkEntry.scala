@@ -78,6 +78,7 @@ object SparkEntry {
     "d28_embed_celldedup" -> (Dedup.d28EmbedCellDedup _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
+    "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),

@@ -82,6 +82,61 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** m34 stride: every 4th payload byte survives — the "quarter
+    * resolution" stand-in for a real image/audio downsample. */
+  val ResizeStride = 4
+
+  /** Resize output: new payload rides as opaque bytes next to its
+    * provenance metadata; the hash is over the RESIZED bytes' hex
+    * (uppercase, DuckDB hex() convention) so the oracle can verify the
+    * transformed CONTENT without blob support. */
+  case class ResizedOut(doc_id: Long, n_bytes: Long, n_resized: Long,
+      resized_hash: String, byte_sum: Long, meta_fmt: String)
+
+  /** m34: payload resize — the binary→binary batch transform of the
+    * multimodal set (decode=m32, frame-sample=m33, resize=here): each
+    * payload is downsampled by [[ResizeStride]] inside a mapPartitions
+    * batch stage and the RESIZED payload is re-emitted with updated
+    * metadata — the image-resize / audio-downsample production shape
+    * (mapInPandas in the Python stack), with the codec stubbed by
+    * deterministic byte striding (no media libs in this container).
+    * Output carries an md5 witness of the resized bytes plus their sum,
+    * so the oracle verifies the transform's content, not just lengths.
+    *
+    * 100 TB posture: pure partition-parallel projection — no shuffle
+    * before the presentation sort; output bytes are ¼ of input, so the
+    * stage SHRINKS the dataset (the reason resize runs before any
+    * shuffle-bearing stage in real pipelines).
+    */
+  def m34PayloadResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+        col("n_chars").as("meta_n_chars"), lit("txt").as("meta_fmt"))
+      .as[MediaIn]
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val src = r.payload
+        val out = Array.ofDim[Byte]((src.length + ResizeStride - 1) / ResizeStride)
+        var i = 0; var sum = 0L
+        val hexb = new StringBuilder(out.length * 2)
+        while (i < out.length) {
+          val b = src(i * ResizeStride)
+          out(i) = b; sum += (b & 0xff)
+          hexb.append("%02X".format(b & 0xff))
+          i += 1
+        }
+        md.reset()
+        val hash = md.digest(hexb.toString.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        ResizedOut(r.doc_id, src.length.toLong, out.length.toLong, hash, sum, r.meta_fmt)
+      }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
   def m32Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)

@@ -631,6 +631,33 @@ object PipelineOracles {
       |FROM k
       |ORDER BY shard, pos""".stripMargin
 
+  // mirror of Multimodal.m34PayloadResize: byte i of the resized payload
+  // is source byte i*stride = hex chars [8i+1, 8i+2] of the uppercase
+  // hex payload (DuckDB 1.0 cannot slice blobs — same device as m33);
+  // the hash is md5 of the resized bytes' hex string on both engines
+  private val m34Sql: String = {
+    val s = Multimodal.ResizeStride
+    s"""WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents WHERE length(text) > 0
+      |), idx AS (
+      |  SELECT doc_id, hx, n, unnest(generate_series(0, (n + ${s - 1}) // $s - 1)) AS i
+      |  FROM b
+      |), pieces AS (
+      |  SELECT doc_id, n, i, substr(hx, ${2 * s} * i + 1, 2) AS hh
+      |  FROM idx
+      |)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+      |       CAST(COUNT(*) AS BIGINT) AS n_resized,
+      |       md5(string_agg(hh, '' ORDER BY i)) AS resized_hash,
+      |       CAST(SUM(('0x' || hh)::INT) AS BIGINT) AS byte_sum,
+      |       'txt' AS meta_fmt
+      |FROM pieces
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // first_byte is byte-oriented (first OCTET of the utf-8 payload, via a
   // hex-string prefix — DuckDB 1.0 can't slice blobs), matching Spark's
   // payload(0) & 0xff; ascii() would return the code POINT of the first
@@ -774,6 +801,7 @@ object PipelineOracles {
     "p59_shard_shuffle" -> p59Sql,
     "d28_embed_celldedup" -> d28Sql,
     "st38_stream_corpus_admit" -> st38Sql,
-    "m32_multimodal"   -> m32Sql
+    "m32_multimodal"   -> m32Sql,
+    "m34_payload_resize" -> m34Sql
   )
 }

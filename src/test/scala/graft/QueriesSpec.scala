@@ -330,6 +330,16 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("m34 resize arithmetic: n_resized = ceil(n_bytes/stride), byte_sum bounded") {
+    val stride = graft.operators.Multimodal.ResizeStride
+    graft.operators.Multimodal.m34PayloadResize(spark, dir).collect().foreach { r =>
+      val (nb, nr, sum) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(nr === (nb + stride - 1) / stride)
+      assert(sum >= 0 && sum <= nr * 255L)
+      assert(r.getString(3).length === 32, "md5 witness present")
+    }
+  }
+
   test("d28 pairs are canonical, deduped, and a superset is found vs same-cell d25 semantics") {
     val p = graft.operators.Dedup.d28EmbedCellDedup(spark, dir).collect()
     p.foreach { r =>
