@@ -240,7 +240,8 @@ object TextAnalysis {
   val TopBigramFlagPm = 700L
 
   /** t34: repetition signals — the Gopher-style repetitious-text quality
-    * filter (duplicate-word fraction + most-frequent-bigram share) LLM
+    * filter (duplicate-word fraction + most-frequent-bigram share; Rae
+    * et al. 2021, arXiv:2112.11446 §A1.1.3's repetition heuristics) LLM
     * corpus pipelines apply alongside t29's length heuristics. All
     * integer permyriad arithmetic so both engines agree exactly.
     *
