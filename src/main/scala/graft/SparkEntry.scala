@@ -81,6 +81,9 @@ object SparkEntry {
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
+    "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
+    "t35_keywords"        -> (TextAnalysis.t35Keywords _),
+    "q43_partition_prune" -> (graft.sources.Sources.q43PartitionPrune _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),
     "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _),
     "q39_bucketed_join"   -> (graft.sources.Sources.q39BucketedJoin _),
@@ -158,6 +161,14 @@ object SparkEntry {
           |       ROUND(SUM(l_extendedprice), 2) AS revenue
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q43_partition_prune" ->
+        """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date, event_type,
+          |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+          |FROM events
+          |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08'
+          |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin,
       "q40_multi_format" ->
         """SELECT r_name, n_name
           |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -191,6 +191,49 @@ object Pipeline {
       .orderBy("shard", "pos")
   }
 
+  /** p60 vocabulary cutoff. Production sizes this as the tokenizer's
+    * target vocab (30–250k); 20 keeps the top-K selection meaningful on
+    * the synthetic corpus (31 distinct tokens at sf0.01). */
+  val VocabTopK = 20
+
+  /** p60: tokenizer vocabulary construction — the corpus-wide token
+    * frequency table every tokenizer build (BPE/WordPiece seeding,
+    * coverage studies) starts from: occurrence count + document
+    * frequency per token, top-[[VocabTopK]] by count, with cumulative
+    * corpus coverage in permyriad (what share of all token occurrences
+    * the vocab prefix up to this rank explains).
+    *
+    * 100 TB posture: the token-grain aggregation map-side combines (the
+    * shuffle carries ≤|vocab| rows per task, not token occurrences);
+    * document frequency rides the same pass as a count-distinct. Top-K
+    * selection is `orderBy(...).limit(K)` — Spark plans TakeOrdered
+    * (per-partition heaps + driver merge of K·P rows), NEVER a global
+    * sort of the vocabulary (PlanSpec pins it). The rank/cumulative
+    * windows then run over exactly K rows, and the corpus token total
+    * joins in as a broadcast scalar. Integer permyriad coverage — both
+    * engines agree exactly.
+    */
+  def p60VocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", split(coalesce(col("text"), lit("")), " "))
+    val total = docs.agg(sum(size(col("words"))).cast("long").as("total_tokens"))
+    val top = docs
+      .select(col("doc_id"), explode(col("words")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(VocabTopK)
+    val w = Window.orderBy(col("n_occ").desc, col("token"))
+    top
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_occ",
+        sum(col("n_occ")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("token"), col("n_occ"), col("n_docs"),
+        expr("cum_occ * 10000 DIV total_tokens").as("cum_cov_pm"))
+      .orderBy("rnk")
+  }
+
   def p55CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val base = Tables.documents(spark, dir)

@@ -772,7 +772,58 @@ object PipelineOracles {
       |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // mirror of Pipeline.p60VocabBuild: identical tie-break (count desc,
+  // token asc) in both the LIMIT and the rank/cumulative windows,
+  // integer permyriad coverage
+  private val p60Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      |  FROM tok GROUP BY token
+      |), tot AS (
+      |  SELECT CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS total_tokens
+      |  FROM documents
+      |), top AS (
+      |  SELECT token, n_occ, n_docs FROM tf
+      |  ORDER BY n_occ DESC, token LIMIT ${Pipeline.VocabTopK}
+      |), r AS (
+      |  SELECT token, n_occ, n_docs,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rnk,
+      |         CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, token
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ
+      |  FROM top
+      |)
+      |SELECT rnk, token, n_occ, n_docs, cum_occ * 10000 // total_tokens AS cum_cov_pm
+      |FROM r, tot
+      |ORDER BY rnk""".stripMargin
+
+  // mirror of TextAnalysis.t35Keywords: df computed off the distinct
+  // (doc, token) grain, same integer ppm relevance, same tie-break
+  private val t35Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+      |), dfx AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), j AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+      |         tf.tf * 1000000 // dfx.df AS rel_ppm
+      |  FROM tf JOIN dfx USING (token)
+      |), r AS (
+      |  SELECT doc_id, token, tf, df, rel_ppm,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                                 ORDER BY rel_ppm DESC, token) AS BIGINT) AS rnk
+      |  FROM j
+      |)
+      |SELECT doc_id, rnk, token, tf, df, rel_ppm
+      |FROM r WHERE rnk <= ${TextAnalysis.KeywordsPerDoc}
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "p60_vocab_build"  -> p60Sql,
+    "t35_keywords"     -> t35Sql,
     "d21_exact_dedup" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY content_hash

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PortableHash.ph
@@ -254,6 +255,42 @@ object TextAnalysis {
     * the ideal 100 TB shape. Docs with <2 words have no bigrams and are
     * excluded on both engines by the same predicate.
     */
+  /** t35 keywords kept per document. */
+  val KeywordsPerDoc = 3
+
+  /** t35: per-document keyword extraction — the top-[[KeywordsPerDoc]]
+    * most salient tokens per doc by an integer tf/df relevance score
+    * (`tf · 10⁶ div df` — monotone in tf-idf's tf·log(N/df) for a fixed
+    * doc, but exact integer arithmetic both engines reproduce bit-for-
+    * bit, where `ln()` could differ in the last ulp and flip a rank).
+    * The signal corpus pipelines use for topic tagging and
+    * stratified inspection sampling.
+    *
+    * 100 TB posture: term frequency aggregates on the (doc, token) grain
+    * with map-side combine; document frequency is a second aggregation
+    * of that SAME grain (one row per distinct pair, so `count(*)` = df —
+    * no count-distinct expansion) and comes back as a broadcast join
+    * (a tokenizer-scale vocabulary is MBs; a join would re-shuffle every
+    * (doc, token) pair by token). The per-doc top-k filter on
+    * `row_number` is pushed into the shuffle as WindowGroupLimit
+    * (PlanSpec pins it) — only ≤k rows per doc survive the exchange.
+    */
+  def t35Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(docFreq), Seq("token"))
+      .withColumn("rel_ppm", expr("tf * 1000000 DIV df"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("rel_ppm").desc, col("token"))))
+      .filter(col("rnk") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("token"),
+        col("tf"), col("df"), col("rel_ppm"))
+      .orderBy("doc_id", "rnk")
+  }
+
   def t34Repetition(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))

@@ -95,6 +95,37 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** q43: date-partitioned lake layout → partition-pruned scan. The
+    * OTHER half of the 100 TB layout story next to q39's bucketing:
+    * facts land partitioned by event date (`partitionBy` directories),
+    * so a dashboard-week query plans a PartitionFilter and reads 7 of
+    * the ~30 date directories — pruning happens at FILE LISTING time,
+    * before any row is touched (PlanSpec asserts the filter never
+    * degrades to a post-scan predicate). Mirrors how the reference's
+    * date-windowed reports (`scratch/other/event-history.R` monthly
+    * slices) would be laid out in a lake.
+    *
+    * The write repartitions by the partition column first — the
+    * production small-files discipline: without it every input task
+    * writes a file into every date directory (tasks × dates files);
+    * with it each date directory gets one file.
+    */
+  def q43PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory(s"graft_part_${counter.incrementAndGet()}_")
+      .toString
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("event_date") >= lit("2024-01-08") && col("event_date") < lit("2024-01-15"))
+      .groupBy("event_date", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("event_date", "event_type")
+  }
+
   /** q40: ORC sink/source + JSON sink/source feeding the same join.
     * Exercises the remaining batch file formats (the reference emits and
     * consumes flat files beyond CSV); fidelity is value-checked because

@@ -194,6 +194,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no codegen spans:\n$p")
   }
 
+  test("p60 top-K is TakeOrdered (never a global sort of the vocabulary)") {
+    val p = planString(operators.Pipeline.p60VocabBuild(spark, dir))
+    // per-partition heaps + driver merge; the rank/coverage windows then
+    // see exactly K rows — a rangepartitioning sort of the full token
+    // grain here would be the 100 TB failure mode
+    assert(p.contains("TakeOrderedAndProject"), s"top-K not TakeOrdered:\n$p")
+  }
+
+  test("t35 df join broadcasts and the per-doc top-k pushes into the shuffle") {
+    val p = planString(operators.TextAnalysis.t35Keywords(spark, dir))
+    // document frequency is vocabulary-sized — it must come back as a
+    // broadcast, never re-shuffling the (doc, token) grain by token
+    assert(p.contains("BroadcastHashJoin"), s"df join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"(doc, token) grain re-shuffled:\n$p")
+    // rnk <= K must become WindowGroupLimit so only K rows/doc survive
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed down:\n$p")
+  }
+
+  test("q43 week filter prunes partitions at listing time") {
+    val p = planString(sources.Sources.q43PartitionPrune(spark, dir))
+    // the filter must plan as a PartitionFilter on the directory column
+    // (pruning before any row is read), not a post-scan predicate
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_date[^\\]]*\\].*"),
+      s"no partition filter on event_date:\n$p")
+    assert(!p.matches("(?s).*PushedFilters: \\[[^\\]]*event_date[^\\]]*\\].*"),
+      s"event_date degraded to a row-group filter:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

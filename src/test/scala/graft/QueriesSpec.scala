@@ -349,4 +349,46 @@ class QueriesSpec extends AnyFunSuite {
     assert(p.map(r => (r.getLong(0), r.getLong(1))).distinct.length === p.length,
       "no duplicate pairs from the two probe routes")
   }
+
+  test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
+    val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq)
+    val occs = rows.map(_.getLong(2))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b }, "n_occ nonincreasing")
+    val cov = rows.map(_.getLong(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage monotone")
+    assert(cov.last <= 10000L)
+    rows.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2),
+      "1 <= df <= occurrences"))
+  }
+
+  test("t35 keywords: <=K per doc, rank/relevance consistent, df covers tf") {
+    val rows = graft.operators.TextAnalysis.t35Keywords(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val k = graft.operators.TextAnalysis.KeywordsPerDoc
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.length <= k)
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      val rel = sorted.map(_.getLong(5))
+      assert(rel.zip(rel.tail).forall { case (a, b) => a >= b },
+        "relevance nonincreasing within doc")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L, "tf >= 1")
+      assert(r.getLong(4) >= 1L, "df >= 1")
+      assert(r.getLong(5) === r.getLong(3) * 1000000L / r.getLong(4))
+    }
+  }
+
+  test("q43 pruned week: every output date inside the filter window") {
+    val rows = graft.sources.Sources.q43PartitionPrune(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getString(0)
+      assert(d >= "2024-01-08" && d < "2024-01-15", s"date $d outside pruned window")
+      assert(r.getLong(2) > 0L)
+    }
+  }
 }
