@@ -280,7 +280,15 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // sum(tf>=1 ? 1 : 0) IS count(*) here (tf is a count, always >= 1),
+    // phrased so this branch's aggregate still needs the tf column: with
+    // count(*) Catalyst prunes tf out and rewrites the branch to a
+    // keys-only distinct, the two tf subtrees stop being canonically
+    // identical, and ReuseExchange can no longer collapse them — the
+    // corpus would be scanned and exploded twice. Degrades gracefully
+    // (correct, one extra scan) if a future optimizer folds it.
+    val docFreq = tf.groupBy("token")
+      .agg(sum(when(col("tf") >= 1L, 1L).otherwise(0L)).as("df"))
     tf.join(broadcast(docFreq), Seq("token"))
       .withColumn("rel_ppm", expr("tf * 1000000 DIV df"))
       .withColumn("rnk", row_number().over(

@@ -210,6 +210,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"(doc, token) grain re-shuffled:\n$p")
     // rnk <= K must become WindowGroupLimit so only K rows/doc survive
     assert(p.contains("WindowGroupLimit"), s"top-k not pushed down:\n$p")
+    // tf feeds BOTH the probe side and the df aggregation through ONE
+    // reused exchange — the corpus must be scanned and exploded once,
+    // not once per branch (the df formulation is phrased to keep the
+    // two tf subtrees canonically identical; see t35Keywords)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
   test("q43 week filter prunes partitions at listing time") {
