@@ -213,8 +213,13 @@ object Pipeline {
     * joins in as a broadcast scalar. Integer permyriad coverage — both
     * engines agree exactly.
     */
-  def p60VocabBuild(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def p60VocabBuild(spark: SparkSession, dir: String): DataFrame =
+    p60VocabCore(Tables.documents(spark, dir))
+
+  /** Rule core over any (doc_id, text) frame — extracted so property
+    * tests can drive random corpora through the exact production plan. */
+  private[graft] def p60VocabCore(documents: DataFrame): DataFrame = {
+    val docs = documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
     val total = docs.agg(sum(size(col("words"))).cast("long").as("total_tokens"))
     val top = docs

@@ -275,8 +275,13 @@ object TextAnalysis {
     * `row_number` is pushed into the shuffle as WindowGroupLimit
     * (PlanSpec pins it) — only ≤k rows per doc survive the exchange.
     */
-  def t35Keywords(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+  def t35Keywords(spark: SparkSession, dir: String): DataFrame =
+    t35KeywordsCore(Tables.documents(spark, dir))
+
+  /** Rule core over any (doc_id, text) frame — extracted so property
+    * tests can drive random corpora through the exact production plan. */
+  private[graft] def t35KeywordsCore(documents: DataFrame): DataFrame = {
+    val tf = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))

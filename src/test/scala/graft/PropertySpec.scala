@@ -315,6 +315,67 @@ class PropertySpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  /** Random tiny corpora: few-token alphabet so tf/df ties and shared
+    * vocabulary occur constantly. */
+  private val corpusGen: Gen[List[(Long, String)]] = Gen.listOf(for {
+    id <- Gen.choose(0L, 19L)
+    nw <- Gen.choose(1, 8)
+    ws <- Gen.listOfN(nw, Gen.choose(0, 6).map(i => s"w$i"))
+  } yield (id, ws.mkString(" "))).map(_.groupBy(_._1).map { case (id, ds) =>
+    (id, ds.head._2)
+  }.toList)
+
+  test("t35 keywords match the in-memory tf/df ranking on random corpora") {
+    import org.apache.spark.sql.functions._
+    samples(corpusGen, 20).filter(_.nonEmpty).foreach { docs =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+      val got = operators.TextAnalysis.t35KeywordsCore(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      // reference: tf per (doc, token), df per token, integer ppm, top-3
+      val tf = docs.flatMap { case (id, t) => t.split(" ").map(w => (id, w)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val dfm = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+      val want = tf.keys.groupBy(_._1).flatMap { case (id, ks) =>
+        val ranked = ks.toSeq
+          .map { case (_, w) => (w, tf((id, w)), dfm(w), tf((id, w)) * 1000000L / dfm(w)) }
+          .sortBy { case (w, _, _, rel) => (-rel, w) }
+          .take(operators.TextAnalysis.KeywordsPerDoc)
+        ranked.zipWithIndex.map { case ((w, t, d, rel), i) =>
+          (id, (i + 1).toLong) -> ((w, t, d, rel)) }
+      }
+      assert(got === want)
+    }
+  }
+
+  test("p60 vocab matches the in-memory frequency table on random corpora") {
+    samples(corpusGen, 20).filter(_.nonEmpty).foreach { docs =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+      val got = operators.Pipeline.p60VocabCore(df).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val occ = docs.flatMap { case (_, t) => t.split(" ") }
+        .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+      val dfm = docs.flatMap { case (id, t) => t.split(" ").distinct.map(w => (w, id)) }
+        .groupBy(_._1).map { case (w, v) => w -> v.size.toLong }
+      val total = occ.values.sum
+      val ranked = occ.toSeq.sortBy { case (w, n) => (-n, w) }
+        .take(operators.Pipeline.VocabTopK)
+      var cum = 0L
+      val want = ranked.zipWithIndex.map { case ((w, n), i) =>
+        cum += n
+        (i + 1).toLong -> ((w, n, dfm(w), cum * 10000L / total))
+      }.toMap
+      assert(got === want)
+    }
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash
