@@ -56,6 +56,7 @@ object SparkEntry {
     "st37_stream_stream_join" -> (graft.streaming.Streams.st37StreamStreamJoin _),
     "st35_stream_dedup"   -> (graft.streaming.Streams.st35StreamDedup _),
     "st38_stream_corpus_admit" -> (graft.streaming.Streams.st38StreamCorpusAdmit _),
+    "st39_stream_file_sink" -> (graft.streaming.Streams.st39StreamFileSink _),
     "d21_exact_dedup"     -> (Dedup.d21ExactDedup _),
     "d22_minhash_lsh"     -> (Dedup.d22MinhashLsh _),
     "d23_simhash"         -> (Dedup.d23Simhash _),

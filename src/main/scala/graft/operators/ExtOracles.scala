@@ -206,6 +206,14 @@ object ExtOracles {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // st39: the file sink's exactly-once guarantee means the sink
+  // directory aggregates to exactly the source-table aggregate
+  private val st39Sql: String =
+    """SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS sum_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** q52: q07's sessionization feeding a string_agg trace per session,
     * then trace frequency/coverage ranking — mirrors [[EventLog.q52Traces]].
     */
@@ -364,6 +372,7 @@ object ExtOracles {
     "q51_quantile_sketch" -> q51Sql,
     "m33_frame_sample"  -> m33Sql,
     "st35_stream_dedup" -> st35Sql,
-    "st36_stream_static_join" -> st36Sql
+    "st36_stream_static_join" -> st36Sql,
+    "st39_stream_file_sink" -> st39Sql
   )
 }

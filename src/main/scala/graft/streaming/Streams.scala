@@ -200,6 +200,41 @@ object Streams {
     runToTable(spark, stream, "complete", "st38").orderBy("doc_id")
   }
 
+  /** st39: streaming file sink — the continuous-ingestion WRITE path the
+    * other st ops (memory sinks) never exercise: readStream → project →
+    * `writeStream.format("parquet")` with a checkpoint directory. The
+    * parquet sink is transactional: each micro-batch commits atomically
+    * to the `_spark_metadata` log, and readers list files THROUGH that
+    * log, so output is exactly-once across restarts (an orphaned file
+    * from a failed batch is invisible). After draining, the sink
+    * directory is read back and aggregated; the oracle states the same
+    * aggregate over the original table, so sink fidelity — schema,
+    * values, no duplicated or dropped batches — is value-checked, not
+    * just smoke-checked.
+    *
+    * Scale posture: stateless pass-through (no watermark state); at
+    * production scale this is the ingestion leg that lands a streaming
+    * source as date-partitioned parquet (q43's layout) for the batch
+    * operators to consume.
+    */
+  def st39StreamFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val n = counter.incrementAndGet()
+    val out = java.nio.file.Files.createTempDirectory(s"graft_st39_out_${n}_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st39_ck_${n}_").toString
+    val ev = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = ev.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Instant,
