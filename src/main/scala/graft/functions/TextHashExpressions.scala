@@ -155,6 +155,31 @@ object TextHash {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Portable hashes of EVERY w-token window, stride 1, positions
+    * preserved (NOT distinct — span detection counts occurrences, so a
+    * passage repeated within one document must appear twice). Same
+    * byte-level space-join as [[shingleAt]], so the hash equals
+    * ph(array_to_string(words[i:i+w-1], ' ')) on the oracle side.
+    */
+  def windowHashesData(words: ArrayData, w: Int): ArrayData = {
+    val n = words.numElements()
+    val count = n - w + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var s = words.getUTF8String(i)
+      var j = 1
+      while (j < w) {
+        s = UTF8String.concat(s, Space, words.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = ph(s.getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Shared doGenCode shape for the text-hash expressions: the generated
@@ -222,6 +247,43 @@ case class MinhashSig(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.minhashSigData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
+}
+
+/** window_hashes(array<string>, w) → array<bigint>: portable hashes of
+  * every w-token window, stride 1 (d29's span postings). The window
+  * width must be a foldable integer literal — it parameterizes the
+  * posting family, so it is part of the plan, not of the data.
+  */
+case class WindowHashes(child: Expression, wExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = wExpr
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, wExpr.dataType, wExpr.foldable) match {
+      case (ArrayType(StringType, _), IntegerType | LongType, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (t, wt, f) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_window_hashes expects (array<string>, foldable int), got (${t.sql}, ${wt.sql}, foldable=$f)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  private lazy val w: Int = wExpr.eval(null) match {
+    case i: java.lang.Integer => i.intValue()
+    case l: java.lang.Long => l.intValue()
+  }
+
+  override def nullSafeEval(v: Any, unused: Any): Any =
+    TextHash.windowHashesData(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.TextHash.windowHashesData($a, $w);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WindowHashes = copy(child = l, wExpr = r)
 }
 
 /** minhash_bands(array<string>) → array<string> of LSH band keys. */

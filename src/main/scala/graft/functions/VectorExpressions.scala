@@ -388,6 +388,8 @@ object GraftFunctions {
       "graft_minhash_bands", exprs => MinhashBands(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_hashes", exprs => WindowHashes(exprs(0), exprs(1)), "scala_udf")
     registered.add(spark)
   }
 }

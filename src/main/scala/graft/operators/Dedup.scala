@@ -464,4 +464,46 @@ object Dedup {
       .distinct()
       .orderBy("vec_a", "vec_b")
   }
+
+  /** d29 span width in tokens. Lee et al. use 50-token substrings on
+    * real web text; 8 keeps spans shorter than the synthetic corpus's
+    * documents while still far above chance collision. */
+  val SpanTokens = 8
+
+  /** d29: exact repeated-span detection — the ExactSubstr dedup pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): find fixed-width token passages that
+    * occur more than once in the corpus (licenses, boilerplate headers,
+    * templated paragraphs — the text doc-level dedup never catches
+    * because the surrounding documents differ). Every [[SpanTokens]]-gram
+    * window (stride 1, positions preserved — a passage repeated WITHIN a
+    * document counts) is hashed by the codegen'd `graft_window_hashes`,
+    * then aggregated twice: (hash, doc) grain with map-side combine,
+    * then hash grain → occurrence count, distinct-doc count, earliest
+    * holder. Output is the repeated-span index a removal pass would
+    * join against.
+    *
+    * 100 TB posture: posting volume = token count and every posting is a
+    * fixed-width int64 from the expression itself (d24's lesson baked in
+    * from the start — no span string ever reaches the plan); both
+    * aggregations partial-combine map-side; there is no pairwise join
+    * anywhere — the suffix-array formulation's cross-doc comparison
+    * collapses into a group-by on the span hash.
+    */
+  def d29RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(expr(s"graft_window_hashes(words, $SpanTokens)")).as("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ_in_doc"))
+      .groupBy("h")
+      .agg(sum(col("occ_in_doc")).as("n_occ"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= 2L)
+      .select(col("h").as("span_hash"), col("n_occ"), col("n_docs"), col("first_doc"))
+      .orderBy("span_hash")
+  }
 }

@@ -772,6 +772,30 @@ object PipelineOracles {
       |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // mirror of Dedup.d29RepeatedSpans: same stride-1 window family (the
+  // hash is ph of the space-joined w-token slice, matching the
+  // byte-level concat inside graft_window_hashes), same two-level
+  // aggregation and >= 2 occurrence gate
+  private val d29Sql: String = {
+    val w = Dedup.SpanTokens
+    s"""WITH wd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= $w
+      |), sp0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - ${w - 1}),
+      |    i -> array_to_string(words[i:i+${w - 1}], ' '))) AS s
+      |  FROM wd
+      |), sp AS (
+      |  SELECT doc_id, ${phSql("s")} AS h FROM sp0
+      |), per AS (
+      |  SELECT h, doc_id, COUNT(*) AS occ FROM sp GROUP BY h, doc_id
+      |)
+      |SELECT h AS span_hash, CAST(SUM(occ) AS BIGINT) AS n_occ,
+      |       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM per GROUP BY h HAVING SUM(occ) >= 2
+      |ORDER BY span_hash""".stripMargin
+  }
+
   // mirror of Pipeline.p60VocabBuild: identical tie-break (count desc,
   // token asc) in both the LIMIT and the rank/cumulative windows,
   // integer permyriad coverage
@@ -824,6 +848,7 @@ object PipelineOracles {
   val sql: Map[String, String] = Map(
     "p60_vocab_build"  -> p60Sql,
     "t35_keywords"     -> t35Sql,
+    "d29_repeated_spans" -> d29Sql,
     "d21_exact_dedup" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY content_hash

@@ -228,6 +228,18 @@ class PlanSpec extends AnyFunSuite {
       s"event_date degraded to a row-group filter:\n$p")
   }
 
+  test("d29 span detection is joinless aggregation with native posting hashes") {
+    val df = operators.Dedup.d29RepeatedSpans(spark, dir)
+    val p = planString(df)
+    // the cross-doc comparison must collapse into group-bys on the span
+    // hash — any join here means the suffix-array shape leaked in
+    assert(!p.contains("Join"), s"unexpected join in span detection:\n$p")
+    assert(p.contains("*("), s"no codegen spans:\n$p")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_window_hashes"),
+      s"native window-hash expression missing:\n$analyzed")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

@@ -376,6 +376,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("distinct graft_window_hashes(w=3) equals graft_shingle_hashes3 on real docs") {
+    // the stride-1 window family at w=3, deduped in first-occurrence
+    // order, must be exactly the distinct-3-gram hash family d24/t32 use
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val mismatches = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(expr("array_distinct(graft_window_hashes(words, 3))").as("win"),
+        expr("graft_shingle_hashes3(words)").as("sh"))
+      .filter(col("win") =!= col("sh"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash

@@ -350,6 +350,33 @@ class QueriesSpec extends AnyFunSuite {
       "no duplicate pairs from the two probe routes")
   }
 
+  test("d29 spans: every row repeated, doc counts consistent, exact dups share all spans") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.d29RepeatedSpans(spark, dir).collect()
+    assert(rows.nonEmpty, "the corpus has exact dups, so repeated spans must exist")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L, "n_occ >= 2 by the gate")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1), "1 <= n_docs <= n_occ")
+    }
+    // a pair of exact-duplicate docs shares every window, so each of the
+    // duplicated doc's spans must appear in the output
+    val dup = Tables.documents(spark, dir)
+      .groupBy(md5(col("text"))).agg(min("doc_id").as("d"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("d").limit(1).collect()
+    if (dup.nonEmpty) {
+      val hashes = rows.map(_.getLong(0)).toSet
+      val docSpans = Tables.documents(spark, dir)
+        .filter(col("doc_id") === dup.head.getLong(0))
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= graft.operators.Dedup.SpanTokens)
+        .select(explode(expr(
+          s"graft_window_hashes(words, ${graft.operators.Dedup.SpanTokens})")).as("h"))
+        .collect().map(_.getLong(0))
+      assert(docSpans.nonEmpty && docSpans.forall(hashes.contains),
+        "every span of an exactly-duplicated doc is a repeated span")
+    }
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
