@@ -78,6 +78,7 @@ object SparkEntry {
     "p59_shard_shuffle"   -> (Pipeline.p59ShardShuffle _),
     "d28_embed_celldedup" -> (Dedup.d28EmbedCellDedup _),
     "d29_repeated_spans"  -> (Dedup.d29RepeatedSpans _),
+    "d30_span_score"      -> (Dedup.d30SpanScore _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),

@@ -506,4 +506,55 @@ object Dedup {
       .select(col("h").as("span_hash"), col("n_occ"), col("n_docs"), col("first_doc"))
       .orderBy("span_hash")
   }
+
+  /** d30 flag threshold (permyriad): a fifth of a doc's windows being
+    * cross-document repeats is far above this corpus's organic floor
+    * (non-duplicate docs measure 0) while catching partial inclusions,
+    * not just the exact/near dups that score 10000. */
+  val SpanShareFlagPm = 2000L
+
+  /** d30: per-document repeated-span share — the SCORING side of d29's
+    * detection (Lee et al. apply ExactSubstr by cutting the repeated
+    * passages; at corpus scale the first decision is per-document: how
+    * much of this doc is boilerplate that other docs also carry?). Each
+    * doc's [[SpanTokens]]-windows are probed against the cross-document
+    * span index (d29's spans restricted to n_docs ≥ 2, so a document
+    * repeating ITSELF is not penalized here — t34 owns within-doc
+    * repetition) and scored by the permyriad share of its window
+    * occurrences that are cross-doc repeats.
+    *
+    * 100 TB posture: the (span, doc) grain feeds BOTH the index build
+    * and the probe through one reused exchange (the same optimizer
+    * contract as t35 — the index aggregate consumes `occ` in a form
+    * pruning cannot remove, keeping the subtrees canonically identical;
+    * PlanSpec pins the single scan). The probe is a hash equi-join on
+    * the span hash against the repeated-only index — skewed hot spans
+    * (a license header shared by millions of docs) are exactly what
+    * AQE's skew-join splitting handles, and the index side carries no
+    * payload beyond the key. Both aggregations partial-combine.
+    */
+  def d30SpanScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val per = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(expr(s"graft_window_hashes(words, $SpanTokens)")).as("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
+    // sum(occ>=1 ? 1 : 0) IS the distinct-doc count per span, phrased so
+    // occ stays needed in this branch (the t35 ReuseExchange contract)
+    val crossDoc = per.groupBy("h")
+      .agg(sum(when(col("occ") >= 1L, 1L).otherwise(0L)).as("nd"))
+      .filter(col("nd") >= 2L)
+      .select(col("h"), lit(1L).as("hit"))
+    per.join(crossDoc, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_windows"),
+        sum(when(col("hit").isNotNull, col("occ")).otherwise(0L)).as("n_rep"))
+      .select(col("doc_id"), col("n_windows"), col("n_rep"),
+        expr("n_rep * 10000 DIV n_windows").as("rep_share_pm"))
+      .withColumn("span_flagged",
+        (col("rep_share_pm") >= SpanShareFlagPm).cast("int"))
+      .orderBy("doc_id")
+  }
 }

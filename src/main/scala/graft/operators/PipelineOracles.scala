@@ -796,6 +796,35 @@ object PipelineOracles {
       |ORDER BY span_hash""".stripMargin
   }
 
+  // mirror of Dedup.d30SpanScore: same window family and (span, doc)
+  // grain, cross-doc index = spans held by >= 2 distinct docs, same
+  // integer permyriad share and shared flag threshold
+  private val d30Sql: String = {
+    val w = Dedup.SpanTokens
+    s"""WITH wd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= $w
+      |), sp0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - ${w - 1}),
+      |    i -> array_to_string(words[i:i+${w - 1}], ' '))) AS s
+      |  FROM wd
+      |), per AS (
+      |  SELECT ${phSql("s")} AS h, doc_id, COUNT(*) AS occ FROM sp0 GROUP BY 1, 2
+      |), idx AS (
+      |  SELECT h FROM per GROUP BY h HAVING COUNT(*) >= 2
+      |), sc AS (
+      |  SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_windows,
+      |         CAST(SUM(CASE WHEN idx.h IS NOT NULL THEN occ ELSE 0 END) AS BIGINT) AS n_rep
+      |  FROM per LEFT JOIN idx ON per.h = idx.h
+      |  GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_windows, n_rep,
+      |       n_rep * 10000 // n_windows AS rep_share_pm,
+      |       CAST(n_rep * 10000 // n_windows >= ${Dedup.SpanShareFlagPm} AS INT) AS span_flagged
+      |FROM sc
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // mirror of Pipeline.p60VocabBuild: identical tie-break (count desc,
   // token asc) in both the LIMIT and the rank/cumulative windows,
   // integer permyriad coverage
@@ -849,6 +878,7 @@ object PipelineOracles {
     "p60_vocab_build"  -> p60Sql,
     "t35_keywords"     -> t35Sql,
     "d29_repeated_spans" -> d29Sql,
+    "d30_span_score"   -> d30Sql,
     "d21_exact_dedup" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY content_hash

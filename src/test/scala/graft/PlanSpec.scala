@@ -240,6 +240,17 @@ class PlanSpec extends AnyFunSuite {
       s"native window-hash expression missing:\n$analyzed")
   }
 
+  test("d30 probe is an equi-join fed by ONE scan through a reused exchange") {
+    val df = operators.Dedup.d30SpanScore(spark, dir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in span probe:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in span probe:\n$p")
+    // the (span, doc) grain feeds the index build AND the probe — the
+    // corpus must be scanned/exploded once (the t35 ReuseExchange contract)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

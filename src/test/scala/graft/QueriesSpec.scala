@@ -377,6 +377,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d30 scores are bounded, flags match the threshold, exact dups score 10000") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.d30SpanScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nr, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nw >= 1L && nr >= 0L && nr <= nw)
+      assert(pm === nr * 10000L / nw)
+      assert(r.getInt(4) === (if (pm >= graft.operators.Dedup.SpanShareFlagPm) 1 else 0))
+    }
+    // every doc in an exact-duplicate group shares ALL its windows with
+    // its twin, so it must score exactly 10000
+    val dupDocs = Tables.documents(spark, dir)
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+      .filter(col("n") >= 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val byDoc = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    dupDocs.filter(byDoc.contains).foreach { d =>
+      assert(byDoc(d) === 10000L, s"exact-dup doc $d must score 10000")
+    }
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
