@@ -85,6 +85,7 @@ object SparkEntry {
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
+    "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),
     "q43_partition_prune" -> (graft.sources.Sources.q43PartitionPrune _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),

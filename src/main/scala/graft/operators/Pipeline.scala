@@ -191,6 +191,48 @@ object Pipeline {
       .orderBy("shard", "pos")
   }
 
+  /** p61 chunk geometry: window and stride in tokens. Production RAG
+    * pipelines run ~256–1024-token windows with 10–25% overlap; 32/24
+    * keeps multi-chunk output on the synthetic corpus's ~50-token docs.
+    * stride < window ⇒ consecutive chunks overlap by (window − stride)
+    * tokens so no boundary-spanning passage is lost to the embedder. */
+  val ChunkTokens = 32L
+  val ChunkStride = 24L
+
+  /** p61: overlapping within-document chunking — the retrieval/embedding
+    * prep step (RAG indexing, embedding-model input windows): each doc
+    * is cut into [[ChunkTokens]]-token windows every [[ChunkStride]]
+    * tokens, chunks clamped to the doc end, the last chunk short only
+    * when the doc is. Unlike p58 (cross-doc packing for TRAINING order),
+    * chunks never span documents and overlap deliberately. Output is the
+    * chunk manifest (doc, chunk_idx, token offset/length, coverage
+    * flags) plus a portable content hash of the chunk's tokens — the
+    * join key an embedding table would carry.
+    *
+    * 100 TB posture: pure per-row arithmetic + a bounded explode
+    * (≤ tokens/stride + 1 rows per doc) — zero joins, zero aggregations,
+    * zero shuffles before the presentation sort; the ideal corpus-scan
+    * shape, like t33/t34.
+    */
+  def p61ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val L = ChunkTokens; val S = ChunkStride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      // chunk starts: 0, S, 2S, … while start + L < n_tokens + S (i.e.
+      // the previous chunk did not already reach the doc end)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0L, greatest(0L, (n_tokens - $L + $S - 1) DIV $S))")))
+      .withColumn("tok_start", col("chunk_idx") * S)
+      .filter(col("tok_start") < col("n_tokens")) // guard degenerate strides
+      .withColumn("tok_len", least(lit(L), col("n_tokens") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        (col("tok_len") < L).cast("int").as("is_short"),
+        ph(expr(s"concat_ws(' ', slice(words, cast(tok_start + 1 as int), cast(tok_len as int)))"))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** p60 vocabulary cutoff. Production sizes this as the tokenizer's
     * target vocab (30–250k); 20 keeps the top-K selection meaningful on
     * the synthetic corpus (31 distinct tokens at sf0.01). */

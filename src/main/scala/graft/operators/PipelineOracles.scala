@@ -825,6 +825,33 @@ object PipelineOracles {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // mirror of Pipeline.p61ChunkOverlap: same chunk-start family and
+  // clamping; // vs DIV rounding differences only arise on negative
+  // numerators, which the shared GREATEST(0, ...) clamp absorbs
+  private val p61Sql: String = {
+    val L = Pipeline.ChunkTokens; val S = Pipeline.ChunkStride
+    s"""WITH wd AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words,
+      |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c0 AS (
+      |  SELECT doc_id, words, n_tokens,
+      |         unnest(generate_series(0, GREATEST(0, (n_tokens - $L + ${S - 1}) // $S))) AS chunk_idx
+      |  FROM wd
+      |), c AS (
+      |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |         CAST(chunk_idx * $S AS BIGINT) AS tok_start,
+      |         CAST(LEAST($L, n_tokens - chunk_idx * $S) AS BIGINT) AS tok_len,
+      |         words
+      |  FROM c0 WHERE chunk_idx * $S < n_tokens
+      |)
+      |SELECT doc_id, chunk_idx, tok_start, tok_len,
+      |       CAST(tok_len < $L AS INT) AS is_short,
+      |       ${phSql("array_to_string(words[CAST(tok_start + 1 AS INT):CAST(tok_start + tok_len AS INT)], ' ')")} AS chunk_hash
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   // mirror of Pipeline.p60VocabBuild: identical tie-break (count desc,
   // token asc) in both the LIMIT and the rank/cumulative windows,
   // integer permyriad coverage
@@ -879,6 +906,7 @@ object PipelineOracles {
     "t35_keywords"     -> t35Sql,
     "d29_repeated_spans" -> d29Sql,
     "d30_span_score"   -> d30Sql,
+    "p61_chunk_overlap" -> p61Sql,
     "d21_exact_dedup" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY content_hash

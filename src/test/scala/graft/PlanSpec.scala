@@ -251,6 +251,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("p61 chunking is a pure projection (no exchange before the sort)") {
+    val df = operators.Pipeline.p61ChunkOverlap(spark, dir)
+    val plan = executed(df).toString
+    // chunk geometry is per-row arithmetic + a bounded explode: the only
+    // exchange allowed is the final presentation sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hash exchange in a per-row operator:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"aggregation in a per-row operator:\n$plan")
+    assert(!plan.contains("Join"), s"join in a per-row operator:\n$plan")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

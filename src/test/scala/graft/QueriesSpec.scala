@@ -399,6 +399,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("p61 chunks tile every doc: stride starts, full coverage, short only at the end") {
+    import org.apache.spark.sql.functions._
+    val L = graft.operators.Pipeline.ChunkTokens
+    val S = graft.operators.Pipeline.ChunkStride
+    val rows = graft.operators.Pipeline.p61ChunkOverlap(spark, dir).collect()
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(coalesce(col("text"), lit("")), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === tokens.keySet, "every doc chunks")
+    byDoc.foreach { case (d, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong, "chunk_idx contiguous from 0")
+        assert(r.getLong(2) === i * S, "starts on the stride grid")
+        assert(r.getLong(3) >= 1L && r.getLong(3) <= L)
+        assert(r.getInt(4) === (if (r.getLong(3) < L) 1 else 0))
+        if (i < sorted.length - 1)
+          assert(r.getLong(3) === math.min(L, tokens(d) - r.getLong(2)),
+            "only the doc end truncates a chunk")
+      }
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) === tokens(d),
+        "the final chunk reaches exactly the doc end")
+    }
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
