@@ -167,15 +167,17 @@ object TextHash {
     val count = n - w + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](count)
+    // one varargs concat per window (each byte copied once) — pairwise
+    // concat in a loop re-copies the growing prefix, O(w²) bytes per
+    // window in the hottest loop of d29/d30
+    val parts = new Array[UTF8String](2 * w - 1)
+    var k = 1
+    while (k < parts.length) { parts(k) = Space; k += 2 }
     var i = 0
     while (i < count) {
-      var s = words.getUTF8String(i)
-      var j = 1
-      while (j < w) {
-        s = UTF8String.concat(s, Space, words.getUTF8String(i + j))
-        j += 1
-      }
-      out(i) = ph(s.getBytes)
+      var j = 0
+      while (j < w) { parts(2 * j) = words.getUTF8String(i + j); j += 1 }
+      out(i) = ph(UTF8String.concat(parts: _*).getBytes)
       i += 1
     }
     new GenericArrayData(out)
@@ -261,11 +263,15 @@ case class WindowHashes(child: Expression, wExpr: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (child.dataType, wExpr.dataType, wExpr.foldable) match {
-      case (ArrayType(StringType, _), IntegerType | LongType, true) =>
+      // containsNull arrays rejected: a null token would NPE inside the
+      // byte-level concat; w validated here so a bad width fails at
+      // analysis, not as an executor array-bounds crash
+      case (ArrayType(StringType, false), IntegerType | LongType, true) if w >= 1 =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (t, wt, f) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_window_hashes expects (array<string>, foldable int), got (${t.sql}, ${wt.sql}, foldable=$f)")
+          s"graft_window_hashes expects (array<string> without nulls, foldable int >= 1), " +
+            s"got (${t.sql}, ${wt.sql}, foldable=$f)")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_window_hashes"
@@ -273,6 +279,7 @@ case class WindowHashes(child: Expression, wExpr: Expression)
   private lazy val w: Int = wExpr.eval(null) match {
     case i: java.lang.Integer => i.intValue()
     case l: java.lang.Long => l.intValue()
+    case _ => -1 // foldable-to-null widths rejected by checkInputDataTypes
   }
 
   override def nullSafeEval(v: Any, unused: Any): Any =

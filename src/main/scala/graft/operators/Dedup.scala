@@ -490,16 +490,24 @@ object Dedup {
     * anywhere — the suffix-array formulation's cross-doc comparison
     * collapses into a group-by on the span hash.
     */
-  def d29RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** The (span, doc) posting grain d29 and d30 both aggregate:
+    * `(h, doc_id, occ)` — window hash, holder, occurrences within that
+    * doc. ONE definition so the detector (d29) and the scorer (d30) can
+    * never drift apart on the window family. */
+  private def spanPostings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanTokens)
       .select(col("doc_id"),
         explode(expr(s"graft_window_hashes(words, $SpanTokens)")).as("h"))
-      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ_in_doc"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
+  }
+
+  def d29RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    spanPostings(spark, dir)
       .groupBy("h")
-      .agg(sum(col("occ_in_doc")).as("n_occ"),
+      .agg(sum(col("occ")).as("n_occ"),
         count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_occ") >= 2L)
@@ -534,13 +542,7 @@ object Dedup {
     * payload beyond the key. Both aggregations partial-combine.
     */
   def d30SpanScore(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val per = Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= SpanTokens)
-      .select(col("doc_id"),
-        explode(expr(s"graft_window_hashes(words, $SpanTokens)")).as("h"))
-      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
+    val per = spanPostings(spark, dir)
     // sum(occ>=1 ? 1 : 0) IS the distinct-doc count per span, phrased so
     // occ stays needed in this branch (the t35 ReuseExchange contract)
     val crossDoc = per.groupBy("h")

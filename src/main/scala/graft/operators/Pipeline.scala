@@ -261,13 +261,20 @@ object Pipeline {
   /** Rule core over any (doc_id, text) frame — extracted so property
     * tests can drive random corpora through the exact production plan. */
   private[graft] def p60VocabCore(documents: DataFrame): DataFrame = {
-    val docs = documents
+    val tf = documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
-    val total = docs.agg(sum(size(col("words"))).cast("long").as("total_tokens"))
-    val top = docs
       .select(col("doc_id"), explode(col("words")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+    // the corpus token total is Σ n_occ over the vocabulary — derived
+    // from the SAME tf aggregate the top-K branch consumes, phrased so
+    // n_docs stays needed (the t35/d30 ReuseExchange contract): one
+    // corpus scan feeds both branches, and this branch reads only
+    // vocabulary-sized input. A separate sum(size(words)) over the
+    // documents was a second complete corpus pass.
+    val total = tf.agg(
+      sum(when(col("n_docs") >= 1L, col("n_occ")).otherwise(0L)).as("total_tokens"))
+    val top = tf
       .orderBy(col("n_occ").desc, col("token"))
       .limit(VocabTopK)
     val w = Window.orderBy(col("n_occ").desc, col("token"))

@@ -772,34 +772,11 @@ object PipelineOracles {
       |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
 
-  // mirror of Dedup.d29RepeatedSpans: same stride-1 window family (the
-  // hash is ph of the space-joined w-token slice, matching the
-  // byte-level concat inside graft_window_hashes), same two-level
-  // aggregation and >= 2 occurrence gate
-  private val d29Sql: String = {
-    val w = Dedup.SpanTokens
-    s"""WITH wd AS (
-      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-      |  WHERE len(string_split(text, ' ')) >= $w
-      |), sp0 AS (
-      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - ${w - 1}),
-      |    i -> array_to_string(words[i:i+${w - 1}], ' '))) AS s
-      |  FROM wd
-      |), sp AS (
-      |  SELECT doc_id, ${phSql("s")} AS h FROM sp0
-      |), per AS (
-      |  SELECT h, doc_id, COUNT(*) AS occ FROM sp GROUP BY h, doc_id
-      |)
-      |SELECT h AS span_hash, CAST(SUM(occ) AS BIGINT) AS n_occ,
-      |       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-      |FROM per GROUP BY h HAVING SUM(occ) >= 2
-      |ORDER BY span_hash""".stripMargin
-  }
-
-  // mirror of Dedup.d30SpanScore: same window family and (span, doc)
-  // grain, cross-doc index = spans held by >= 2 distinct docs, same
-  // integer permyriad share and shared flag threshold
-  private val d30Sql: String = {
+  // the (span, doc) posting grain d29 and d30 both aggregate — ONE
+  // definition mirroring Dedup.spanPostings (same stride-1 window
+  // family: ph of the space-joined w-token slice, matching the
+  // byte-level concat inside graft_window_hashes)
+  private val spanPerCte: String = {
     val w = Dedup.SpanTokens
     s"""WITH wd AS (
       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -810,7 +787,23 @@ object PipelineOracles {
       |  FROM wd
       |), per AS (
       |  SELECT ${phSql("s")} AS h, doc_id, COUNT(*) AS occ FROM sp0 GROUP BY 1, 2
-      |), idx AS (
+      |)""".stripMargin
+  }
+
+  // mirror of Dedup.d29RepeatedSpans: two-level aggregation over the
+  // shared posting grain, >= 2 occurrence gate
+  private val d29Sql: String =
+    s"""$spanPerCte
+      |SELECT h AS span_hash, CAST(SUM(occ) AS BIGINT) AS n_occ,
+      |       COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM per GROUP BY h HAVING SUM(occ) >= 2
+      |ORDER BY span_hash""".stripMargin
+
+  // mirror of Dedup.d30SpanScore: shared posting grain, cross-doc
+  // index = spans held by >= 2 distinct docs, same integer permyriad
+  // share and shared flag threshold
+  private val d30Sql: String = {
+    s"""$spanPerCte, idx AS (
       |  SELECT h FROM per GROUP BY h HAVING COUNT(*) >= 2
       |), sc AS (
       |  SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_windows,
@@ -862,8 +855,9 @@ object PipelineOracles {
       |  SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
       |  FROM tok GROUP BY token
       |), tot AS (
-      |  SELECT CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS total_tokens
-      |  FROM documents
+      |  -- Σ n_occ over the vocabulary ≡ the corpus token total (same
+      |  -- derivation as the Spark plan's reused-exchange branch)
+      |  SELECT CAST(SUM(n_occ) AS BIGINT) AS total_tokens FROM tf
       |), top AS (
       |  SELECT token, n_occ, n_docs FROM tf
       |  ORDER BY n_occ DESC, token LIMIT ${Pipeline.VocabTopK}

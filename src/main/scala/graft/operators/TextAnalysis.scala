@@ -255,6 +255,32 @@ object TextAnalysis {
     * the ideal 100 TB shape. Docs with <2 words have no bigrams and are
     * excluded on both engines by the same predicate.
     */
+  def t34Repetition(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("bs", expr(
+        "array_sort(transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1])))"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
+        expr("""aggregate(bs,
+             named_struct('prev', '', 'run', 0L, 'best', 0L),
+             (s, x) -> named_struct(
+               'prev', x,
+               'run', IF(x = s.prev, s.run + 1L, 1L),
+               'best', GREATEST(s.best, IF(x = s.prev, s.run + 1L, 1L))),
+             s -> s.best)""").as("top_bigram_n"),
+        size(col("bs")).cast("long").as("n_bigrams"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        expr("(n_words - n_distinct) * 10000 DIV n_words").as("dup_word_pm"),
+        expr("top_bigram_n * 10000 DIV n_bigrams").as("top_bigram_pm"))
+      .withColumn("rep_flagged",
+        (col("dup_word_pm") >= DupWordFlagPm ||
+         col("top_bigram_pm") >= TopBigramFlagPm).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** t35 keywords kept per document. */
   val KeywordsPerDoc = 3
 
@@ -302,31 +328,5 @@ object TextAnalysis {
       .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("token"),
         col("tf"), col("df"), col("rel_ppm"))
       .orderBy("doc_id", "rnk")
-  }
-
-  def t34Repetition(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 2)
-      .withColumn("bs", expr(
-        "array_sort(transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1])))"))
-      .select(col("doc_id"),
-        size(col("words")).cast("long").as("n_words"),
-        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
-        expr("""aggregate(bs,
-             named_struct('prev', '', 'run', 0L, 'best', 0L),
-             (s, x) -> named_struct(
-               'prev', x,
-               'run', IF(x = s.prev, s.run + 1L, 1L),
-               'best', GREATEST(s.best, IF(x = s.prev, s.run + 1L, 1L))),
-             s -> s.best)""").as("top_bigram_n"),
-        size(col("bs")).cast("long").as("n_bigrams"))
-      .select(col("doc_id"), col("n_words"), col("n_distinct"),
-        expr("(n_words - n_distinct) * 10000 DIV n_words").as("dup_word_pm"),
-        expr("top_bigram_n * 10000 DIV n_bigrams").as("top_bigram_pm"))
-      .withColumn("rep_flagged",
-        (col("dup_word_pm") >= DupWordFlagPm ||
-         col("top_bigram_pm") >= TopBigramFlagPm).cast("int"))
-      .orderBy("doc_id")
   }
 }

@@ -200,6 +200,10 @@ class PlanSpec extends AnyFunSuite {
     // see exactly K rows — a rangepartitioning sort of the full token
     // grain here would be the 100 TB failure mode
     assert(p.contains("TakeOrderedAndProject"), s"top-K not TakeOrdered:\n$p")
+    // the token total is Σ n_occ over the SAME tf aggregate the top-K
+    // branch consumes (reused exchange) — one corpus scan, not two
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
   test("t35 df join broadcasts and the per-doc top-k pushes into the shuffle") {
