@@ -97,19 +97,27 @@ object EventLog {
     * already-tiny relation, the same safe-by-construction posture as
     * q11/q12's cumulative curves.
     */
-  def q52Traces(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-case (session) ordered activity-sequence string — the trace
+    * grain q52's ranking and q55's conformance check both consume. ONE
+    * definition so the two can never disagree on sessionization or
+    * trace construction. */
+  private def caseTraces(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val sess = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
           unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("session_num", sum(col("is_new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val traces = sess.groupBy("user_id", "session_num")
+      .groupBy("user_id", "session_num")
       .agg(concat_ws(">", transform(
         array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
         x => x.getField("event_type"))).as("trace"))
+  }
+
+  def q52Traces(spark: SparkSession, dir: String): DataFrame = {
+    val traces = caseTraces(spark, dir)
     val freq = traces.groupBy("trace").agg(count(lit(1)).as("n_cases"))
     val wRank = Window.orderBy(col("n_cases").desc, col("trace"))
     freq
@@ -122,5 +130,53 @@ object EventLog {
         round(col("n_cases").cast("double") / col("total").cast("double"), 6).as("coverage"),
         round(col("cum_n").cast("double") / col("total").cast("double"), 6).as("cum_coverage"))
       .orderBy("rnk")
+  }
+
+  /** q55 reference-model size: the top-K trace variants stand in for
+    * the documented process model (the public status API serves the
+    * reference's top-88; 10 keeps all three conformance classes
+    * populated on this corpus). Prefix length for partial conformance. */
+  val ConformanceTopK = 10
+  val ConformancePrefix = 2
+
+  /** q55: conformance checking — process mining's second step after
+    * q52's trace discovery (the reference's top-88 trace table feeds a
+    * public API; cases matching no known trace are its "other" bucket).
+    * Each case is classified against the top-[[ConformanceTopK]] trace
+    * variants: `conformant` (its full trace IS a reference variant),
+    * `prefix_only` (its first [[ConformancePrefix]] activities match a
+    * reference variant's prefix — it STARTED on-process and then
+    * deviated), or `deviant`. Output is the per-status rollup with
+    * integer permyriad case shares.
+    *
+    * 100 TB posture: the reference model is K rows — both the variant
+    * set and the prefix set broadcast; the case grain is touched by two
+    * map-side hash probes and one final aggregation on a 3-value key.
+    * The sessionization shuffle is the same single user-key exchange
+    * q07/q52 pay (shared definition, [[caseTraces]]).
+    */
+  def q55Conformance(spark: SparkSession, dir: String): DataFrame = {
+    val traces = caseTraces(spark, dir)
+    val pfx = (c: org.apache.spark.sql.Column) =>
+      concat_ws(">", slice(split(c, ">"), 1, ConformancePrefix))
+    val ref = traces.groupBy("trace").agg(count(lit(1)).as("n_cases"))
+      .orderBy(col("n_cases").desc, col("trace"))
+      .limit(ConformanceTopK)
+      .select(col("trace").as("ref_trace"))
+    val refPfx = ref.select(pfx(col("ref_trace")).as("ref_prefix")).distinct()
+    traces
+      .join(broadcast(ref), col("trace") === col("ref_trace"), "left")
+      .join(broadcast(refPfx), pfx(col("trace")) === col("ref_prefix"), "left")
+      .withColumn("status",
+        when(col("ref_trace").isNotNull, "conformant")
+          .when(col("ref_prefix").isNotNull, "prefix_only")
+          .otherwise("deviant"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_cases"),
+        countDistinct(col("trace")).as("n_distinct_traces"))
+      .withColumn("total", sum(col("n_cases")).over(Window.partitionBy()))
+      .select(col("status"), col("n_cases"), col("n_distinct_traces"),
+        expr("n_cases * 10000 DIV total").as("share_pm"))
+      .orderBy("status")
   }
 }

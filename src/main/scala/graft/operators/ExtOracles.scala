@@ -214,10 +214,9 @@ object ExtOracles {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
-  /** q52: q07's sessionization feeding a string_agg trace per session,
-    * then trace frequency/coverage ranking — mirrors [[EventLog.q52Traces]].
-    */
-  private val q52Sql: String =
+  /** The per-case trace CTE q52 and q55 share — mirrors
+    * [[EventLog]]'s caseTraces (one definition on both sides). */
+  private val traceCte: String =
     """WITH t AS (
       |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -236,7 +235,13 @@ object ExtOracles {
       |  SELECT user_id, session_num,
       |         string_agg(event_type, '>' ORDER BY ts, event_id) AS trace
       |  FROM g GROUP BY user_id, session_num
-      |), f AS (
+      |)""".stripMargin
+
+  /** q52: q07's sessionization feeding a string_agg trace per session,
+    * then trace frequency/coverage ranking — mirrors [[EventLog.q52Traces]].
+    */
+  private val q52Sql: String =
+    s"""$traceCte, f AS (
       |  SELECT trace, COUNT(*) AS n_cases FROM tr GROUP BY trace
       |), r AS (
       |  SELECT trace, n_cases,
@@ -251,6 +256,40 @@ object ExtOracles {
       |       ROUND(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_coverage
       |FROM r WHERE rnk <= 88
       |ORDER BY rnk""".stripMargin
+
+  /** q55: conformance classification against the top-K trace variants —
+    * mirrors [[EventLog.q55Conformance]] (same trace CTE, same
+    * tie-breaks, same prefix rule).
+    */
+  private val q55Sql: String = {
+    val k = EventLog.ConformanceTopK
+    val p = EventLog.ConformancePrefix
+    s"""$traceCte, ref AS (
+      |  SELECT trace AS ref_trace FROM (
+      |    SELECT trace, COUNT(*) AS n FROM tr GROUP BY trace
+      |    ORDER BY n DESC, trace LIMIT $k
+      |  )
+      |), refp AS (
+      |  SELECT DISTINCT array_to_string((string_split(ref_trace, '>'))[1:$p], '>') AS ref_prefix
+      |  FROM ref
+      |), c AS (
+      |  SELECT tr.trace,
+      |         CASE WHEN ref.ref_trace IS NOT NULL THEN 'conformant'
+      |              WHEN refp.ref_prefix IS NOT NULL THEN 'prefix_only'
+      |              ELSE 'deviant' END AS status
+      |  FROM tr
+      |  LEFT JOIN ref ON tr.trace = ref.ref_trace
+      |  LEFT JOIN refp ON array_to_string((string_split(tr.trace, '>'))[1:$p], '>') = refp.ref_prefix
+      |), agg AS (
+      |  SELECT status, COUNT(*) AS n_cases,
+      |         COUNT(DISTINCT trace) AS n_distinct_traces
+      |  FROM c GROUP BY status
+      |)
+      |SELECT status, n_cases, n_distinct_traces,
+      |       n_cases * 10000 // SUM(n_cases) OVER () AS share_pm
+      |FROM agg
+      |ORDER BY status""".stripMargin
+  }
 
   /** q53: Aalen-Johansen competing-risks CIF with delayed entry —
     * mirrors [[Survival.q53CompetingRisks]].
@@ -363,6 +402,7 @@ object ExtOracles {
   val sql: Map[String, String] = Map(
     "q46_chain_resolve" -> q46Sql,
     "q52_traces"        -> q52Sql,
+    "q55_conformance"   -> q55Sql,
     "q53_competing_risks" -> q53Sql,
     "q54_merge_disambiguation" -> q54Sql,
     "q47_param_unpivot" -> q47Sql,

@@ -266,6 +266,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"join in a per-row operator:\n$plan")
   }
 
+  test("q55 reference model broadcasts; no shuffle join against the case grain") {
+    val p = planString(operators.EventLog.q55Conformance(spark, dir))
+    // the K-row variant set and its prefix set must both broadcast —
+    // a shuffle join would re-partition every case by trace string
+    assert(p.contains("BroadcastHashJoin"), s"reference model did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"case grain re-shuffled for the model:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

@@ -426,6 +426,23 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 statuses are valid, shares sum to ~10000, case total matches the session count") {
+    val rows = graft.operators.EventLog.q55Conformance(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val valid = Set("conformant", "prefix_only", "deviant")
+    rows.foreach { r =>
+      assert(valid(r.getString(0)))
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1),
+        "1 <= distinct traces <= cases per status")
+    }
+    val shares = rows.map(_.getLong(3)).sum
+    assert(shares >= 10000L - rows.length && shares <= 10000L,
+      s"integer permyriad shares sum to ~10000, got $shares")
+    // top-K reference variants each match themselves, so conformant
+    // cases must cover at least the K most frequent traces' cases
+    assert(rows.exists(_.getString(0) == "conformant"))
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
