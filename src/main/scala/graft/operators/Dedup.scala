@@ -139,15 +139,56 @@ object Dedup {
     * same election rule as d21/p55). Docs with no near-dup candidate are
     * singletons by definition and are not materialized.
     */
-  def d26DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Near-dup cluster assignment over the d22 band-pair graph —
+    * (doc_id, cluster_id, cluster_size). Shared by d26 (min-id
+    * survivors) and d31 (quality-elected survivors). */
+  private def clusterAssignments(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = minhashBandPairs(spark, dir)
-    val cc = connectedComponents(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    cc.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("node") === col("cluster_id")).as("is_survivor"))
+    connectedComponents(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  def d26DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    clusterAssignments(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"))
       .orderBy("doc_id")
+  }
+
+  /** d31: quality-aware survivor election — production pipelines keep
+    * the BEST copy of a duplicate cluster, not the arbitrary min-id
+    * (SEO mirrors often carry degraded copies of the original). Each
+    * d26 cluster elects the member with the highest t29 quality score,
+    * ties broken by min doc_id — expressed as max-score + min-id-at-max
+    * (two deterministic aggregates, never an arbitrary-tie arg_max),
+    * with the election shown against the min-id baseline it replaces.
+    *
+    * 100 TB posture: the quality join touches only cluster MEMBERS
+    * (near-dup population, a small corpus fraction); both aggregates
+    * run on the cluster grain with map-side combine; scoring reuses
+    * t29's column chain (one definition, [[TextAnalysis.withQualityScore]]).
+    */
+  def d31QualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val members = clusterAssignments(spark, dir)
+      .join(TextAnalysis.withQualityScore(
+          Tables.documents(spark, dir)
+            .withColumn("words", split(col("text"), " ")))
+          .select(col("doc_id"), col("score_x10000")),
+        Seq("doc_id"))
+    val best = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max(col("score_x10000")).as("best_score"))
+    members.join(best, Seq("cluster_id"))
+      .filter(col("score_x10000") === col("best_score"))
+      .groupBy("cluster_id", "n_members", "best_score")
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .withColumn("differs_from_min_id",
+        (col("survivor_id") =!= col("cluster_id")).cast("int"))
+      .select(col("cluster_id"), col("n_members"), col("survivor_id"),
+        col("best_score"), col("differs_from_min_id"))
+      .orderBy("cluster_id")
   }
 
   /** Manku-style combination-key bucketing for the 48-bit simhash

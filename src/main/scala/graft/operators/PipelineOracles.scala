@@ -148,6 +148,44 @@ object PipelineOracles {
       |FROM lab
       |ORDER BY doc_id""".stripMargin
 
+  // mirror of Dedup.d31QualitySurvivor: d26's reachability clusters +
+  // t29's quality arithmetic, survivor = min doc_id among max-score
+  // members (deterministic two-step election, never arg_max ties).
+  // lazy: inList/stopEn initialize further down the object body
+  private lazy val d31Sql: String =
+    s"""WITH RECURSIVE $d22PairsCtes, edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach(node, r) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.node = e.u
+      |), lab AS (
+      |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+      |), qual AS (
+      |  SELECT doc_id,
+      |         CAST(FLOOR((0.3 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |             + 0.4 * (1.0 - ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ${inList(stopEn)})) AS DOUBLE)
+      |                                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 4))
+      |             + 0.3 * LEAST(ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |                                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) AS score_x10000
+      |  FROM documents
+      |), members AS (
+      |  SELECT lab.cluster_id, lab.doc_id, qual.score_x10000
+      |  FROM lab JOIN qual ON lab.doc_id = qual.doc_id
+      |), best AS (
+      |  SELECT cluster_id, COUNT(*) AS n_members, MAX(score_x10000) AS best_score
+      |  FROM members GROUP BY cluster_id
+      |)
+      |SELECT m.cluster_id, b.n_members, MIN(m.doc_id) AS survivor_id,
+      |       b.best_score,
+      |       CAST(MIN(m.doc_id) <> m.cluster_id AS INT) AS differs_from_min_id
+      |FROM members m JOIN best b ON m.cluster_id = b.cluster_id
+      |WHERE m.score_x10000 = b.best_score
+      |GROUP BY m.cluster_id, b.n_members, b.best_score
+      |ORDER BY m.cluster_id""".stripMargin
+
   // combination keys generated from the SAME Dedup.SimCombos sequence the
   // Spark plan explodes — both engines key docs on the identical 20
   // block-triples (Manku construction; see Dedup.SimCombos scaladoc)
@@ -907,6 +945,7 @@ object PipelineOracles {
         |ORDER BY content_hash""".stripMargin,
     "d22_minhash_lsh"  -> d22Sql,
     "d26_dup_clusters" -> d26Sql,
+    "d31_quality_survivor" -> d31Sql,
     "d27_incremental_dedup" -> d27Sql,
     "p56_stratified_split" -> p56Sql,
     "p57_source_mix"   -> p57Sql,

@@ -443,6 +443,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(0) == "conformant"))
   }
 
+  test("d31 survivors carry their cluster's max quality; flags match the min-id baseline") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.d31QualitySurvivor(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val clusters = graft.operators.Dedup.d26DupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> cluster
+    val quality = graft.operators.TextAnalysis.t29Quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap // doc -> score
+    rows.foreach { r =>
+      val (cid, n, surv, best, diff) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      val members = clusters.collect { case (d, c) if c == cid => d }.toSeq
+      assert(members.size.toLong === n, "member count matches d26's cluster")
+      assert(members.map(quality).max === best, "best score is the cluster max")
+      assert(quality(surv) === best, "survivor carries the max score")
+      assert(members.filter(quality(_) == best).min === surv,
+        "ties broken by min doc_id")
+      assert(diff === (if (surv != cid) 1 else 0))
+    }
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
