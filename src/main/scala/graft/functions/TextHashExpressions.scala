@@ -264,23 +264,26 @@ case class WindowHashes(child: Expression, wExpr: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (child.dataType, wExpr.dataType, wExpr.foldable) match {
       // containsNull arrays rejected: a null token would NPE inside the
-      // byte-level concat; w validated here so a bad width fails at
-      // analysis, not as an executor array-bounds crash
-      case (ArrayType(StringType, false), IntegerType | LongType, true) if w >= 1 =>
+      // byte-level concat; w validated here (on the UN-truncated long, so
+      // a width like 4294967298L fails analysis instead of silently
+      // wrapping to 2) rather than as an executor array-bounds crash
+      case (ArrayType(StringType, false), IntegerType | LongType, true)
+          if wLong >= 1L && wLong <= Int.MaxValue.toLong =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (t, wt, f) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_window_hashes expects (array<string> without nulls, foldable int >= 1), " +
-            s"got (${t.sql}, ${wt.sql}, foldable=$f)")
+          s"graft_window_hashes expects (array<string> without nulls, foldable int in " +
+            s"[1, ${Int.MaxValue}]), got (${t.sql}, ${wt.sql}, foldable=$f)")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_window_hashes"
 
-  private lazy val w: Int = wExpr.eval(null) match {
-    case i: java.lang.Integer => i.intValue()
-    case l: java.lang.Long => l.intValue()
-    case _ => -1 // foldable-to-null widths rejected by checkInputDataTypes
+  private lazy val wLong: Long = wExpr.eval(null) match {
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long => l.longValue()
+    case _ => -1L // foldable-to-null widths rejected by checkInputDataTypes
   }
+  private lazy val w: Int = wLong.toInt // safe: range-checked at analysis
 
   override def nullSafeEval(v: Any, unused: Any): Any =
     TextHash.windowHashesData(v.asInstanceOf[ArrayData], w)

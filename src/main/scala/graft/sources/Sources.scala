@@ -28,8 +28,8 @@ object Sources {
     * and the write.csv report outputs.
     */
   def q37CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory(s"graft_csv_${counter.incrementAndGet()}_")
-      .toString
+    val out = graft.Scratch.dir(s"graft_csv_${counter.incrementAndGet()}_")
+      
     Tables.region(spark, dir)
       .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
@@ -77,8 +77,8 @@ object Sources {
     */
   def q39BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val n = counter.incrementAndGet()
-    val whO = Files.createTempDirectory(s"graft_bko_${n}_").toString
-    val whL = Files.createTempDirectory(s"graft_bkl_${n}_").toString
+    val whO = graft.Scratch.dir(s"graft_bko_${n}_")
+    val whL = graft.Scratch.dir(s"graft_bkl_${n}_")
     val tO = s"orders_bkt_$n"; val tL = s"lineitem_bkt_$n"
     spark.sql(s"DROP TABLE IF EXISTS $tO")
     spark.sql(s"DROP TABLE IF EXISTS $tL")
@@ -111,8 +111,8 @@ object Sources {
     * with it each date directory gets one file.
     */
   def q43PartitionPrune(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory(s"graft_part_${counter.incrementAndGet()}_")
-      .toString
+    val out = graft.Scratch.dir(s"graft_part_${counter.incrementAndGet()}_")
+      
     Tables.events(spark, dir)
       .withColumn("event_date", to_date(col("ts")))
       .repartition(col("event_date"))
@@ -133,8 +133,8 @@ object Sources {
     */
   def q40MultiFormat(spark: SparkSession, dir: String): DataFrame = {
     val n = counter.incrementAndGet()
-    val orcPath = Files.createTempDirectory(s"graft_orc_${n}_").toString
-    val jsonPath = Files.createTempDirectory(s"graft_json_${n}_").toString
+    val orcPath = graft.Scratch.dir(s"graft_orc_${n}_")
+    val jsonPath = graft.Scratch.dir(s"graft_json_${n}_")
     Tables.nation(spark, dir).write.mode("overwrite").orc(orcPath)
     Tables.region(spark, dir).write.mode("overwrite").json(jsonPath)
     val nationOrc = spark.read.orc(orcPath)

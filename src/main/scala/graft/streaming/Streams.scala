@@ -219,8 +219,8 @@ object Streams {
     */
   def st39StreamFileSink(spark: SparkSession, dir: String): DataFrame = {
     val n = counter.incrementAndGet()
-    val out = java.nio.file.Files.createTempDirectory(s"graft_st39_out_${n}_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_st39_ck_${n}_").toString
+    val out = graft.Scratch.dir(s"graft_st39_out_${n}_")
+    val ckpt = graft.Scratch.dir(s"graft_st39_ck_${n}_")
     val ev = eventsStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))

@@ -255,6 +255,20 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("q55 reference model and classification share one sessionization (one events scan)") {
+    val p = planString(operators.EventLog.q55Conformance(spark, dir))
+    // the top-K reference model and the per-case classification both
+    // derive from caseTraces — the corpus sessionization must be computed
+    // once (ReusedExchange), or an optimizer change silently doubles the
+    // dominant exchange (ADVICE r6)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+    assert(p.contains("ReusedExchange"), s"sessionization not reused:\n$p")
+    // the K-row model joins must broadcast, never shuffle the case grain
+    assert(p.contains("BroadcastHashJoin"), s"reference model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"case grain re-shuffled for the model join:\n$p")
+  }
+
   test("p61 chunking is a pure projection (no exchange before the sort)") {
     val df = operators.Pipeline.p61ChunkOverlap(spark, dir)
     val plan = executed(df).toString

@@ -391,6 +391,26 @@ class PropertySpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("graft_window_hashes rejects widths outside [1, Int.MaxValue] at analysis") {
+    // 4294967298L wraps to 2 under a blind intValue() truncation — it must
+    // fail analysis, not silently compute width-2 window hashes
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+    for (bad <- Seq("4294967298", "0", "-1")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        docs.select(expr(s"graft_window_hashes(words, ${bad}L)")).collect()
+      }
+      assert(e.getMessage.contains("graft_window_hashes"), s"width $bad: ${e.getMessage}")
+    }
+    // boundary: w=1 is legal and hashes every token
+    val n = docs.limit(5)
+      .select(expr("size(graft_window_hashes(words, 1)) = size(words)").as("ok"))
+      .filter(!col("ok")).count()
+    assert(n === 0L)
+  }
+
   test("simhash of similar token sets is close, of disjoint sets is far") {
     val base = (1 to 60).map(i => s"token$i")
     import graft.functions.TextHash
