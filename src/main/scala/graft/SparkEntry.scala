@@ -45,6 +45,7 @@ object SparkEntry {
     "q49_hll_sketch"      -> (Sketches.q49HllSketch _),
     "q52_traces"          -> (EventLog.q52Traces _),
     "q55_conformance"     -> (EventLog.q55Conformance _),
+    "q56_docket_wait"     -> (Docket.q56DocketWait _),
     "q53_competing_risks" -> (Survival.q53CompetingRisks _),
     "q54_merge_disambiguation" -> (Linking.q54MergeDisambiguation _),
     "p55_corpus_clean"    -> (Pipeline.p55CorpusClean _),

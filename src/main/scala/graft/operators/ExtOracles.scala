@@ -399,7 +399,112 @@ object ExtOracles {
       |            WHEN n_overlap = 1 THEN overlap_single END AS parent
       |FROM v ORDER BY child_key""".stripMargin
 
+  /** q56: docket-position wait-time prediction — mirrors
+    * [[Docket.q56DocketWait]] expression-for-expression. The unrolled
+    * fixpoint is generated by the same step template on both sides, and
+    * the FP operation TREE is mirrored exactly (expAdv computed as
+    * adv − expAct, then (adv − expAdv) re-derived from it, never
+    * simplified to expAct) so both engines produce bit-identical doubles
+    * before the final ROUND. The Weibull 1.5 exponent is u·√u on both
+    * sides — `*`/`sqrt` are correctly-rounded IEEE-754 everywhere,
+    * unlike pow. */
+  private val q56Sql: String = {
+    import Docket.{PredDate, OutcodeLagDays, WeibullScaleDays, DocketMargin,
+      AdvWithdrawnRate, OrigAttritionRate, FixpointSteps}
+    val pred = s"DATE '$PredDate'"
+    val lag = OutcodeLagDays.toDouble
+    def weib(y: String): String =
+      s"(1.0 - exp(-((GREATEST($y, 0.0) / $WeibullScaleDays) * sqrt(GREATEST($y, 0.0) / $WeibullScaleDays))))"
+    val carry = "docket_month, ahead_cnt, orig_cnt, adv_cnt, rem_cnt, " +
+      "ahead_d, orig_d, adv_d, rem_d, rate_total, rem_steady, initial_t"
+    // one fixpoint refinement: expected advance activations at t (Weibull
+    // fold over prior docket months), remand interpolation, balance eqn
+    def step(i: Int): String = {
+      val t = s"t${i - 1}"
+      val w0 = weib("b.age")
+      s""", e$i AS (
+         |  SELECT p.*,
+         |         (SELECT COALESCE(SUM(b.n * ((${weib(s"b.age + p.$t")} - $w0) / (1.0 - $w0))), 0.0)
+         |          FROM bym b WHERE b.docket_month < p.docket_month) AS ea
+         |  FROM s${i - 1} p
+         |), s$i AS (
+         |  SELECT $carry,
+         |         GREATEST(0.0, (ahead_d - (adv_d - ea)
+         |            - (adv_d - (adv_d - ea)) * $AdvWithdrawnRate
+         |            - orig_d * $OrigAttritionRate
+         |            - (rem_steady * LEAST(GREATEST($t / $lag, 0.0), 1.0)
+         |               + rem_d * (1.0 - LEAST(GREATEST($t / $lag, 0.0), 1.0)))
+         |            - $DocketMargin) / rate_total) AS t$i
+         |  FROM e$i
+         |)""".stripMargin
+    }
+    s"""WITH comp AS (
+       |  SELECT l_orderkey, MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+       |  FROM lineitem GROUP BY l_orderkey
+       |), cs AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS docket_month,
+       |         (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS orig,
+       |         CASE WHEN o_orderstatus = 'F' THEN CAST(last_ship AS DATE) END AS decision_date,
+       |         CAST(first_ship AS DATE) AS activation_date
+       |  FROM orders LEFT JOIN comp ON o_orderkey = l_orderkey
+       |), fl AS (
+       |  SELECT docket_month, orig, decision_date,
+       |         (decision_date IS NULL OR decision_date >= $pred) AS pending,
+       |         (decision_date IS NULL OR decision_date >= ($pred - $OutcodeLagDays)) AS ahead_eligible,
+       |         (decision_date IS NOT NULL AND decision_date < $pred
+       |            AND decision_date >= ($pred - $OutcodeLagDays)) AS rempool,
+       |         (orig AND (decision_date IS NULL OR decision_date >= $pred)
+       |            AND (activation_date IS NULL OR activation_date >= $pred)) AS adv
+       |  FROM cs
+       |), bymonth AS (
+       |  SELECT docket_month,
+       |         COUNT(*) FILTER (WHERE ahead_eligible) AS n_ahead,
+       |         COUNT(*) FILTER (WHERE ahead_eligible AND orig AND pending) AS n_orig,
+       |         COUNT(*) FILTER (WHERE adv) AS n_adv,
+       |         COUNT(*) FILTER (WHERE rempool) AS n_rem,
+       |         COUNT(*) FILTER (WHERE decision_date >= ($pred - 365) AND decision_date < $pred) AS n_dec_trailing
+       |  FROM fl GROUP BY docket_month
+       |), rates AS (
+       |  SELECT CAST(SUM(n_dec_trailing) AS DOUBLE) / 365.0 AS rate_total FROM bymonth
+       |), bym AS (
+       |  SELECT docket_month,
+       |         CAST(date_diff('day', docket_month, $pred) AS DOUBLE) AS age,
+       |         CAST(n_adv AS DOUBLE) AS n
+       |  FROM bymonth
+       |), coh AS (
+       |  SELECT docket_month,
+       |         COALESCE(CAST(SUM(n_ahead) OVER w AS BIGINT), 0) AS ahead_cnt,
+       |         COALESCE(CAST(SUM(n_orig) OVER w AS BIGINT), 0) AS orig_cnt,
+       |         COALESCE(CAST(SUM(n_adv) OVER w AS BIGINT), 0) AS adv_cnt,
+       |         COALESCE(CAST(SUM(n_rem) OVER w AS BIGINT), 0) AS rem_cnt
+       |  FROM bymonth
+       |  WHERE docket_month <= $pred
+       |  WINDOW w AS (ORDER BY docket_month ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), s0 AS (
+       |  SELECT c.docket_month, c.ahead_cnt, c.orig_cnt, c.adv_cnt, c.rem_cnt,
+       |         CAST(c.ahead_cnt AS DOUBLE) AS ahead_d,
+       |         CAST(c.orig_cnt AS DOUBLE) AS orig_d,
+       |         CAST(c.adv_cnt AS DOUBLE) AS adv_d,
+       |         CAST(c.rem_cnt AS DOUBLE) AS rem_d,
+       |         r.rate_total,
+       |         r.rate_total * $lag AS rem_steady,
+       |         (CAST(c.ahead_cnt AS DOUBLE) - CAST(c.adv_cnt AS DOUBLE)
+       |            - r.rate_total * $lag - $DocketMargin) / r.rate_total AS initial_t,
+       |         GREATEST(0.0, (CAST(c.ahead_cnt AS DOUBLE) - CAST(c.adv_cnt AS DOUBLE)
+       |            - r.rate_total * $lag - $DocketMargin) / r.rate_total) AS t0
+       |  FROM coh c CROSS JOIN rates r
+       |)${(1 to FixpointSteps).map(step).mkString}
+       |SELECT CAST(docket_month AS TIMESTAMP) AS docket_month,
+       |       ahead_cnt, orig_cnt, adv_cnt, rem_cnt,
+       |       ROUND(initial_t, 4) AS initial_t,
+       |       ROUND(t$FixpointSteps, 4) AS final_t,
+       |       CAST($pred + CAST(ROUND(t$FixpointSteps) AS INT) AS TIMESTAMP) AS predicted_date
+       |FROM s$FixpointSteps
+       |ORDER BY docket_month""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q56_docket_wait"   -> q56Sql,
     "q46_chain_resolve" -> q46Sql,
     "q52_traces"        -> q52Sql,
     "q55_conformance"   -> q55Sql,

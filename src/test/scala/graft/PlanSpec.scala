@@ -288,6 +288,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"case grain re-shuffled for the model:\n$p")
   }
 
+  test("q56 docket model: one month-grain window pass, rates broadcast") {
+    val df = operators.Docket.q56DocketWait(spark, dir)
+    // all five cumulative columns (counts + histogram) share ONE window
+    // spec, so exactly one Window node may survive optimization; a second
+    // would mean the month grain is re-sorted per column (counted on the
+    // optimized logical plan — AQE hides finished physical stages)
+    var windows = 0
+    df.queryExecution.optimizedPlan.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => windows += 1
+      case _ => ()
+    }
+    assert(windows == 1, s"expected 1 Window, got $windows:\n${df.queryExecution.optimizedPlan}")
+    val p = planString(df)
+    // the 1-row rate relation must broadcast to the cohort grain — a
+    // shuffle here would re-partition the docket months for one scalar
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"rates not broadcast:\n$p")
+    // the unrolled fixpoint must stay pure projection: no exchange may sit
+    // between the window and the final presentation sort
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

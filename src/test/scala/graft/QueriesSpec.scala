@@ -505,4 +505,26 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(2) > 0L)
     }
   }
+
+  test("q56 docket cohorts: cumulative counts nested and monotone, wait nonnegative") {
+    val rows = graft.operators.Docket.q56DocketWait(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val pred = java.sql.Timestamp.valueOf(graft.operators.Docket.PredDate + " 00:00:00")
+    rows.foreach { r =>
+      val (ahead, orig, adv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // adv ⊆ (eligible ∧ orig ∧ pending) ⊆ eligible, so the cumulative
+      // counts must nest for every cohort
+      assert(adv <= orig && orig <= ahead, s"counts not nested: $r")
+      assert(r.getDouble(6) >= 0.0, s"final_t negative: $r")
+      assert(!r.getTimestamp(7).before(pred), s"predicted before as-of date: $r")
+    }
+    // ahead-of-you counts are cumulative over the docket: nondecreasing
+    val aheads = rows.sortBy(_.getTimestamp(0).getTime).map(_.getLong(1))
+    assert(aheads.zip(aheads.tail).forall { case (a, b) => a <= b },
+      "ahead_cnt not monotone over docket order")
+    // the fixpoint must actually move from the naive initial estimate on
+    // cohorts with a nonempty advance pool ahead of them
+    assert(rows.exists(r => math.abs(r.getDouble(6) - math.max(0.0, r.getDouble(5))) > 1e-9),
+      "fixpoint refinement never adjusted the initial estimate")
+  }
 }
