@@ -93,6 +93,7 @@ object SparkEntry {
     "q43_partition_prune" -> (graft.sources.Sources.q43PartitionPrune _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),
     "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _),
+    "q57_reconciliation"  -> (graft.sources.Sources.q57Reconciliation _),
     "q39_bucketed_join"   -> (graft.sources.Sources.q39BucketedJoin _),
     "q40_multi_format"    -> (graft.sources.Sources.q40MultiFormat _)
   )
@@ -163,6 +164,37 @@ object SparkEntry {
       "q38_jdbc_roundtrip" ->
         """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
           |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+      // q57: the Caseflow slice round-trips through Derby; the oracle
+      // restates the deterministic slice + reconciliation from parquet
+      "q57_reconciliation" ->
+        """WITH vac AS (
+          |  SELECT o_orderkey AS vkey,
+          |         CASE WHEN o_orderstatus = 'F' THEN '98'
+          |              WHEN o_orderstatus = 'O' THEN '50'
+          |              ELSE '77' END AS loc
+          |  FROM orders
+          |), cf AS (
+          |  SELECT o_orderkey AS ckey,
+          |         CASE WHEN o_orderkey % 89 = 1 THEN 9
+          |              WHEN o_orderstatus = 'F' THEN 0
+          |              WHEN o_orderstatus = 'O' THEN 3
+          |              ELSE 1 END AS completion_status
+          |  FROM orders WHERE o_orderkey % 4 <> 3
+          |  UNION ALL
+          |  SELECT -(o_orderkey + 1), 0 FROM orders WHERE o_orderkey % 97 = 0
+          |), j AS (
+          |  SELECT COALESCE(v.vkey, c.ckey) AS key,
+          |         CASE WHEN c.ckey IS NULL THEN 'missing_in_caseflow'
+          |              WHEN v.vkey IS NULL THEN 'missing_in_vacols'
+          |              WHEN (c.completion_status = 0 AND v.loc = '98')
+          |                OR (c.completion_status = 3 AND v.loc = '50')
+          |                OR (c.completion_status = 1 AND v.loc = '77') THEN 'consistent'
+          |              ELSE 'rule_violation' END AS check_status
+          |  FROM vac v FULL OUTER JOIN cf c ON v.vkey = c.ckey
+          |)
+          |SELECT check_status, COUNT(*) AS n_cases,
+          |       MIN(key) AS min_key, MAX(key) AS max_key
+          |FROM j GROUP BY check_status ORDER BY check_status""".stripMargin,
       "q39_bucketed_join" ->
         """SELECT o_orderpriority, COUNT(*) AS n_items,
           |       ROUND(SUM(l_extendedprice), 2) AS revenue

@@ -146,4 +146,88 @@ object Sources {
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")
   }
+
+  /** q57: cross-source consistency reconciliation — the data-migration
+    * validation every warehouse team runs (reference
+    * scratch/other/consistency.R:14-52: the same cases read from VACOLS
+    * and from the Caseflow Postgres, joined key-to-key, with per-rule
+    * agreement predicates like `completion_status==0 ⇔ BFCURLOC=='98'`).
+    *
+    * The parquet `orders` table plays VACOLS (system of record); the
+    * Caseflow side is a slice written to embedded Derby and read back
+    * through the JDBC source (q38's path — genuinely exercised, not
+    * parquet-vs-itself). The slice diverges DETERMINISTICALLY (key-
+    * modulo perturbations) so every taxonomy class is populated and the
+    * DuckDB oracle can restate the exact report from parquet alone:
+    *   - keys ≡ 3 (mod 4) are absent from Caseflow → missing_in_caseflow
+    *   - negated keys ≡ 0 (mod 97) exist only in Caseflow → missing_in_vacols
+    *   - keys ≡ 1 (mod 89) carry a corrupted status → rule_violation
+    *
+    * 100 TB posture: the JDBC read is range-partitioned on the key
+    * (lower/upper bounds from a one-row bounds query — a documented
+    * planning read, not a hot-path collect), both sides then meet in a
+    * key-partitioned full-outer sort-merge join; the rule predicates are
+    * projections and the taxonomy rollup is a 4-group aggregate. Nothing
+    * is driver-side except the bounds row.
+    */
+  def q57Reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val table = s"caseflow_tasks_${counter.incrementAndGet()}"
+
+    val orders = Tables.orders(spark, dir)
+    // the Caseflow extract: subset + corruption + orphan rows, all
+    // key-deterministic so the oracle can mirror it in SQL
+    val cfSlice = orders
+      .filter(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey").as("cf_key"),
+        when(col("o_orderkey") % 89 === 1, lit(9))
+          .when(col("o_orderstatus") === "F", lit(0))
+          .when(col("o_orderstatus") === "O", lit(3))
+          .otherwise(lit(1)).as("completion_status"))
+      .unionAll(orders.filter(col("o_orderkey") % 97 === 0)
+        // -(key+1), not -key: key 0 exists and -0 would collide with it
+        .select((-(col("o_orderkey") + 1)).as("cf_key"), lit(0).as("completion_status")))
+    cfSlice.write.mode("overwrite")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .save()
+
+    // planning read: key bounds for the range-partitioned JDBC scan
+    val bounds = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"""(SELECT MIN("cf_key") lo, MAX("cf_key") hi FROM $table) b""")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load().head()
+    val caseflow = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "cf_key")
+      .option("lowerBound", bounds.getLong(0).toString)
+      .option("upperBound", bounds.getLong(1).toString)
+      .option("numPartitions", "4")
+      .load()
+
+    val vacols = orders.select(col("o_orderkey").as("vac_key"),
+      when(col("o_orderstatus") === "F", lit("98"))
+        .when(col("o_orderstatus") === "O", lit("50"))
+        .otherwise(lit("77")).as("loc"))
+
+    val agree = (col("completion_status") === 0 && col("loc") === "98") ||
+      (col("completion_status") === 3 && col("loc") === "50") ||
+      (col("completion_status") === 1 && col("loc") === "77")
+    vacols
+      .join(caseflow, col("vac_key") === col("cf_key"), "full_outer")
+      .select(coalesce(col("vac_key"), col("cf_key")).as("key"),
+        when(col("cf_key").isNull, "missing_in_caseflow")
+          .when(col("vac_key").isNull, "missing_in_vacols")
+          .when(agree, "consistent")
+          .otherwise("rule_violation").as("check_status"))
+      .groupBy("check_status")
+      .agg(count(lit(1)).as("n_cases"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy("check_status")
+  }
 }

@@ -310,6 +310,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q57 reconciliation: range-partitioned JDBC scan, equi full-outer join") {
+    val df = graft.sources.Sources.q57Reconciliation(spark, dir)
+    val p = planString(df)
+    // the Caseflow side must arrive through a PARTITIONED JDBC scan —
+    // an unpartitioned one serializes the whole extract through one task
+    assert(p.contains("numPartitions=4"), s"JDBC scan not range-partitioned:\n$p")
+    // and the reconciliation must stay a key equi-join
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin"),
+      s"no full-outer merge join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"reconciliation degraded to a product join:\n$p")
+  }
+
   test("s26 whole-stage codegen covers the dot-product projection") {
     val df = operators.Similarity.s26AnnTopk(spark, dir)
     val p = planString(df)

@@ -506,6 +506,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q57 reconciliation: all four taxonomy classes populated and totals balance") {
+    val rows = graft.sources.Sources.q57Reconciliation(spark, dir).collect()
+    val byStatus = rows.map(r => r.getString(0) -> r).toMap
+    assert(byStatus.keySet === Set("consistent", "missing_in_caseflow",
+      "missing_in_vacols", "rule_violation"), s"taxonomy: ${byStatus.keySet}")
+    // cf-only rows are the negated keys — their witness keys must be negative
+    assert(byStatus("missing_in_vacols").getLong(3) < 0L, "cf-only keys not negated")
+    // every VACOLS case lands in exactly one of the three non-orphan classes
+    val nOrders = graft.Tables.orders(spark, dir).count()
+    val covered = Seq("consistent", "missing_in_caseflow", "rule_violation")
+      .map(byStatus(_).getLong(1)).sum
+    assert(covered === nOrders, s"$covered reconciled vs $nOrders orders")
+  }
+
   test("q56 docket cohorts: cumulative counts nested and monotone, wait nonnegative") {
     val rows = graft.operators.Docket.q56DocketWait(spark, dir).collect()
     assert(rows.nonEmpty)
