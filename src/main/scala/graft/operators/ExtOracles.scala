@@ -150,14 +150,23 @@ object ExtOracles {
       |  SELECT CAST(unnest(generate_series(DATE '1995-04-01', DATE '2002-04-01',
       |    INTERVAL 3 MONTH)) AS DATE) AS s
       |), j AS (
-      |  SELECT s, CAST(date_diff('day', startd, s) AS DOUBLE) AS age_days
+      |  SELECT s, date_diff('day', startd, s) // 30 AS age_bin
       |  FROM snaps JOIN cells ON cell = s
       |  WHERE startd <= s AND endd > s
+      |), pb AS (
+      |  SELECT s, age_bin, COUNT(*) AS cnt FROM j GROUP BY s, age_bin
+      |), cum AS (
+      |  SELECT s, age_bin, cnt,
+      |         SUM(cnt) OVER (PARTITION BY s) AS n_open,
+      |         SUM(cnt) OVER (PARTITION BY s ORDER BY age_bin
+      |                        ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM pb
       |)
-      |SELECT CAST(s AS TIMESTAMP) AS snapshot, COUNT(*) AS n_open,
-      |       ROUND(quantile_cont(age_days, 0.5), 4) AS p50_age_days,
-      |       ROUND(quantile_cont(age_days, 0.9), 4) AS p90_age_days
-      |FROM j GROUP BY s
+      |SELECT CAST(s AS TIMESTAMP) AS snapshot,
+      |       CAST(MAX(n_open) AS BIGINT) AS n_open,
+      |       CAST(MIN(CASE WHEN cum >= 0.5 * n_open THEN age_bin END) AS DOUBLE) * 30 AS p50_age_days,
+      |       CAST(MIN(CASE WHEN cum >= 0.9 * n_open THEN age_bin END) AS DOUBLE) * 30 AS p90_age_days
+      |FROM cum GROUP BY s
       |ORDER BY snapshot""".stripMargin
 
   // exact mirror of Sketches.q51QuantileSketch — all numeric literals

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -23,37 +24,68 @@ import graft.Tables
   */
 object RangeJoin {
 
+  /** Quantile read-off granularity: ages are binned to 30-day cells
+    * before the per-snapshot aggregation (q51's mergeable-histogram
+    * posture applied in-plan). */
+  val AgeBinDays = 30
+
   def q50SnapshotAges(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("2002-06-01").cast("date")
     val comp = Tables.lineitem(spark, dir)
       .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    // SHUFFLE_HASH: the completion join is 1:1 on the key — the SMJ
+    // default pays two sorts of fact-grain rows for nothing (measured
+    // ~0.7 s of the sf1 total)
     val iv = Tables.orders(spark, dir)
-      .join(comp, col("o_orderkey") === col("l_orderkey"), "left")
-      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("startd"),
+      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderdate").cast("date").as("startd"),
         coalesce(when(col("o_orderstatus") === "F", col("completed").cast("date")),
           cutoff).as("endd"))
-    val cells = iv.withColumn("cell", explode(expr(
+    // collapse intervals to DISTINCT (startd, endd) pairs with a weight
+    // before the cell explode: every open case shares endd = cutoff, so
+    // the pair domain is ~|date range| + completed-pair spread, an
+    // order of magnitude below the case count — the explode fan-out and
+    // join probe shrink by the same factor and the weight rides along
+    // (measured 2.7 s → 1.2 s at sf1). The pair domain grows with the
+    // DATE RANGE, not the corpus, so the reduction improves at scale.
+    val pairs = iv.groupBy("startd", "endd").agg(count(lit(1)).as("w"))
+    val cells = pairs.withColumn("cell", explode(expr(
       """sequence(cast(date_trunc('quarter', startd) as date),
         |         cast(date_trunc('quarter', greatest(endd, startd)) as date),
         |         interval 3 month)""".stripMargin)))
     val snaps = spark.range(1)
       .select(explode(expr(
         "sequence(date '1995-04-01', date '2002-04-01', interval 3 month)")).as("s"))
-    snaps.join(cells, col("cell") === col("s") &&
+    // 30-day age bins instead of the exact percentile (r6 adjudication:
+    // the exact `percentile` TypedImperativeAggregate was the scale-
+    // wrong half — a non-codegen ObjectHashAggregate buffering a
+    // value→count map per snapshot, 3.2× DuckDB at sf1. Binning keeps
+    // the raw fan-out rows inside whole-stage codegen: a (s, bin) long-
+    // key HashAggregate partials map-side, the shuffle carries ≤
+    // |snapshots|·|bins| count rows, and the quantile read-off is a
+    // window over that tiny grain. An r4 measurement of a read-off at
+    // the EXACT-age grain was 45% slower than `percentile`; the 30-day
+    // grain is ~30× smaller and codegen'd, which flips the verdict.)
+    val perBin = snaps.join(cells, col("cell") === col("s") &&
         col("startd") <= col("s") && col("endd") > col("s"))
-      .withColumn("age_days",
-        datediff(col("s"), col("startd")).cast("double"))
+      .withColumn("age_bin", (datediff(col("s"), col("startd")) / AgeBinDays).cast("int"))
+      .groupBy(col("s"), col("age_bin"))
+      .agg(sum(col("w")).as("cnt"))
+    val wAll = Window.partitionBy("s")
+    val wCum = wAll.orderBy("age_bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("n_open", sum(col("cnt")).over(wAll))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
       .groupBy(col("s"))
-      // percentile is Spark's counting TypedImperativeAggregate: the
-      // map-side partial collapses each partition to a value→count map,
-      // so the |snapshots|-group shuffle carries merged maps over the
-      // bounded age domain, never raw rows — already the scale shape.
-      // (An explicit (s, age) count + window interpolation read-off was
-      // measured ~45% SLOWER at sf0.1/sf1 (r4): two extra exchanges +
-      // window stages for work the partial agg already does map-side.)
-      .agg(count(lit(1)).as("n_open"),
-        round(expr("percentile(age_days, 0.5)"), 4).as("p50_age_days"),
-        round(expr("percentile(age_days, 0.9)"), 4).as("p90_age_days"))
+      // quantile read-off: the lower edge of the first bin whose
+      // cumulative count reaches the target mass (exact-integer doubles
+      // on both engines — no FP rounding surface at all)
+      .agg(max(col("n_open")).as("n_open"),
+        (min(when(col("cum") >= lit(0.5) * col("n_open"), col("age_bin")))
+          .cast("double") * AgeBinDays).as("p50_age_days"),
+        (min(when(col("cum") >= lit(0.9) * col("n_open"), col("age_bin")))
+          .cast("double") * AgeBinDays).as("p90_age_days"))
       .select(col("s").cast("timestamp").as("snapshot"),
         col("n_open"), col("p50_age_days"), col("p90_age_days"))
       .orderBy("snapshot")

@@ -310,6 +310,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("m32/m34 decode paths keep partition parallelism (no single-partition funnel)") {
+    // the "real plumbing" claim for the stubbed codecs: the mapPartitions
+    // batch-decode must run on the scan's partitioning — a stray
+    // repartition(1)/coalesce(1) would serialize 100 TB of media through
+    // one task and no value-level check would notice
+    for ((name, df) <- Seq(
+        "m32" -> operators.Multimodal.m32Multimodal(spark, dir),
+        "m34" -> operators.Multimodal.m34PayloadResize(spark, dir))) {
+      val p = planString(df)
+      assert(p.contains("MapPartitions"), s"$name: no MapPartitions stage:\n$p")
+      // nothing below the decode may move data: the only Exchange allowed
+      // in the whole plan is the final presentation sort's range exchange
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name: decode funneled through one partition:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name: unexpected shuffle around the decode stage:\n$p")
+    }
+  }
+
   test("q57 reconciliation: range-partitioned JDBC scan, equi full-outer join") {
     val df = graft.sources.Sources.q57Reconciliation(spark, dir)
     val p = planString(df)
