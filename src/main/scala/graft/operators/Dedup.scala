@@ -537,13 +537,20 @@ object Dedup {
     * never drift apart on the window family. */
   private def spanPostings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    spanPostingsCore(Tables.documents(spark, dir))
+  }
+
+  /** Posting grain over any (doc_id, text) frame — extracted so the
+    * skew-split demonstration (PlanSpec) can drive a synthetic hot-span
+    * corpus through the exact production plan. Caller must have
+    * registered [[graft.functions.GraftFunctions]] on the session. */
+  private[graft] def spanPostingsCore(documents: DataFrame): DataFrame =
+    documents
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanTokens)
       .select(col("doc_id"),
         explode(expr(s"graft_window_hashes(words, $SpanTokens)")).as("h"))
       .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
-  }
 
   def d29RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     spanPostings(spark, dir)
@@ -577,20 +584,47 @@ object Dedup {
     * contract as t35 — the index aggregate consumes `occ` in a form
     * pruning cannot remove, keeping the subtrees canonically identical;
     * PlanSpec pins the single scan). The probe is a hash equi-join on
-    * the span hash against the repeated-only index — skewed hot spans
-    * (a license header shared by millions of docs) are exactly what
-    * AQE's skew-join splitting handles, and the index side carries no
-    * payload beyond the key. Both aggregations partial-combine.
+    * (span hash, salt) against the repeated-only index: hot spans (a
+    * license header shared by millions of docs) spread over
+    * [[SpanProbeSalt]] tasks deterministically — the explicit q45
+    * salting pattern, chosen because AQE's skew-join split cannot fire
+    * on this shape (the index side aggregates above its shuffle, so the
+    * join inputs are not both direct shuffle reads; PlanSpec drives a
+    * 30%-hot-span corpus through the plan to pin the defense). The
+    * index side carries no payload beyond the key, so its ×S explode is
+    * free. Both aggregations partial-combine.
     */
   def d30SpanScore(spark: SparkSession, dir: String): DataFrame = {
-    val per = spanPostings(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    d30SpanScoreCore(Tables.documents(spark, dir))
+  }
+
+  /** Probe-join salt width. A hot span (license header shared by
+    * millions of docs) funnels every posting of ONE hash into one
+    * shuffle partition at the probe join. AQE's skew-join splitting
+    * CANNOT rescue this shape — OptimizeSkewedJoin requires both join
+    * inputs to be direct shuffle reads, and the index side aggregates
+    * above its shuffle (verified empirically in round 7; the r6
+    * scaladoc's AQE claim was wrong). The defense is therefore the
+    * explicit q45 pattern: postings salt on pmod(doc_id, S), the
+    * key-only index explodes ×S (cross-doc spans only — tiny by
+    * definition), and the hot hash spreads over S tasks
+    * deterministically. */
+  val SpanProbeSalt = 8
+
+  /** Rule core over any (doc_id, text) frame (same extraction contract
+    * as [[Pipeline.p60VocabCore]]). */
+  private[graft] def d30SpanScoreCore(documents: DataFrame): DataFrame = {
+    val per = spanPostingsCore(documents)
     // sum(occ>=1 ? 1 : 0) IS the distinct-doc count per span, phrased so
     // occ stays needed in this branch (the t35 ReuseExchange contract)
     val crossDoc = per.groupBy("h")
       .agg(sum(when(col("occ") >= 1L, 1L).otherwise(0L)).as("nd"))
       .filter(col("nd") >= 2L)
-      .select(col("h"), lit(1L).as("hit"))
-    per.join(crossDoc, Seq("h"), "left")
+      .select(col("h"), explode(expr(s"sequence(0, ${SpanProbeSalt - 1})")).as("salt"),
+        lit(1L).as("hit"))
+    per.withColumn("salt", pmod(col("doc_id"), lit(SpanProbeSalt.toLong)).cast("int"))
+      .join(crossDoc, Seq("h", "salt"), "left")
       .groupBy("doc_id")
       .agg(sum(col("occ")).as("n_windows"),
         sum(when(col("hit").isNotNull, col("occ")).otherwise(0L)).as("n_rep"))

@@ -310,6 +310,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("d30 hot-span probe survives a 30%-hot corpus via the deterministic salt") {
+    // the documented 100 TB defense made visible: a license span shared
+    // by 30% of the corpus funnels every posting of ONE span hash toward
+    // one shuffle partition. AQE's skew-join split cannot fire on this
+    // shape (the index side aggregates above its shuffle — verified in
+    // round 7 with skew thresholds scaled to toy size: OptimizeSkewedJoin
+    // requires both join inputs to be direct shuffle reads), so the
+    // defense is the explicit pmod salt and this test pins it.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val license = (1 to operators.Dedup.SpanTokens).map(i => s"license$i").mkString(" ")
+    val docs = (1 to 4000).map { i =>
+      if (i % 10 < 3) {
+        // license (8 tokens) + 2 unique: 3 windows, 1 repeated → 3333 pm
+        (i.toLong, s"$license w${i}_a w${i}_b")
+      } else {
+        (i.toLong, (1 to operators.Dedup.SpanTokens).map(j => s"w${i}_$j").mkString(" "))
+      }
+    }.toDF("doc_id", "text")
+    val df = operators.Dedup.d30SpanScoreCore(docs)
+    val rows = df.collect()
+    // semantics survive the salt: every license-carrying doc is flagged
+    // against the hot span, clean docs score 0
+    val flagged = rows.filter(_.getAs[Int]("span_flagged") == 1).map(_.getLong(0)).toSet
+    assert(flagged === (1 to 4000).filter(_ % 10 < 3).map(_.toLong).toSet,
+      "hot-span docs not exactly the flagged set")
+    assert(rows.filter(r => r.getLong(0) % 10 >= 3).forall(_.getLong(3) == 0L),
+      "clean docs must score 0")
+    // plan evidence: the probe join keys carry the salt, so the hot hash
+    // hashes to SpanProbeSalt distinct partitions instead of one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin [h#") || p.contains("ShuffledHashJoin [h#"),
+      s"probe join missing:\n$p")
+    assert(p.contains("salt"), s"salt not in the probe join keys:\n$p")
+    // and the postings side must spread the hot span across shuffle keys:
+    // the hot hash (held by 1200 docs) now carries SpanProbeSalt distinct
+    // (h, salt) join keys instead of one
+    import org.apache.spark.sql.functions._
+    val spread = operators.Dedup.spanPostingsCore(docs)
+      .withColumn("salt", pmod(col("doc_id"), lit(operators.Dedup.SpanProbeSalt.toLong)))
+      .groupBy("h").agg(countDistinct(col("salt")).as("n_keys"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 1000)
+      .collect()
+    assert(spread.length == 1 &&
+      spread.head.getLong(1) == operators.Dedup.SpanProbeSalt.toLong,
+      s"hot span not spread over the full salt width: ${spread.mkString(",")}")
+  }
+
   test("m32/m34 decode paths keep partition parallelism (no single-partition funnel)") {
     // the "real plumbing" claim for the stubbed codecs: the mapPartitions
     // batch-decode must run on the scan's partitioning — a stray
