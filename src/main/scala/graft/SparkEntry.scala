@@ -82,6 +82,7 @@ object SparkEntry {
     "d29_repeated_spans"  -> (Dedup.d29RepeatedSpans _),
     "d30_span_score"      -> (Dedup.d30SpanScore _),
     "d31_quality_survivor" -> (Dedup.d31QualitySurvivor _),
+    "d32_span_cut"        -> (Dedup.d32SpanCut _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),

@@ -634,4 +634,60 @@ object Dedup {
         (col("rep_share_pm") >= SpanShareFlagPm).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** d32 chunk width (non-overlapping tiles, unlike p61's strided
+    * windows) and the cross-document frequency at which a chunk is
+    * adjudicated boilerplate and cut. */
+  val CutChunkTokens = 8L
+  val CutDocFreq = 2L
+
+  /** d32: repeated-span CUTTING — the APPLY step that completes the
+    * ExactSubstr family (d29 detects cross-doc spans, d30 scores docs
+    * by them; Lee et al. arXiv:2107.06499 then CUT the repeated
+    * passages from the corpus — this operator). Each doc tiles into
+    * non-overlapping [[CutChunkTokens]]-word chunks; a chunk held by ≥
+    * [[CutDocFreq]] distinct docs is boilerplate and is dropped; the
+    * doc is rebuilt from its surviving chunks in order. Output is the
+    * per-doc rewrite manifest: chunk/cut counts, kept-token count, and
+    * an md5 witness of the rebuilt text (the oracle verifies the
+    * RECONSTRUCTION, not just the counts).
+    *
+    * 100 TB posture: tiling is a bounded explode (p61's shape); the
+    * chunk-frequency index aggregates map-side; the probe join salts on
+    * pmod(doc_id, [[SpanProbeSalt]]) exactly like d30 (a license chunk
+    * shared by millions of docs spreads over S tasks — AQE's skew split
+    * cannot fire on this shape, see d30). The rebuild groupBy(doc)
+    * re-flows chunk text through one exchange — inherent to a corpus
+    * REWRITE (same cost class as p59's shard write), and the output
+    * shrinks by the cut fraction.
+    */
+  def d32SpanCut(spark: SparkSession, dir: String): DataFrame = {
+    val K = CutChunkTokens
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("chunk_idx", explode(expr(s"sequence(0L, (n_tokens - 1) DIV $K)")))
+      .withColumn("tok_len", least(lit(K), col("n_tokens") - col("chunk_idx") * K))
+      .withColumn("chunk_text", expr(
+        s"concat_ws(' ', slice(words, cast(chunk_idx * $K + 1 as int), cast(tok_len as int)))"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_len"), col("chunk_text"),
+        ph(col("chunk_text")).as("h"))
+    val hot = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= CutDocFreq)
+      .select(col("h"), explode(expr(s"sequence(0, ${SpanProbeSalt - 1})")).as("salt"),
+        lit(1).as("cut"))
+    chunks
+      .withColumn("salt", pmod(col("doc_id"), lit(SpanProbeSalt.toLong)).cast("int"))
+      .join(hot, Seq("h", "salt"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cut").isNotNull, 1L).otherwise(0L)).as("n_cut"),
+        sum(when(col("cut").isNull, col("tok_len")).otherwise(0L)).as("n_tokens_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("cut").isNull, struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x.getField("chunk_text")))).as("retained_hash"))
+      .orderBy("doc_id")
+  }
 }

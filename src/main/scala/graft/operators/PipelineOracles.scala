@@ -883,6 +883,46 @@ object PipelineOracles {
       |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // mirror of Dedup.d32SpanCut: same tiling family as p61 (stride ==
+  // window), same doc-frequency cut rule, and the rebuild is verified
+  // by an md5 witness of the ORDER BY chunk_idx reconstruction (null-
+  // skipping string_agg ≡ Spark's null-skipping collect_list)
+  private val d32Sql: String = {
+    val k = graft.operators.Dedup.CutChunkTokens
+    val f = graft.operators.Dedup.CutDocFreq
+    s"""WITH wd AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words,
+      |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c0 AS (
+      |  SELECT doc_id, words, n_tokens,
+      |         CAST(unnest(generate_series(0, (n_tokens - 1) // $k)) AS BIGINT) AS chunk_idx
+      |  FROM wd
+      |), c AS (
+      |  SELECT doc_id, chunk_idx,
+      |         CAST(LEAST($k, n_tokens - chunk_idx * $k) AS BIGINT) AS tok_len,
+      |         array_to_string(words[CAST(chunk_idx * $k + 1 AS INT):CAST(chunk_idx * $k + LEAST($k, n_tokens - chunk_idx * $k) AS INT)], ' ') AS chunk_text
+      |  FROM c0
+      |), ch AS (
+      |  SELECT doc_id, chunk_idx, tok_len, chunk_text,
+      |         ${phSql("chunk_text")} AS h
+      |  FROM c
+      |), hot AS (
+      |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY h)
+      |  WHERE df >= $f
+      |), j AS (
+      |  SELECT ch.doc_id, ch.chunk_idx, ch.tok_len, ch.chunk_text,
+      |         (hot.h IS NOT NULL) AS cut
+      |  FROM ch LEFT JOIN hot ON ch.h = hot.h
+      |)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |       CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+      |       CAST(SUM(CASE WHEN NOT cut THEN tok_len ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+      |       md5(COALESCE(string_agg(CASE WHEN NOT cut THEN chunk_text END, ' ' ORDER BY chunk_idx), '')) AS retained_hash
+      |FROM j GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // mirror of Pipeline.p60VocabBuild: identical tie-break (count desc,
   // token asc) in both the LIMIT and the rank/cumulative windows,
   // integer permyriad coverage
@@ -943,6 +983,7 @@ object PipelineOracles {
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY content_hash
         |ORDER BY content_hash""".stripMargin,
+    "d32_span_cut" -> d32Sql,
     "d22_minhash_lsh"  -> d22Sql,
     "d26_dup_clusters" -> d26Sql,
     "d31_quality_survivor" -> d31Sql,

@@ -361,6 +361,15 @@ class PlanSpec extends AnyFunSuite {
       s"hot span not spread over the full salt width: ${spread.mkString(",")}")
   }
 
+  test("d32 cut probe is a salted equi-join; rebuild pays one doc exchange") {
+    val df = operators.Dedup.d32SpanCut(spark, dir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cut probe degraded to a product join:\n$p")
+    // the hot-chunk defense is the d30 salt — the probe join must key on it
+    assert(p.contains("salt"), s"salt not in the cut-probe join keys:\n$p")
+  }
+
   test("m32/m34 decode paths keep partition parallelism (no single-partition funnel)") {
     // the "real plumbing" claim for the stubbed codecs: the mapPartitions
     // batch-decode must run on the scan's partitioning — a stray

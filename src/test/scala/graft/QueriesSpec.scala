@@ -506,6 +506,39 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d32 cut reconstruction is lossless for clean docs, total for exact dups") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.d32SpanCut(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        md5(coalesce(col("text"), lit(""))).as("th"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    val byText = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    docs.foreach { case (id, text, th) =>
+      val r = rows(id)
+      val (nChunks, nCut, kept, rh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nCut >= 0 && nCut <= nChunks, s"cut count out of range for $id")
+      if (nCut == 0) {
+        // non-overlapping tiles partition the words: zero cuts must
+        // reconstruct the original text byte-for-byte
+        assert(rh === th, s"uncut doc $id not reconstructed losslessly")
+        assert(kept === text.split(" ", -1).length.toLong, s"kept tokens wrong for $id")
+      }
+      if (byText(text) >= graft.operators.Dedup.CutDocFreq.toInt) {
+        // an exact duplicate shares EVERY chunk with its twin: the whole
+        // doc is boilerplate and the rewrite empties it
+        assert(nCut === nChunks && kept === 0L && rh === emptyMd5,
+          s"exact-dup doc $id not fully cut")
+      }
+    }
+    assert(rows.values.exists(_.getLong(2) > 0L), "no chunk cut anywhere (degenerate corpus)")
+    assert(rows.values.exists(_.getLong(2) == 0L), "every chunk cut (degenerate rule)")
+  }
+
   test("q57 reconciliation: all four taxonomy classes populated and totals balance") {
     val rows = graft.sources.Sources.q57Reconciliation(spark, dir).collect()
     val byStatus = rows.map(r => r.getString(0) -> r).toMap
