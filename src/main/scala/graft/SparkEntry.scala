@@ -168,21 +168,25 @@ object SparkEntry {
       // q57: the Caseflow slice round-trips through Derby; the oracle
       // restates the deterministic slice + reconciliation from parquet
       "q57_reconciliation" ->
-        """WITH vac AS (
+        """WITH ow AS (
+          |  SELECT * FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |    AND o_orderdate < TIMESTAMP '1997-07-01'
+          |), vac AS (
           |  SELECT o_orderkey AS vkey,
           |         CASE WHEN o_orderstatus = 'F' THEN '98'
           |              WHEN o_orderstatus = 'O' THEN '50'
           |              ELSE '77' END AS loc
-          |  FROM orders
+          |  FROM ow
           |), cf AS (
           |  SELECT o_orderkey AS ckey,
-          |         CASE WHEN o_orderkey % 89 = 1 THEN 9
+          |         CASE WHEN o_orderkey % 11 = 1 THEN 9
           |              WHEN o_orderstatus = 'F' THEN 0
           |              WHEN o_orderstatus = 'O' THEN 3
           |              ELSE 1 END AS completion_status
-          |  FROM orders WHERE o_orderkey % 4 <> 3
+          |  FROM ow WHERE o_orderkey % 4 <> 3
           |  UNION ALL
-          |  SELECT -(o_orderkey + 1), 0 FROM orders WHERE o_orderkey % 97 = 0
+          |  SELECT -(o_orderkey + 1), 0 FROM ow WHERE o_orderkey % 13 = 0
           |), j AS (
           |  SELECT COALESCE(v.vkey, c.ckey) AS key,
           |         CASE WHEN c.ckey IS NULL THEN 'missing_in_caseflow'

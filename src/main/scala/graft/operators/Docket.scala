@@ -101,8 +101,10 @@ object Docket {
     val comp = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(min(col("l_shipdate")).as("first_ship"), max(col("l_shipdate")).as("last_ship"))
+    // SHUFFLE_HASH: 1:1 completion join — SMJ's two fact-grain sorts
+    // buy nothing (the q50 measurement)
     val cases = Tables.orders(spark, dir)
-      .join(comp, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
       .select(
         date_trunc("month", col("o_orderdate")).cast("date").as("docket_month"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("orig"),

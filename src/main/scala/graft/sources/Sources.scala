@@ -160,8 +160,8 @@ object Sources {
     * modulo perturbations) so every taxonomy class is populated and the
     * DuckDB oracle can restate the exact report from parquet alone:
     *   - keys ≡ 3 (mod 4) are absent from Caseflow → missing_in_caseflow
-    *   - negated keys ≡ 0 (mod 97) exist only in Caseflow → missing_in_vacols
-    *   - keys ≡ 1 (mod 89) carry a corrupted status → rule_violation
+    *   - negated keys ≡ 0 (mod 13) exist only in Caseflow → missing_in_vacols
+    *   - keys ≡ 1 (mod 11) carry a corrupted status → rule_violation
     *
     * 100 TB posture: the JDBC read is range-partitioned on the key
     * (lower/upper bounds from a one-row bounds query — a documented
@@ -170,21 +170,33 @@ object Sources {
     * projections and the taxonomy rollup is a 4-group aggregate. Nothing
     * is driver-side except the bounds row.
     */
+  /** q57 reconciliation window. The reference checks ONE DAY of
+    * completions per run (consistency.R:18-19: `completed_at >=
+    * '2017-07-06' and < +1 day`), not the universe — the operator
+    * mirrors that event-driven bounded slice with six months of
+    * docket dates. At 100 TB you reconcile the partition the event touched;
+    * the full-corpus variant (first cut) spent 9.9 s of a 10 s sf1
+    * bench row single-threading 1M INSERTs into embedded Derby. */
+  val ReconWindowStart = "1997-01-01"
+  val ReconWindowEnd = "1997-07-01"
+
   def q57Reconciliation(spark: SparkSession, dir: String): DataFrame = {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val table = s"caseflow_tasks_${counter.incrementAndGet()}"
 
     val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(ReconWindowStart).cast("timestamp") &&
+        col("o_orderdate") < lit(ReconWindowEnd).cast("timestamp"))
     // the Caseflow extract: subset + corruption + orphan rows, all
     // key-deterministic so the oracle can mirror it in SQL
     val cfSlice = orders
       .filter(col("o_orderkey") % 4 =!= 3)
       .select(col("o_orderkey").as("cf_key"),
-        when(col("o_orderkey") % 89 === 1, lit(9))
+        when(col("o_orderkey") % 11 === 1, lit(9))
           .when(col("o_orderstatus") === "F", lit(0))
           .when(col("o_orderstatus") === "O", lit(3))
           .otherwise(lit(1)).as("completion_status"))
-      .unionAll(orders.filter(col("o_orderkey") % 97 === 0)
+      .unionAll(orders.filter(col("o_orderkey") % 13 === 0)
         // -(key+1), not -key: key 0 exists and -0 would collide with it
         .select((-(col("o_orderkey") + 1)).as("cf_key"), lit(0).as("completion_status")))
     cfSlice.write.mode("overwrite")

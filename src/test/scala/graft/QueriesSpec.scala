@@ -546,8 +546,16 @@ class QueriesSpec extends AnyFunSuite {
       "missing_in_vacols", "rule_violation"), s"taxonomy: ${byStatus.keySet}")
     // cf-only rows are the negated keys — their witness keys must be negative
     assert(byStatus("missing_in_vacols").getLong(3) < 0L, "cf-only keys not negated")
-    // every VACOLS case lands in exactly one of the three non-orphan classes
-    val nOrders = graft.Tables.orders(spark, dir).count()
+    // every in-window VACOLS case lands in exactly one of the three
+    // non-orphan classes (the slice mirrors consistency.R's bounded
+    // event-driven check window)
+    import org.apache.spark.sql.functions._
+    val nOrders = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >=
+          lit(graft.sources.Sources.ReconWindowStart).cast("timestamp") &&
+        col("o_orderdate") <
+          lit(graft.sources.Sources.ReconWindowEnd).cast("timestamp"))
+      .count()
     val covered = Seq("consistent", "missing_in_caseflow", "rule_violation")
       .map(byStatus(_).getLong(1)).sum
     assert(covered === nOrders, s"$covered reconciled vs $nOrders orders")
