@@ -70,6 +70,8 @@ object SparkEntry {
     "s27_ann_lsh"         -> (Similarity.s27AnnLsh _),
     "s28_ann_ivf"         -> (Similarity.s28AnnIvf _),
     "s29_ann_rerank"      -> (Similarity.s29AnnRerank _),
+    "s30_kmeans"          -> (Similarity.s30Kmeans _),
+    "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t28_langid"          -> (TextAnalysis.t28Langid _),
     "t29_quality"         -> (TextAnalysis.t29Quality _),
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),

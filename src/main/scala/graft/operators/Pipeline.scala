@@ -233,6 +233,36 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** p62 per-cluster sample cap. Production sizes this to the target
+    * corpus share; 50 keeps several clusters above AND several below
+    * the cap on the synthetic corpus so both branches are exercised. */
+  val ClusterSampleCap = 50
+
+  /** p62: cluster-balanced corpus sampling — the curation step that
+    * consumes [[Similarity.s30Kmeans]]' clustering: cap each embedding
+    * cluster at [[ClusterSampleCap]] representatives, keeping the
+    * members CLOSEST to their centroid (most representative first;
+    * ties by vec_id). Balancing a corpus by embedding cluster instead
+    * of raw source is the standard defense against one dominant domain
+    * drowning the mixture (the p57 source-mix shape, but on semantic
+    * clusters instead of declared source labels).
+    *
+    * 100 TB posture: ranking is a per-cluster top-M — Spark plans
+    * WindowGroupLimit, so each task keeps ≤M rows per cluster BEFORE
+    * the exchange; the output is ≤K·M rows regardless of corpus size.
+    * The kept/total accounting rides the same window pass as a
+    * partition-bounded count.
+    */
+  def p62BalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val asg = Similarity.s30Kmeans(spark, dir)
+    val w = Window.partitionBy("cid").orderBy(col("dist"), col("vec_id"))
+    asg
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= ClusterSampleCap)
+      .select(col("cid"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy("cid", "rnk")
+  }
+
   /** p60 vocabulary cutoff. Production sizes this as the tokenizer's
     * target vocab (30–250k); 20 keeps the top-K selection meaningful on
     * the synthetic corpus (31 distinct tokens at sf0.01). */

@@ -293,6 +293,65 @@ object PipelineOracles {
       |) WHERE cos_sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** s30/p62 shared k-means chain. Mirrors Similarity.kmeansAssign
+    * step-for-step in exact integer arithmetic: the same floor(x·10⁶)
+    * quantization, the same min(d·100+cid) encoded argmin, the same
+    * floor(sum/n) grid update — every value BIGINT or an identical
+    * IEEE double op, so both engines produce bit-identical
+    * assignments (no float-sum order dependence anywhere). */
+  private val kmeansCtes: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         -- CAST to DOUBLE first: FLOAT * DECIMAL-literal stays
+      |         -- float32 in DuckDB, which quantizes off-grid vs the
+      |         -- Spark side's float64 product
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, q AS cv
+      |  FROM q ORDER BY vec_id LIMIT 16
+      |), d1 AS (
+      |  SELECT p.vec_id, c.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> (p.q[i] - c.cv[i]) * (p.q[i] - c.cv[i]))) AS BIGINT) AS d
+      |  FROM q p CROSS JOIN init c
+      |), a1 AS (
+      |  SELECT vec_id, min(d * 100 + cid) AS k FROM d1 GROUP BY vec_id
+      |), u1 AS (
+      |  SELECT CAST(a.k % 100 AS INT) AS cid, g.i AS pos,
+      |         SUM(p.q[g.i]) AS s, COUNT(*) AS n
+      |  FROM a1 a JOIN q p USING (vec_id)
+      |  CROSS JOIN generate_series(1, 64) AS g(i)
+      |  GROUP BY 1, 2
+      |), cv1 AS (
+      |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cv
+      |  FROM u1 GROUP BY cid
+      |), d2 AS (
+      |  SELECT p.vec_id, c.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> (p.q[i] - c.cv[i]) * (p.q[i] - c.cv[i]))) AS BIGINT) AS d
+      |  FROM q p CROSS JOIN cv1 c
+      |), a2 AS (
+      |  SELECT vec_id, min(d * 100 + cid) AS k FROM d2 GROUP BY vec_id
+      |), asg AS (
+      |  SELECT vec_id, CAST(k % 100 AS INT) AS cid, k // 100 AS dist FROM a2
+      |)""".stripMargin
+
+  private val s30Sql: String =
+    s"""$kmeansCtes
+      |SELECT vec_id, cid, dist FROM asg ORDER BY vec_id""".stripMargin
+
+  private val p62Sql: String =
+    s"""$kmeansCtes
+      |SELECT cid, rnk, vec_id, dist FROM (
+      |  SELECT cid,
+      |         CAST(row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS BIGINT) AS rnk,
+      |         vec_id, dist
+      |  FROM asg
+      |) WHERE rnk <= 50
+      |ORDER BY cid, rnk""".stripMargin
+
   private val s26Sql: String =
     s"""$vecCte, p AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -998,6 +1057,8 @@ object PipelineOracles {
     "s27_ann_lsh"      -> s27Sql,
     "s28_ann_ivf"      -> s28Sql,
     "s29_ann_rerank"   -> s29Sql,
+    "s30_kmeans"       -> s30Sql,
+    "p62_balanced_sample" -> p62Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,
     "t29_quality"      -> t29Sql,

@@ -151,4 +151,86 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk", "cos_sim")
       .orderBy("query_id", "rnk")
   }
+
+  /** s30: quantized Lloyd's k-means over the embedding corpus — the
+    * "production build would k-means them" step s28's scaladoc defers,
+    * and the clustering stage of embedding-based corpus curation
+    * (cluster, then balance/filter per cluster — p62 consumes this).
+    *
+    * Reproducibility design: float centroid math is order-dependent
+    * (a grouped float sum re-associates per partitioning, so avg-based
+    * centroids differ run-to-run AND engine-to-engine). Instead the
+    * corpus is quantized ONCE to an integer grid — q_i =
+    * floor(e_i·10⁶) as BIGINT, identical in both engines because both
+    * evaluate the same float64 product — and every subsequent step is
+    * exact integer arithmetic: distances are BIGINT sums of squares
+    * (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴, no overflow), the argmin is
+    * min(d·100 + cid) (cid < 100, so the encoded key orders by
+    * distance then cluster id — tie-breaks are engine-agnostic by
+    * construction, no reliance on struct-compare or arg_min
+    * semantics), and centroid updates divide component sums by the
+    * member count in float64 then floor back to the grid (identical
+    * IEEE ops both sides while Σ|q_i| < 2⁵³). Int8/int-quantized
+    * embedding math is standard practice in production vector systems,
+    * so the quantized variant is the honest scale shape, not a test
+    * convenience.
+    *
+    * 100 TB posture: init is a TakeOrdered of K rows; each assignment
+    * is a broadcast of ONE packed centroid row (K·64 longs) + a pure
+    * projection — the argmin runs inside the row over the broadcast
+    * array, NO N·K explode and NO per-point shuffle; each update is
+    * one posexplode (N·64) partial-aggregated to K·64 rows before the
+    * exchange. Iterations are fixed at 2 (unrolled — no driver loop,
+    * no collect; lineage depth is constant).
+    */
+  def s30Kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cid"), col("dist"))
+      .orderBy("vec_id") // presentation/oracle determinism only
+
+  private[graft] val KmeansK = 16
+
+  /** Final (vec_id, q, cid, dist) after 2 Lloyd iterations. */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      transform(col("embedding"), x => floor(x * lit(1000000.0d)).cast("long")).as("q"))
+    // init: the K lowest vec_ids, cid = 1..K in vec_id order (K rows —
+    // the unpartitioned window is a K-row TakeOrdered result)
+    import org.apache.spark.sql.expressions.Window
+    val init = q.orderBy("vec_id").limit(KmeansK)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("q").as("cv"))
+    val a1 = assignStep(q, init)
+    val a2 = assignStep(q, updateStep(a1))
+    a2
+  }
+
+  /** One packed-broadcast assignment pass: pts × (1-row centroid array)
+    * → per-row argmin via min(d·100 + cid) over the array. */
+  private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    pts.crossJoin(broadcast(packed))
+      .withColumn("key", array_min(transform(col("cents"), c =>
+        aggregate(
+          zip_with(col("q"), c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) * lit(100L) + c.getField("cid"))))
+      .select(col("vec_id"), col("q"),
+        (col("key") % 100).cast("int").as("cid"),
+        // integer div, not `/`: the key exceeds 2^53, double division
+        // would round before the floor
+        expr("key div 100L").as("dist"))
+  }
+
+  /** One centroid update: posexplode to (cid, pos) grain, exact integer
+    * component sums, floor(sum/n) back onto the grid, rebuild arrays in
+    * pos order. K·64 rows out — broadcastable by construction. */
+  private def updateStep(asg: DataFrame): DataFrame =
+    asg.select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("cv_i", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv_i")))).as("pcs"))
+      .select(col("cid"), transform(col("pcs"), p => p.getField("cv_i")).as("cv"))
 }

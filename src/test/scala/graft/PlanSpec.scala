@@ -222,6 +222,26 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("s30 assignments are broadcast projections; no N·K explode, no cartesian") {
+    val p = planString(operators.Similarity.s30Kmeans(spark, dir))
+    // each Lloyd assignment crosses the corpus with ONE packed 1-row
+    // centroid array — the argmin runs inside the row, so the only
+    // acceptable join shape is a broadcast nested-loop of a 1-row side;
+    // a CartesianProduct or a per-(point,centroid) exchange would be
+    // the 100 TB failure mode
+    assert(!p.contains("CartesianProduct"), s"cartesian in kmeans:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroid row not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"point grain shuffled for a join:\n$p")
+  }
+
+  test("p62 per-cluster cap pushes into the shuffle as WindowGroupLimit") {
+    val p = planString(operators.Pipeline.p62BalancedSample(spark, dir))
+    // rnk <= cap must prune to <=cap rows per cluster BEFORE the
+    // exchange — at 100 TB the output is K·cap rows regardless of N
+    assert(p.contains("WindowGroupLimit"), s"cap not pushed down:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in kmeans:\n$p")
+  }
+
   test("q43 week filter prunes partitions at listing time") {
     val p = planString(sources.Sources.q43PartitionPrune(spark, dir))
     // the filter must plan as a PartitionFilter on the directory column

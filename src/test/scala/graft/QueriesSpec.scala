@@ -496,6 +496,63 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s30 kmeans matches an in-memory quantized Lloyd reference") {
+    val q = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1000000.0).toLong))
+      .sortBy(_._1)
+    // the BIGINT-exactness argument needs |q_i| ≤ ~2e6 — verify the
+    // corpus actually sits on that grid
+    assert(q.forall(_._2.forall(v => math.abs(v) <= 2000000L)), "quantized range")
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val K = graft.operators.Similarity.KmeansK
+    var cents: Array[(Int, Array[Long])] =
+      q.take(K).zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+    def assign(): Array[(Long, Long)] = q.map { case (id, v) =>
+      (id, cents.map { case (cid, cv) => dist(v, cv) * 100L + cid }.min)
+    }
+    val a1 = assign()
+    cents = a1.zip(q).groupBy { case ((_, k), _) => (k % 100).toInt }.toArray
+      .map { case (cid, members) =>
+        val vs = members.map(_._2._2)
+        (cid, Array.tabulate(vs.head.length)(i =>
+          math.floor(vs.map(_(i)).sum.toDouble / vs.length).toLong))
+      }
+    val expect = assign().map { case (id, k) => id -> ((k % 100).toInt, k / 100) }.toMap
+    val got = graft.operators.Similarity.s30Kmeans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === expect)
+  }
+
+  test("p62 balanced sample: per-cluster cap, contiguous ranks, dist monotone, subset of s30") {
+    val asg = graft.operators.Similarity.s30Kmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rows = graft.operators.Pipeline.p62BalancedSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cap = graft.operators.Pipeline.ClusterSampleCap
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.length <= cap)
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, "dist nondecreasing in rank")
+    }
+    val asgSet = asg.toSet
+    rows.foreach(r => assert(asgSet((r.getLong(2), r.getInt(0), r.getLong(3))),
+      "sampled row not in the s30 assignment"))
+    // every cluster is kept whole up to the cap — nothing silently dropped
+    val fullSizes = asg.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptSizes = rows.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    fullSizes.foreach { case (cid, n) =>
+      assert(keptSizes.getOrElse(cid, 0) === math.min(n, cap), s"cluster $cid")
+    }
+  }
+
   test("q43 pruned week: every output date inside the filter window") {
     val rows = graft.sources.Sources.q43PartitionPrune(spark, dir).collect()
     assert(rows.nonEmpty)
