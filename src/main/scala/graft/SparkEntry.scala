@@ -72,6 +72,8 @@ object SparkEntry {
     "s29_ann_rerank"      -> (Similarity.s29AnnRerank _),
     "s30_kmeans"          -> (Similarity.s30Kmeans _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
+    "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
+    "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "t28_langid"          -> (TextAnalysis.t28Langid _),
     "t29_quality"         -> (TextAnalysis.t29Quality _),
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),

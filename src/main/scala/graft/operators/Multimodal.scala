@@ -157,4 +157,63 @@ object Multimodal {
     }.toDF()
       .orderBy("doc_id")
   }
+
+  /** m35 chunking/threshold: payloads split into [[ChunkdupNumChunks]]
+    * size-relative chunks; pairs sharing ≥ [[ChunkdupMinShared]] aligned
+    * chunk fingerprints are near-dups. A chunk fingerprint held by more
+    * than [[ChunkdupDfCap]] payloads (shared boilerplate bytes — headers,
+    * padding) is dropped from candidate generation, the d24 df-cap. */
+  val ChunkdupNumChunks = 16
+  val ChunkdupMinShared = 12
+  val ChunkdupDfCap = 50
+
+  /** m35: binary-payload near-duplicate detection by aligned chunk
+    * fingerprinting — the multimodal analogue of d22/d24: a perceptual
+    * hash needs a real decoder (stubbed in this container), but
+    * content-defined chunk hashing over the RAW bytes is itself a
+    * production dedup shape for media blobs (same asset re-uploaded,
+    * metadata-stripped copies, truncated tails). Each payload splits
+    * into [[ChunkdupNumChunks]] size-relative chunks; chunk i's
+    * fingerprint is md5 over its hex slice; two payloads sharing
+    * ≥ [[ChunkdupMinShared]] aligned fingerprints are reported with
+    * their witness count. Size-relative chunking means only near-equal-
+    * length payloads can collide — exactly the re-encode/minor-edit
+    * family; byte-shifted variants need the real decoder (documented
+    * stub boundary, m32's contract).
+    *
+    * 100 TB posture: candidate generation is an equi-join on
+    * (chunk_idx, fingerprint) postings — never payload×payload; the
+    * df-cap window rides the SAME (idx, hash) exchange the self-join
+    * shuffles on (the d24 device), so a boilerplate chunk shared by
+    * millions of payloads cannot explode the join; output is pair
+    * rows, not payloads.
+    */
+  def m35PayloadChunkdup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = ChunkdupNumChunks
+    val chunks = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), hex(encode(col("text"), "utf-8")).as("hx"))
+      .withColumn("nb", expr("length(hx) DIV 2"))
+      .withColumn("cb", expr(s"(nb + ${C - 1}) DIV $C"))
+      .withColumn("idx", explode(expr(s"sequence(0L, ${C - 1}L)")))
+      .filter(col("idx") * col("cb") < col("nb"))
+      .select(col("doc_id"), col("idx"),
+        md5(expr("substring(hx, cast(idx * cb * 2 + 1 as int), cast(cb * 2 as int))"))
+          .as("chunk_hash"))
+    val posts = chunks
+      .withColumn("dfc",
+        count(lit(1)).over(Window.partitionBy("idx", "chunk_hash")))
+      .filter(col("dfc") <= ChunkdupDfCap)
+      .select("idx", "chunk_hash", "doc_id")
+    posts.as("a").join(posts.as("b"),
+        col("a.idx") === col("b.idx") &&
+          col("a.chunk_hash") === col("b.chunk_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ChunkdupMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
 }

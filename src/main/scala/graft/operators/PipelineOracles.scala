@@ -293,6 +293,65 @@ object PipelineOracles {
       |) WHERE cos_sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** t36 mirror: the same integer conditional-probability arithmetic —
+    * c12·10⁶ // c1 per distinct (doc,bigram), occurrence-weighted mean
+    * by integer division. No floats anywhere, so no libm/order issues. */
+  private val t36Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words
+      |  FROM documents
+      |), d2 AS (
+      |  SELECT doc_id, words FROM d WHERE len(words) >= 2
+      |), bg AS (
+      |  -- scalar-context generate_series: the table-function form
+      |  -- cannot take lateral column bounds in DuckDB 1.0
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+      |         i -> {'w1': words[i], 'w2': words[i + 1]})) AS z
+      |  FROM d2
+      |), dbg AS (
+      |  SELECT doc_id, z.w1 AS w1, z.w2 AS w2, COUNT(*) AS n
+      |  FROM bg GROUP BY 1, 2, 3
+      |), sc AS (
+      |  SELECT doc_id, n,
+      |         SUM(n) OVER (PARTITION BY w1, w2) AS c12,
+      |         SUM(n) OVER (PARTITION BY w1) AS c1
+      |  FROM dbg
+      |), s2 AS (
+      |  SELECT doc_id, n, (c12 * 1000000) // c1 AS s_ppm FROM sc
+      |)
+      |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(n * s_ppm) // SUM(n) AS BIGINT) AS lm_score_ppm
+      |FROM s2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** m35 mirror: DuckDB cannot slice blobs (the m33/m34 device), so the
+    * chunk fingerprint is md5 over the SAME uppercase-hex slice both
+    * engines compute; chunk geometry is exact integer arithmetic. */
+  private val m35Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+      |  FROM documents WHERE len(text) > 0
+      |), c AS (
+      |  SELECT doc_id, g.i AS idx,
+      |         md5(substr(hx, (g.i * cb) * 2 + 1, cb * 2)) AS chunk_hash
+      |  FROM (SELECT doc_id, hx, nb, (nb + 15) // 16 AS cb FROM p)
+      |  CROSS JOIN generate_series(0, 15) AS g(i)
+      |  WHERE g.i * cb < nb
+      |), f AS (
+      |  SELECT doc_id, idx, chunk_hash FROM (
+      |    SELECT doc_id, idx, chunk_hash,
+      |           COUNT(*) OVER (PARTITION BY idx, chunk_hash) AS dfc
+      |    FROM c
+      |  ) WHERE dfc <= 50
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM f a JOIN f b
+      |  ON a.idx = b.idx AND a.chunk_hash = b.chunk_hash
+      |  AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 12
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** s30/p62 shared k-means chain. Mirrors Similarity.kmeansAssign
     * step-for-step in exact integer arithmetic: the same floor(x·10⁶)
     * quantization, the same min(d·100+cid) encoded argmin, the same
@@ -1059,6 +1118,8 @@ object PipelineOracles {
     "s29_ann_rerank"   -> s29Sql,
     "s30_kmeans"       -> s30Sql,
     "p62_balanced_sample" -> p62Sql,
+    "t36_lm_score"     -> t36Sql,
+    "m35_payload_chunkdup" -> m35Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,
     "t29_quality"      -> t29Sql,

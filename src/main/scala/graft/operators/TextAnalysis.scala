@@ -329,4 +329,59 @@ object TextAnalysis {
         col("tf"), col("df"), col("rel_ppm"))
       .orderBy("doc_id", "rnk")
   }
+
+  /** t36: self-trained bigram language-model scoring — the CCNet-style
+    * LM quality filter (Wenzek arXiv:1911.00359 scores documents by
+    * KenLM perplexity and drops the worst tail). The model here is
+    * trained on the corpus itself in the same pass: corpus bigram
+    * counts c(w1,w2) and left-context totals c(w1·) give each bigram
+    * occurrence the conditional probability P(w2|w1) = c(w1,w2)/c(w1·),
+    * and a document's score is its mean bigram probability. Documents
+    * full of corpus-typical continuations score high; word salad and
+    * boilerplate-shredded text score low — the same signal perplexity
+    * carries, monotonically transformed.
+    *
+    * Reproducibility: log-probabilities would make the score a float
+    * sum whose value depends on both the libm and the addition order —
+    * not oracle-stable. Every step here is exact integer arithmetic
+    * instead: per-bigram score floor(10⁶·c12/c1) (BIGINT div), per-doc
+    * sum of n·score (exact), mean by one final integer division. The
+    * probability scale (ppm) replaces the log scale; ranking and
+    * thresholding behave the same.
+    *
+    * 100 TB posture: one corpus scan → (doc,w1,w2) pre-aggregate
+    * (map-side combined); corpus bigram totals and left-context totals
+    * ride two window passes over that SAME grain (bigram- and
+    * unigram-keyed exchanges — vocabulary²-bounded rows, no join
+    * builds, no broadcast of a corpus-sized model); final per-doc
+    * rollup is a fourth partial-aggregated exchange. Nothing driver-
+    * side; no lambda in the hot path (bigram explode is
+    * slice+arrays_zip, codegen-friendly).
+    */
+  def t36LmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .withColumn("w1arr", expr("slice(words, 1, size(words) - 1)"))
+      .withColumn("w2arr", expr("slice(words, 2, size(words) - 1)"))
+    // (doc, w1, w2, n): each distinct bigram once per doc with its count
+    val dbg = docs
+      .select(col("doc_id"), explode(arrays_zip(col("w1arr"), col("w2arr"))).as("z"))
+      .select(col("doc_id"), col("z.w1arr").as("w1"), col("z.w2arr").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n"))
+    // model totals ride windows over the SAME pre-aggregated grain —
+    // no corpus-sized model build, no join
+    val scored = dbg
+      .withColumn("c12", sum("n").over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", sum("n").over(Window.partitionBy("w1")))
+      .withColumn("s_ppm", expr("c12 * 1000000 DIV c1"))
+    scored.groupBy("doc_id")
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("s_ppm")).as("tot"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("tot DIV n_bigrams").as("lm_score_ppm"))
+      .orderBy("doc_id")
+  }
 }

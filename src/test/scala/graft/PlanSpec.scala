@@ -242,6 +242,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in kmeans:\n$p")
   }
 
+  test("t36 lm model totals are windows over one pre-aggregated grain (no model join)") {
+    val p = planString(operators.TextAnalysis.t36LmScore(spark, dir))
+    // the bigram/left-context totals must NOT materialize a model table
+    // and join it back — at 100 TB that join's build side is the corpus
+    // bigram vocabulary; windows over the (doc,w1,w2) grain keep it a
+    // streaming pass per key
+    assert(!p.contains("Join"), s"model joined instead of windowed:\n$p")
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
+
+  test("m35 candidate generation is an equi-join on chunk postings, df-capped pre-join") {
+    val p = planString(operators.Multimodal.m35PayloadChunkdup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"payload cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi payload join:\n$p")
+    // the df-cap must run as a window BEFORE the self-join so a hot
+    // boilerplate chunk can never explode candidate generation
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"df cap not a pre-join window:\n$p")
+  }
+
   test("q43 week filter prunes partitions at listing time") {
     val p = planString(sources.Sources.q43PartitionPrune(spark, dir))
     // the filter must plan as a PartitionFilter on the directory column

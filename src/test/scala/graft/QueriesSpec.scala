@@ -553,6 +553,56 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t36 lm score: bounded ppm scale, exact-dup docs score identically") {
+    val rows = graft.operators.TextAnalysis.t36LmScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L, "n_bigrams >= 1")
+      val s = r.getLong(2)
+      assert(s >= 0L && s <= 1000000L, s"score $s outside [0, 1e6]")
+    }
+    // exact duplicate texts see the same corpus model — identical scores
+    val byText = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val score = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    score.keys.groupBy(byText).values.filter(_.size > 1).foreach { ids =>
+      assert(ids.map(score).toSet.size === 1, s"dup docs $ids diverge")
+    }
+    // a single-token or empty doc has no bigram — correctly absent
+    val nTwoPlus = byText.values.count(t => Option(t).exists(_.split(" ").length >= 2))
+    assert(rows.length === nTwoPlus, "one row per >=2-token doc")
+  }
+
+  test("m35 chunk near-dups: exact dups found with full witness, pairs ordered") {
+    val rows = graft.operators.Multimodal.m35PayloadChunkdup(spark, dir).collect()
+    val C = graft.operators.Multimodal.ChunkdupNumChunks
+    val minShared = graft.operators.Multimodal.ChunkdupMinShared
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered")
+      assert(r.getLong(2) >= minShared && r.getLong(2) <= C, s"witness ${r.getLong(2)}")
+    }
+    // every exact-dup pair (same text, below the df cap) must be found
+    // with ALL its chunks shared
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(t => Option(t._2).exists(_.nonEmpty))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dupGroups = texts.groupBy(_._2).values.filter(_.length > 1)
+      .filter(_.length <= graft.operators.Multimodal.ChunkdupDfCap)
+    dupGroups.foreach { g =>
+      val ids = g.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b) {
+        assert(got.contains((a, b)), s"exact dup pair ($a,$b) missed")
+        val nb = g.head._2.getBytes("UTF-8").length
+        val cb = (nb + C - 1) / C
+        val expChunks = math.min(C.toLong, (nb + cb - 1) / cb)
+        assert(got((a, b)) === expChunks, s"pair ($a,$b) partial witness")
+      }
+    }
+  }
+
   test("q43 pruned week: every output date inside the filter window") {
     val rows = graft.sources.Sources.q43PartitionPrune(spark, dir).collect()
     assert(rows.nonEmpty)
