@@ -28,6 +28,10 @@ object PortableHash {
   def seedB(j: Int): Long = 7919L * j + 1L
 
   val NumMinhash = 16
+
+  /** m35 payload chunk count (lives here so [[TextHash.chunkFpsData]]
+    * and the operator share one definition). */
+  val ChunkdupC = 16
   val NumBands   = 4
   val RowsPerBand = 4
 

@@ -182,6 +182,45 @@ object TextHash {
     }
     new GenericArrayData(out)
   }
+
+  private val HexUpper = "0123456789ABCDEF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** m35's per-payload chunk fingerprints: the payload splits into
+    * [[PortableHash.ChunkdupC]] size-relative chunks (chunk width
+    * ⌈nb/C⌉); fingerprint i is ph over the UPPERCASE-HEX rendering of
+    * chunk i's bytes — byte-for-byte the oracle's
+    * ph(substr(hex(payload), i·cb·2+1, cb·2)) (DuckDB hex() is
+    * uppercase; ph = first 15 md5 hex chars as int64). Computing the
+    * whole array here, BEFORE the posexplode, keeps the multi-KB
+    * payload/hex out of the exploded rows — the first cut carried the
+    * hex string through the Generate and shuffled ~4 KB per posting
+    * (measured 3× the operator's total cost at sf1).
+    */
+  def chunkFpsData(payload: Array[Byte]): ArrayData = {
+    val c = PortableHash.ChunkdupC
+    val nb = payload.length
+    if (nb == 0) return new GenericArrayData(Array.emptyLongArray)
+    val cb = (nb + c - 1) / c
+    val k = (nb + cb - 1) / cb // chunks with i·cb < nb — a prefix of 0..C-1
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val start = i * cb
+      val end = math.min(nb, start + cb)
+      val hexb = new Array[Byte]((end - start) * 2)
+      var j = start
+      var o = 0
+      while (j < end) {
+        val b = payload(j) & 0xff
+        hexb(o) = HexUpper(b >>> 4)
+        hexb(o + 1) = HexUpper(b & 0xf)
+        j += 1; o += 2
+      }
+      out(i) = ph(hexb)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Shared doGenCode shape for the text-hash expressions: the generated
@@ -227,6 +266,29 @@ case class ShingleHashes3(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.shingleHashes3Data(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): ShingleHashes3 = copy(child = c)
+}
+
+/** chunk_fps(binary) → array<bigint>: m35's per-payload chunk
+  * fingerprints (see [[TextHash.chunkFpsData]]). Input is the raw
+  * payload bytes; the hex rendering exists only inside the hash loop,
+  * never in the plan. */
+case class ChunkFps(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_chunk_fps expects binary, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_chunk_fps"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.chunkFpsData(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.chunkFpsData($c);")
+  override protected def withNewChildInternal(c: Expression): ChunkFps = copy(child = c)
 }
 
 /** simhash48(array<string>) → bigint. */

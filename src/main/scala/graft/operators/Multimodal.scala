@@ -163,7 +163,7 @@ object Multimodal {
     * chunk fingerprints are near-dups. A chunk fingerprint held by more
     * than [[ChunkdupDfCap]] payloads (shared boilerplate bytes — headers,
     * padding) is dropped from candidate generation, the d24 df-cap. */
-  val ChunkdupNumChunks = 16
+  val ChunkdupNumChunks: Int = graft.functions.PortableHash.ChunkdupC
   val ChunkdupMinShared = 12
   val ChunkdupDfCap = 50
 
@@ -173,44 +173,42 @@ object Multimodal {
     * content-defined chunk hashing over the RAW bytes is itself a
     * production dedup shape for media blobs (same asset re-uploaded,
     * metadata-stripped copies, truncated tails). Each payload splits
-    * into [[ChunkdupNumChunks]] size-relative chunks; chunk i's
-    * fingerprint is md5 over its hex slice; two payloads sharing
+    * into [[ChunkdupNumChunks]] size-relative chunks; chunk i's int64
+    * fingerprint comes from the codegen'd
+    * [[graft.functions.ChunkFps]] (ph over the chunk's uppercase-hex
+    * rendering — both engines compute the identical value, so even a
+    * 60-bit collision produces the same pair on both sides, the d24
+    * posting-hash device). Two payloads sharing
     * ≥ [[ChunkdupMinShared]] aligned fingerprints are reported with
     * their witness count. Size-relative chunking means only near-equal-
     * length payloads can collide — exactly the re-encode/minor-edit
     * family; byte-shifted variants need the real decoder (documented
     * stub boundary, m32's contract).
     *
-    * 100 TB posture: candidate generation is an equi-join on
-    * (chunk_idx, fingerprint) postings — never payload×payload; the
-    * df-cap window rides the SAME (idx, hash) exchange the self-join
-    * shuffles on (the d24 device), so a boilerplate chunk shared by
-    * millions of payloads cannot explode the join; output is pair
-    * rows, not payloads.
+    * 100 TB posture: fingerprints are computed per payload BEFORE the
+    * posting explode, so exploded rows are (doc, idx, int64) — never
+    * the multi-KB payload (a first cut carried the hex string through
+    * the Generate and spent 3× the operator's cost shuffling it);
+    * postings aggregate once to the (idx, fp) grain where singleton
+    * fingerprints — the overwhelming majority — die before any pair
+    * work, and a fingerprint held by > [[ChunkdupDfCap]] payloads
+    * (shared boilerplate bytes) is dropped there too, so pair
+    * generation is a bounded per-group explode (≤ cap²/2 pairs), never
+    * payload×payload and never a join.
     */
   def m35PayloadChunkdup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val C = ChunkdupNumChunks
+    graft.functions.GraftFunctions.register(spark)
     val chunks = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), hex(encode(col("text"), "utf-8")).as("hx"))
-      .withColumn("nb", expr("length(hx) DIV 2"))
-      .withColumn("cb", expr(s"(nb + ${C - 1}) DIV $C"))
-      .withColumn("idx", explode(expr(s"sequence(0L, ${C - 1}L)")))
-      .filter(col("idx") * col("cb") < col("nb"))
-      .select(col("doc_id"), col("idx"),
-        md5(expr("substring(hx, cast(idx * cb * 2 + 1 as int), cast(cb * 2 as int))"))
-          .as("chunk_hash"))
-    val posts = chunks
-      .withColumn("dfc",
-        count(lit(1)).over(Window.partitionBy("idx", "chunk_hash")))
-      .filter(col("dfc") <= ChunkdupDfCap)
-      .select("idx", "chunk_hash", "doc_id")
-    posts.as("a").join(posts.as("b"),
-        col("a.idx") === col("b.idx") &&
-          col("a.chunk_hash") === col("b.chunk_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"),
+        posexplode(expr("graft_chunk_fps(encode(text, 'utf-8'))")).as(Seq("idx", "fp")))
+    chunks
+      .groupBy("idx", "fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= ChunkdupDfCap && size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= ChunkdupMinShared)

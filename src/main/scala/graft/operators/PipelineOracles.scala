@@ -324,29 +324,31 @@ object PipelineOracles {
       |FROM s2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** m35 mirror: DuckDB cannot slice blobs (the m33/m34 device), so the
-    * chunk fingerprint is md5 over the SAME uppercase-hex slice both
-    * engines compute; chunk geometry is exact integer arithmetic. */
+    * chunk fingerprint is ph over the SAME uppercase-hex slice the
+    * Spark-side [[graft.functions.ChunkFps]] hashes — identical int64
+    * on both engines (identical even under a 60-bit collision, the d24
+    * posting-hash device); chunk geometry is exact integer arithmetic. */
   private val m35Sql: String =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
       |  FROM documents WHERE len(text) > 0
       |), c AS (
       |  SELECT doc_id, g.i AS idx,
-      |         md5(substr(hx, (g.i * cb) * 2 + 1, cb * 2)) AS chunk_hash
+      |         ${phSql("substr(hx, (g.i * cb) * 2 + 1, cb * 2)")} AS fp
       |  FROM (SELECT doc_id, hx, nb, (nb + 15) // 16 AS cb FROM p)
       |  CROSS JOIN generate_series(0, 15) AS g(i)
       |  WHERE g.i * cb < nb
       |), f AS (
-      |  SELECT doc_id, idx, chunk_hash FROM (
-      |    SELECT doc_id, idx, chunk_hash,
-      |           COUNT(*) OVER (PARTITION BY idx, chunk_hash) AS dfc
+      |  SELECT doc_id, idx, fp FROM (
+      |    SELECT doc_id, idx, fp,
+      |           COUNT(*) OVER (PARTITION BY idx, fp) AS dfc
       |    FROM c
       |  ) WHERE dfc <= 50
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       CAST(COUNT(*) AS BIGINT) AS n_shared
       |FROM f a JOIN f b
-      |  ON a.idx = b.idx AND a.chunk_hash = b.chunk_hash
+      |  ON a.idx = b.idx AND a.fp = b.fp
       |  AND a.doc_id < b.doc_id
       |GROUP BY 1, 2
       |HAVING COUNT(*) >= 12

@@ -253,14 +253,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
-  test("m35 candidate generation is an equi-join on chunk postings, df-capped pre-join") {
+  test("m35 pair generation is join-free: one scan, grain agg, bounded explode") {
     val p = planString(operators.Multimodal.m35PayloadChunkdup(spark, dir))
-    assert(!p.contains("CartesianProduct"), s"payload cross join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"non-equi payload join:\n$p")
-    // the df-cap must run as a window BEFORE the self-join so a hot
-    // boilerplate chunk can never explode candidate generation
-    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
-      s"df cap not a pre-join window:\n$p")
+    // pairs come from a per-(idx,fp)-group explode bounded by the df
+    // cap — no self-join, no payload×payload anything
+    assert(!p.contains("Join"), s"pair generation joined:\n$p")
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    // fingerprints must be computed by the codegen'd expression BEFORE
+    // the posting explode — exploded rows carry int64s, not payloads
+    assert(p.contains("graft_chunk_fps"), s"chunk fps not the native expression:\n$p")
   }
 
   test("q43 week filter prunes partitions at listing time") {
