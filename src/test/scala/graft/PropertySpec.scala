@@ -315,6 +315,68 @@ class PropertySpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("graft_kmeans_argmin equals the interpreted lambda chain on real vectors") {
+    // the codegen'd primitive loop replaced array_min(transform(...))
+    // for speed — the two formulations must stay value-identical,
+    // including the d·100+cid key encoding and tie-breaks
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val q = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x * lit(1000000.0d)).cast("long")).as("q"))
+    val cents = q.orderBy("vec_id").limit(16)
+      .select(row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")).as("cid"),
+        col("q").as("cv"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    val mismatches = q.crossJoin(broadcast(cents))
+      .withColumn("native", expr("graft_kmeans_argmin(q, cents)"))
+      .withColumn("lambda", array_min(transform(col("cents"), c =>
+        aggregate(
+          zip_with(col("q"), c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x) * lit(100L) + c.getField("cid"))))
+      .filter(col("native") =!= col("lambda"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_chunk_fps matches an in-memory reference on random byte payloads") {
+    graft.functions.GraftFunctions.register(spark)
+    import java.security.MessageDigest
+    val C = graft.functions.PortableHash.ChunkdupC
+    def refFps(payload: Array[Byte]): Seq[Long] = {
+      val nb = payload.length
+      if (nb == 0) return Seq.empty
+      val cb = (nb + C - 1) / C
+      val md = MessageDigest.getInstance("MD5")
+      (0 until C).filter(_ * cb < nb).map { i =>
+        val hexStr = payload.slice(i * cb, math.min(nb, i * cb + cb))
+          .map("%02X".format(_)).mkString
+        md.reset()
+        // ph = first 15 md5 hex chars as int64
+        java.lang.Long.parseLong(
+          md.digest(hexStr.getBytes("US-ASCII")).take(8)
+            .map("%02x".format(_)).mkString.take(15), 16)
+      }
+    }
+    val payloadGen: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 200)
+      bs <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+    } yield bs.toArray
+    val payloads = samples(payloadGen, 60)
+    // boundary shapes the generator may miss
+    val all = payloads ++ Seq(Array.emptyByteArray, Array[Byte](0),
+      Array.fill[Byte](C - 1)(7), Array.fill[Byte](C)(7), Array.fill[Byte](C + 1)(7))
+    import spark.implicits._
+    val got = all.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+      .selectExpr("id", "graft_chunk_fps(payload) as fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    all.zipWithIndex.foreach { case (p, i) =>
+      assert(got(i.toLong) === refFps(p), s"payload $i (${p.length} bytes)")
+    }
+  }
+
   /** Random tiny corpora: few-token alphabet so tf/df ties and shared
     * vocabulary occur constantly. */
   private val corpusGen: Gen[List[(Long, String)]] = Gen.listOf(for {
