@@ -354,21 +354,24 @@ object PipelineOracles {
       |HAVING COUNT(*) >= 12
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** s30/p62 shared k-means chain. Mirrors Similarity.kmeansAssign
-    * step-for-step in exact integer arithmetic: the same floor(x·10⁶)
-    * quantization, the same min(d·100+cid) encoded argmin, the same
-    * floor(sum/n) grid update — every value BIGINT or an identical
-    * IEEE double op, so both engines produce bit-identical
-    * assignments (no float-sum order dependence anywhere). */
-  private val kmeansCtes: String =
-    """WITH q AS (
+  /** s30/p62/st40 shared k-means chain. Mirrors Similarity's
+    * kmeansModel/assignStep step-for-step in exact integer arithmetic:
+    * the same floor(x·10⁶) quantization, the same min(d·100+cid)
+    * encoded argmin, the same floor(sum/n) grid update — every value
+    * BIGINT or an identical IEEE double op, so both engines produce
+    * bit-identical assignments (no float-sum order dependence
+    * anywhere). `trainPred` selects the training frame (the model),
+    * `assignPred` the frame the final assignment runs over — equal for
+    * s30/p62; standing vs arriving for st40's stream–static split. */
+  private def kmeansChain(trainPred: String, assignPred: String): String =
+    s"""WITH q AS (
       |  SELECT vec_id,
       |         -- CAST to DOUBLE first: FLOAT * DECIMAL-literal stays
       |         -- float32 in DuckDB, which quantizes off-grid vs the
       |         -- Spark side's float64 product
       |         list_transform(embedding,
       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-      |  FROM embeddings
+      |  FROM embeddings WHERE $trainPred
       |), init AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, q AS cv
       |  FROM q ORDER BY vec_id LIMIT 16
@@ -388,16 +391,30 @@ object PipelineOracles {
       |), cv1 AS (
       |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cv
       |  FROM u1 GROUP BY cid
+      |), qa AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings WHERE $assignPred
       |), d2 AS (
       |  SELECT p.vec_id, c.cid,
       |         CAST(list_sum(list_transform(generate_series(1, 64),
       |           i -> (p.q[i] - c.cv[i]) * (p.q[i] - c.cv[i]))) AS BIGINT) AS d
-      |  FROM q p CROSS JOIN cv1 c
+      |  FROM qa p CROSS JOIN cv1 c
       |), a2 AS (
       |  SELECT vec_id, min(d * 100 + cid) AS k FROM d2 GROUP BY vec_id
       |), asg AS (
       |  SELECT vec_id, CAST(k % 100 AS INT) AS cid, k // 100 AS dist FROM a2
       |)""".stripMargin
+
+  private val kmeansCtes: String = kmeansChain("TRUE", "TRUE")
+
+  private val st40Sql: String =
+    s"""${kmeansChain("vec_id % 5 <> 0", "vec_id % 5 = 0")}
+      |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+      |       MIN(dist) AS min_dist,
+      |       CAST(SUM(dist) // COUNT(*) AS BIGINT) AS avg_dist
+      |FROM asg GROUP BY cid ORDER BY cid""".stripMargin
 
   private val s30Sql: String =
     s"""$kmeansCtes
@@ -1122,6 +1139,7 @@ object PipelineOracles {
     "p62_balanced_sample" -> p62Sql,
     "t36_lm_score"     -> t36Sql,
     "m35_payload_chunkdup" -> m35Sql,
+    "st40_stream_cluster_assign" -> st40Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,
     "t29_quality"      -> t29Sql,

@@ -190,20 +190,29 @@ object Similarity {
 
   private[graft] val KmeansK = 16
 
-  /** Final (vec_id, q, cid, dist) after 2 Lloyd iterations. */
-  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val q = Tables.embeddings(spark, dir).select(
-      col("vec_id"),
+  /** floor(x·10⁶) integer-grid quantization of an embeddings frame. */
+  private[graft] def quantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       transform(col("embedding"), x => floor(x * lit(1000000.0d)).cast("long")).as("q"))
+
+  /** The trained model — (cid, cv) centroids after one Lloyd update
+    * from the deterministic init (K lowest vec_ids of the TRAINING
+    * frame). Exposed separately so st40 can train on the standing
+    * corpus and assign a different (streaming) frame. */
+  private[graft] def kmeansModel(q: DataFrame): DataFrame = {
     // init: the K lowest vec_ids, cid = 1..K in vec_id order (K rows —
     // the unpartitioned window is a K-row TakeOrdered result)
     import org.apache.spark.sql.expressions.Window
     val init = q.orderBy("vec_id").limit(KmeansK)
       .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("q").as("cv"))
-    val a1 = assignStep(q, init)
-    val a2 = assignStep(q, updateStep(a1))
-    a2
+    updateStep(assignStep(q, init))
+  }
+
+  /** Final (vec_id, q, cid, dist) after 2 Lloyd iterations. */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = quantize(Tables.embeddings(spark, dir))
+    assignStep(q, kmeansModel(q))
   }
 
   /** One packed-broadcast assignment pass: pts × (1-row centroid array)
@@ -211,9 +220,13 @@ object Similarity {
     * the codegen'd [[graft.functions.KmeansArgmin]] (the interpreted
     * array_min/transform/zip_with chain measured ~385 µs/row at K=16 —
     * the whole operator's cost — vs a primitive loop). */
+  /** K (cid, cv) rows folded into ONE row holding the sorted centroid
+    * array — the broadcastable model payload. */
+  private[graft] def packCentroids(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+
   private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame = {
-    val packed = cents.agg(
-      sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    val packed = packCentroids(cents)
     pts.crossJoin(broadcast(packed))
       .withColumn("key", expr("graft_kmeans_argmin(q, cents)"))
       .select(col("vec_id"), col("q"),

@@ -235,6 +235,53 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** st40: streaming semantic routing — newly arriving embeddings
+    * (d27's `% 5` arrival rule, on vec_id) are assigned to the STANDING
+    * corpus's k-means clusters as they stream in: the model (s30's
+    * quantized Lloyd centroids, trained on the standing set only) is a
+    * 1-row packed static frame broadcast into a stream–static join, and
+    * the per-row argmin runs inside the stream via the codegen'd
+    * `graft_kmeans_argmin`. This is the online leg of the s30→p62
+    * curation pair: route arrivals to semantic buckets continuously,
+    * re-balance (p62) in the next batch pass. Output is the per-cluster
+    * routing table (arrival count, closest/mean distance) — a function
+    * of the static model + arrival SET only, never arrival order, so
+    * the complete-mode replay is deterministic and batch-mirrorable.
+    *
+    * Scale posture: the model payload is K·64 longs — broadcast per
+    * micro-batch like st36's dim; assignment is stateless per row (no
+    * stream state beyond the final K-row aggregation); exact-integer
+    * distances mean the oracle reproduces every value bit-for-bit.
+    */
+  def st40StreamClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    val standing = Similarity.quantize(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 5 =!= 0))
+    val packed = broadcast(Similarity.packCentroids(Similarity.kmeansModel(standing)))
+    val arriving = Similarity.quantize(
+      embeddingsStream(spark, dir).filter(col("vec_id") % 5 === 0))
+    val routed = arriving.join(packed, lit(true), "inner")
+      .withColumn("key", expr("graft_kmeans_argmin(q, cents)"))
+      .select((col("key") % 100).cast("int").as("cid"),
+        expr("key div 100L").as("dist"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_arrivals"), min(col("dist")).as("min_dist"),
+        sum(col("dist")).as("sum_dist"))
+    runToTable(spark, routed, "complete", "st40")
+      .select(col("cid"), col("n_arrivals"), col("min_dist"),
+        expr("sum_dist DIV n_arrivals").as("avg_dist"))
+      .orderBy("cid")
+  }
+
+  /** Streaming source over the embeddings table (eventsStream's shape). */
+  private def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Instant,

@@ -280,6 +280,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("st40 routes every arriving vector once; distances coherent per cluster") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.Streams.st40StreamClusterAssign(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val k = graft.operators.Similarity.KmeansK
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= k, s"cid ${r.getInt(0)}")
+      assert(r.getLong(1) >= 1L, "empty cluster row")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3),
+        "min_dist > avg_dist")
+    }
+    // complete partition of the arriving set — every vec_id % 5 == 0
+    // routed exactly once, none of the standing corpus counted
+    val nArriving = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(rows.map(_.getLong(1)).sum === nArriving)
+  }
+
   test("p59 shards partition the corpus; positions are contiguous per shard") {
     import org.apache.spark.sql.functions._
     val s = graft.operators.Pipeline.p59ShardShuffle(spark, dir)
