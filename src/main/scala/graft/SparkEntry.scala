@@ -75,6 +75,7 @@ object SparkEntry {
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
+    "p63_token_budget"    -> (Pipeline.p63TokenBudget _),
     "t28_langid"          -> (TextAnalysis.t28Langid _),
     "t29_quality"         -> (TextAnalysis.t29Quality _),
     "t30_tokencount"      -> (TextAnalysis.t30Tokencount _),

@@ -263,6 +263,72 @@ object Pipeline {
       .orderBy("cid", "rnk")
   }
 
+  /** p63 hash-space buckets for the two-level prefix sum. Production
+    * sizes this ≈ cluster parallelism; 64 keeps S×B bucket rows tiny
+    * while still exercising the bucket offset join at test SFs. */
+  val BudgetBuckets = 64L
+
+  /** p63: token-budget corpus mixing — the training-mix step that p57
+    * (row-count shares) approximates: each SOURCE contributes documents
+    * along a deterministic salted-hash order until its TOKEN budget is
+    * exhausted (here an equal share of half the corpus tokens — the
+    * downsampling epoch mix). Token budgets, not row budgets, are what
+    * pretraining mixtures are specified in.
+    *
+    * 100 TB posture: the naive cut is a running token sum per source —
+    * ONE sorted window task per source, the classic sequential-scan
+    * scale trap. Instead the cut is a two-level prefix sum (p58's
+    * device, source-parallel): docs hash into [[BudgetBuckets]]
+    * buckets; per-(source,bucket) token sums (S·B rows) take a window
+    * over the tiny bucket grain to become bucket offsets; each doc's
+    * global cumulative position is its bucket offset + a running sum
+    * WITHIN its bucket — the big window runs partitioned by
+    * (source, bucket), so parallelism is S·B, not S. The global order
+    * (bucket, order-hash, doc_id) is deterministic and identical in
+    * the oracle's single-window restatement.
+    */
+  def p63TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val B = BudgetBuckets
+    val wIn = Window.partitionBy("source", "bucket").orderBy("okey", "doc_id")
+    // the ONE corpus pass: row grain + within-bucket running token sum.
+    // Both downstream branches (bucket totals; the kept-row stream)
+    // consume THIS subtree, so the exchange under the window is reused
+    // (the d30 single-scan device) — bucket totals are the LAST running
+    // value per bucket (max), not a second aggregation of the corpus.
+    val wb = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", ph(concat_ws(":", lit("budget"), col("doc_id"))) % B)
+      .withColumn("okey", ph(concat_ws(":", lit("order"), col("doc_id"))))
+      // the null filters the (source,bucket) equi-join would INSERT on
+      // its probe side, phrased into the shared subtree so every branch
+      // stays canonically identical and ReuseExchange can collapse them
+      // (the t35 lesson; vacuous on this data — bucket is an expression
+      // and the oracle mirrors the source predicate)
+      .filter(col("source").isNotNull && col("bucket").isNotNull)
+      .withColumn("cum_in_bucket", sum(col("n_tokens")).over(wIn))
+    val perBucket = wb.groupBy("source", "bucket")
+      .agg(max(col("cum_in_bucket")).as("bucket_tokens"))
+    // bucket offsets: exclusive prefix sum over the S·B grain (tiny)
+    val wSrc = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("offset", coalesce(sum(col("bucket_tokens")).over(wSrc), lit(0L)))
+      .select("source", "bucket", "offset")
+    val budget = perBucket
+      .agg(sum(col("bucket_tokens")).as("tt"),
+        countDistinct(col("source")).as("ns"))
+      // integer div — a double quotient could round up across the floor
+      .select(expr("tt DIV (2 * ns)").as("budget"))
+    wb
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_tokens", col("offset") + col("cum_in_bucket"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "cum_tokens")
+  }
+
   /** p60 vocabulary cutoff. Production sizes this as the tokenizer's
     * target vocab (30–250k); 20 keeps the top-K selection meaningful on
     * the synthetic corpus (31 distinct tokens at sf0.01). */

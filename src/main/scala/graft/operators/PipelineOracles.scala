@@ -354,6 +354,29 @@ object PipelineOracles {
       |HAVING COUNT(*) >= 12
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** p63 mirror: the two-level prefix sum collapses to ONE window per
+    * source ordered (bucket, okey, doc_id) — same global order, same
+    * cumulative values, exact integers throughout. */
+  private val p63Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens,
+      |         ${phSql("'budget:' || doc_id")} % 64 AS bucket,
+      |         ${phSql("'order:' || doc_id")} AS okey
+      |  FROM documents WHERE source IS NOT NULL
+      |), tot AS (
+      |  SELECT SUM(n_tokens) AS tt, COUNT(DISTINCT source) AS ns FROM d
+      |), cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         SUM(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY bucket, okey, doc_id
+      |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM d
+      |)
+      |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM cum, tot WHERE cum_tokens <= tt // (2 * ns)
+      |ORDER BY source, cum_tokens""".stripMargin
+
   /** s30/p62/st40 shared k-means chain. Mirrors Similarity's
     * kmeansModel/assignStep step-for-step in exact integer arithmetic:
     * the same floor(x·10⁶) quantization, the same min(d·100+cid)
@@ -1140,6 +1163,7 @@ object PipelineOracles {
     "t36_lm_score"     -> t36Sql,
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
+    "p63_token_budget" -> p63Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,
     "t29_quality"      -> t29Sql,

@@ -265,6 +265,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_chunk_fps"), s"chunk fps not the native expression:\n$p")
   }
 
+  test("p63 cut is source-parallel: offsets broadcast, big window on (source,bucket)") {
+    val p = planString(operators.Pipeline.p63TokenBudget(spark, dir))
+    // the S·B offset/budget sides must come back as broadcasts — a
+    // shuffle join here would re-partition the corpus twice
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the offset join:\n$p")
+    // the per-doc running sum must partition by (source, bucket) —
+    // a window keyed by source alone is ONE task per source at 100 TB
+    assert(p.contains("windowspecdefinition(source"), s"no window:\n$p")
+    assert(p.contains("windowspecdefinition(source#") &&
+      p.contains(", bucket#"), s"big window not bucket-parallel:\n$p")
+    // bucket totals derive from the window output (max of the running
+    // sum), so both branches reuse ONE corpus scan/exchange
+    assert(p.contains("ReusedExchange"), s"window subtree not reused:\n$p")
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
+
   test("q43 week filter prunes partitions at listing time") {
     val p = planString(sources.Sources.q43PartitionPrune(spark, dir))
     // the filter must plan as a PartitionFilter on the directory column

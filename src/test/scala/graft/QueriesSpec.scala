@@ -298,6 +298,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === nArriving)
   }
 
+  test("p63 token budget matches an in-memory reference cut") {
+    import java.security.MessageDigest
+    val md = MessageDigest.getInstance("MD5")
+    def ph(s: String): Long = {
+      md.reset()
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("").split(" ", -1).length.toLong))
+    val tt = docs.map(_._3).sum
+    val ns = docs.map(_._2).distinct.length
+    val budget = tt / (2L * ns)
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ordered = ds.map { case (id, _, n) =>
+        (ph(s"budget:$id") % graft.operators.Pipeline.BudgetBuckets, ph(s"order:$id"), id, n)
+      }.sortBy(t => (t._1, t._2, t._3))
+      var cum = 0L
+      ordered.toSeq.flatMap { case (_, _, id, n) =>
+        cum += n
+        if (cum <= budget) Some((src, id) -> ((n, cum))) else None
+      }
+    }.toMap
+    val got = graft.operators.Pipeline.p63TokenBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect, s"kept sets differ (got ${got.size} vs ref ${expect.size})")
+  }
+
   test("p59 shards partition the corpus; positions are contiguous per shard") {
     import org.apache.spark.sql.functions._
     val s = graft.operators.Pipeline.p59ShardShuffle(spark, dir)
