@@ -89,6 +89,8 @@ object SparkEntry {
     "d30_span_score"      -> (Dedup.d30SpanScore _),
     "d31_quality_survivor" -> (Dedup.d31QualitySurvivor _),
     "d32_span_cut"        -> (Dedup.d32SpanCut _),
+    "d33_winnow"          -> (Dedup.d33Winnow _),
+    "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),

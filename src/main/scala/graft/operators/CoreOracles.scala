@@ -351,6 +351,18 @@ object CoreOracles {
         |FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // q58: the bloom pre-filter is semantics-preserving (false positives
+    // re-checked by the exact join), so the oracle is the plain join
+    "q58_bloom_prefilter" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
   )
 }

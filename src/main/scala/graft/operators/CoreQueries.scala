@@ -543,4 +543,50 @@ object CoreQueries {
         round(sum(col("o_totalprice")), 2).as("stranded_value"))
       .orderBy("o_orderstatus")
   }
+
+  /** q58 logical plan: fact–dim shuffle join with a selective dim filter,
+    * the shape Catalyst's InjectRuntimeFilter rewrites into a bloom-filter
+    * pre-scan of the fact side. Kept separate (lazy, no conf changes) so
+    * PlanSpec can pin the rewrite on the optimized plan.
+    */
+  private[graft] def q58Plan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** q58: runtime bloom-filter pre-join scan reduction — the mechanism
+    * that makes a selective fact–dim shuffle join survive 100 TB. The
+    * selective dim filter (urgent orders) builds a `bloom_filter_agg`
+    * over the join keys as a scalar subquery; Catalyst injects
+    * `might_contain(bloom, xxhash64(l_orderkey))` into the FACT scan, so
+    * non-qualifying lineitem rows die at the scan instead of being
+    * shuffled — at cluster scale that converts a full-fact exchange into
+    * a filtered one at the cost of one small dim pre-pass. Semantics are
+    * UNCHANGED (bloom false positives are re-checked by the exact join),
+    * which is exactly what makes the oracle a plain SQL join.
+    *
+    * The rewrite only fires under shuffle-join planning with the
+    * application-side size gate open, so those confs are set for the
+    * duration of an eager `localCheckpoint` materialization (the result
+    * is a ≤3-row aggregate) and restored in a finally — the session-wide
+    * broadcast threshold is NOT left disabled for other queries. On a
+    * real cluster none of this ceremony exists: the fact side exceeds the
+    * 10 GB application-side default and the rewrite fires on its own.
+    */
+  def q58BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try q58Plan(spark, dir).localCheckpoint()
+    finally prev.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }.orderBy("o_orderstatus")
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.PortableHash._
 
@@ -688,6 +689,74 @@ object Dedup {
           array_sort(collect_list(
             when(col("cut").isNull, struct(col("chunk_idx"), col("chunk_text"))))),
           x => x.getField("chunk_text")))).as("retained_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** d33 winnowing window: one fingerprint guaranteed per run of this
+    * many consecutive span hashes (the guarantee threshold t = w + W - 1
+    * tokens in the paper's terms). */
+  val WinnowWindow = 4
+
+  /** Bits reserved for the position in the packed selection key — caps a
+    * document at 2^20 tokens. The synthetic corpus tops out orders of
+    * magnitude below; a production deployment with longer docs widens
+    * this and the mask below (60 usable non-negative hash bits leave
+    * room for 24/36 splits too). */
+  val WinnowPosBits = 20
+  val WinnowHashMask = (1L << 40) - 1L
+
+  /** d33: winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each window of
+    * [[WinnowWindow]] consecutive [[SpanTokens]]-gram hashes keep the
+    * minimum (rightmost on ties), then de-duplicate the selections. The
+    * standard upgrade over t31's single rolling hash: a document's
+    * fingerprint set is position-robust (any shared passage of
+    * `SpanTokens + WinnowWindow - 1` tokens is GUARANTEED to contribute
+    * at least one common fingerprint) while storing only ~2/(W+1) of the
+    * d29 posting volume — the index a plagiarism/overlap checker keeps.
+    *
+    * The tie rule is made total instead of probabilistic: hash and
+    * position pack into one int64 key (40 hash bits · 20 position bits,
+    * position complemented so MIN prefers the rightmost), so the per-
+    * window argmin is a plain `min() OVER (ROWS CURRENT..W-1 FOLLOWING)`
+    * — the same frame in Spark and DuckDB, no nondeterministic arg_min.
+    *
+    * 100 TB posture: zero joins — one posexplode (posting volume = token
+    * count, int64s from the codegen'd expression), ONE exchange on
+    * doc_id for the window, and both downstream aggregations (distinct
+    * fingerprints, per-doc rollup) reuse that partitioning (doc_id ⊆
+    * every grouping key ⇒ ClusteredDistribution already satisfied, no
+    * further shuffle). Window state is W rows. Per-doc output row.
+    */
+  def d33Winnow(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    d33WinnowCore(Tables.documents(spark, dir))
+  }
+
+  /** Winnowing over any (doc_id, text) frame — extracted so the property
+    * test can drive random corpora through the exact production plan.
+    * Caller must have registered [[graft.functions.GraftFunctions]]. */
+  private[graft] def d33WinnowCore(documents: DataFrame): DataFrame = {
+    val W = WinnowWindow
+    val hp = documents
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= SpanTokens)
+      .select(col("doc_id"),
+        (size(col("words")) - lit(SpanTokens - 1)).cast("long").as("n_h"),
+        posexplode(expr(s"graft_window_hashes(words, $SpanTokens)")).as(Seq("pos", "h")))
+    val key = col("h").bitwiseAND(lit(WinnowHashMask)) * lit(1L << WinnowPosBits) +
+      (lit((1L << WinnowPosBits) - 1L) - col("pos"))
+    val fpw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    hp.withColumn("fp_key", min(key).over(fpw))
+      .filter(col("pos") <= greatest(lit(0L), col("n_h") - lit(W.toLong)))
+      .select("doc_id", "n_h", "fp_key").distinct()
+      .groupBy("doc_id", "n_h")
+      .agg(count(lit(1)).as("n_fps"),
+        min(shiftright(col("fp_key"), WinnowPosBits)).as("min_fp"),
+        max(shiftright(col("fp_key"), WinnowPosBits)).as("max_fp"))
+      .select(col("doc_id"), col("n_h").as("n_hashes"), col("n_fps"),
+        expr("n_fps * 10000 div n_h").as("fp_density_pm"),
+        col("min_fp"), col("max_fp"))
       .orderBy("doc_id")
   }
 }

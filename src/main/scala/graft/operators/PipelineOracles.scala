@@ -997,6 +997,44 @@ object PipelineOracles {
       |FROM per GROUP BY h HAVING SUM(occ) >= 2
       |ORDER BY span_hash""".stripMargin
 
+  // mirror of Dedup.d33Winnow: same packed (40-bit hash · 20-bit
+  // complemented position) selection key, same ROWS CURRENT..W-1
+  // FOLLOWING frame, same start-row restriction — all-integer, so the
+  // hash mask / shift arithmetic is bit-identical across engines
+  private val d33Sql: String = {
+    val w = Dedup.SpanTokens; val W = Dedup.WinnowWindow
+    val mask = Dedup.WinnowHashMask; val pw = 1L << Dedup.WinnowPosBits
+    s"""WITH wd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |         CAST(len(string_split(text, ' ')) - ${w - 1} AS BIGINT) AS n_h
+      |  FROM documents WHERE len(string_split(text, ' ')) >= $w
+      |), hp0 AS (
+      |  SELECT doc_id, n_h,
+      |         unnest(list_transform(generate_series(1, CAST(n_h AS INTEGER)),
+      |           i -> {'pos': CAST(i - 1 AS BIGINT),
+      |                 's': array_to_string(words[i:i+${w - 1}], ' ')})) AS u
+      |  FROM wd
+      |), hp AS (
+      |  SELECT doc_id, n_h, u.pos AS pos,
+      |         (${phSql("u.s")} & $mask) * $pw + (${pw - 1} - u.pos) AS key
+      |  FROM hp0
+      |), win AS (
+      |  SELECT doc_id, n_h, pos,
+      |         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |                        ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp_key
+      |  FROM hp
+      |), st AS (
+      |  SELECT DISTINCT doc_id, n_h, fp_key FROM win
+      |  WHERE pos <= GREATEST(0, n_h - $W)
+      |)
+      |SELECT doc_id, n_h AS n_hashes, COUNT(*) AS n_fps,
+      |       COUNT(*) * 10000 // n_h AS fp_density_pm,
+      |       MIN(fp_key // $pw) AS min_fp,
+      |       MAX(fp_key // $pw) AS max_fp
+      |FROM st GROUP BY doc_id, n_h
+      |ORDER BY doc_id""".stripMargin
+  }
+
   // mirror of Dedup.d30SpanScore: shared posting grain, cross-doc
   // index = spans held by >= 2 distinct docs, same integer permyriad
   // share and shared flag threshold
@@ -1138,6 +1176,7 @@ object PipelineOracles {
     "t35_keywords"     -> t35Sql,
     "d29_repeated_spans" -> d29Sql,
     "d30_span_score"   -> d30Sql,
+    "d33_winnow"       -> d33Sql,
     "p61_chunk_overlap" -> p61Sql,
     "d21_exact_dedup" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id

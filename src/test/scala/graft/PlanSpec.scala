@@ -474,4 +474,33 @@ class PlanSpec extends AnyFunSuite {
     val analyzed = df.queryExecution.analyzed.toString
     assert(analyzed.contains("graft_dot"), s"graft_dot missing:\n$analyzed")
   }
+
+  test("q58 injects a bloom filter into the fact scan under shuffle-join planning") {
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val opt = operators.CoreQueries.q58Plan(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      // the dim side builds the bloom as a scalar subquery...
+      assert(opt.contains("bloom_filter_agg"), s"no bloom_filter_agg:\n$opt")
+      // ...and the fact scan is pre-filtered through it
+      assert(opt.contains("might_contain"), s"no might_contain on the fact side:\n$opt")
+    } finally prev.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("d33 winnowing is joinless and reuses the doc_id window exchange") {
+    val df = operators.Dedup.d33Winnow(spark, dir)
+    val p = planString(df)
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+    // one exchange for the doc_id window; the distinct + per-doc rollup
+    // reuse that partitioning (doc_id ⊆ every grouping key); plus the
+    // presentation orderBy's range exchange
+    val n = countExchanges(df)
+    assert(n <= 2, s"expected ≤2 exchanges (window + presentation sort), got $n:\n$p")
+  }
 }

@@ -486,4 +486,48 @@ class PropertySpec extends AnyFunSuite {
     assert(near < far, s"near=$near far=$far")
     assert(near <= 12, s"near-duplicate hamming too large: $near")
   }
+
+  // longer docs than corpusGen (winnowing needs ≥ SpanTokens words) with a
+  // tiny vocabulary so span-hash ties and repeats actually occur; lengths
+  // straddle both exclusion (< w) and the clipped-window case (n_h < W)
+  private val winnowCorpusGen: Gen[List[(Long, String)]] = Gen.listOf(for {
+    id <- Gen.choose(0L, 19L)
+    nw <- Gen.choose(1, 40)
+    ws <- Gen.listOfN(nw, Gen.choose(0, 4).map(i => s"w$i"))
+  } yield (id, ws.mkString(" "))).map(_.groupBy(_._1).map(_._2.head).toList)
+
+  test("d33 winnowing matches the in-memory reference on random corpora") {
+    val w = operators.Dedup.SpanTokens
+    val W = operators.Dedup.WinnowWindow
+    val mask = operators.Dedup.WinnowHashMask
+    val posW = 1L << operators.Dedup.WinnowPosBits
+    graft.functions.GraftFunctions.register(spark)
+    samples(winnowCorpusGen, 20).filter(_.nonEmpty).foreach { docs =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+      val got = operators.Dedup.d33WinnowCore(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      val want = docs.flatMap { case (id, t) =>
+        val words = t.split(" ")
+        if (words.length < w) None else {
+          val nH = words.length - w + 1
+          val keys = (0 until nH).map { i =>
+            val h = graft.functions.TextHash.ph(
+              words.slice(i, i + w).mkString(" ").getBytes("UTF-8"))
+            (h & mask) * posW + (posW - 1 - i)
+          }
+          val fps = (0 to math.max(0, nH - W))
+            .map(j => keys.slice(j, math.min(j + W, nH)).min).distinct
+          val f40 = fps.map(_ / posW)
+          Some(id -> ((nH.toLong, fps.size.toLong, fps.size.toLong * 10000L / nH,
+            f40.min, f40.max)))
+        }
+      }.toMap
+      assert(got === want)
+    }
+  }
 }
