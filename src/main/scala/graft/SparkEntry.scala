@@ -90,6 +90,7 @@ object SparkEntry {
     "d31_quality_survivor" -> (Dedup.d31QualitySurvivor _),
     "d32_span_cut"        -> (Dedup.d32SpanCut _),
     "d33_winnow"          -> (Dedup.d33Winnow _),
+    "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),

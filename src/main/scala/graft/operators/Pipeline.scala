@@ -416,4 +416,59 @@ object Pipeline {
           .as("final_tokens"))
       .orderBy("source")
   }
+
+  /** p64: temperature-scaled source mixture (α = 1/2) — the
+    * multilingual/multi-source rebalancing rule of XLM-R (Conneau et al.
+    * 2020, arXiv:1911.02116 §3.1) and mT5: sample source s with
+    * probability ∝ T_s^α, flattening the head without p57's fully-equal
+    * target. α = 1/2 is chosen because it makes the weights EXACT
+    * integers — w_s = isqrt(T_s), computed as floor(sqrt(double)) plus a
+    * one-step integer fix-up (IEEE sqrt is correctly rounded, so the
+    * floor is off by at most 1 either way; the fix-up makes both engines
+    * bit-exact regardless). A float pow(t, 0.3) would hash-diverge at
+    * rounding boundaries between engines.
+    *
+    * The kept corpus is the LARGEST total K realizable at the target
+    * shares without upsampling: kept_s = (K·w_s) div Σw ≤ n_s for all s
+    * ⇔ K = min_s (n_s·Σw div w_s). Per-source keep rates follow in
+    * permyriad, and row admission is the p56/p57 deterministic
+    * salted-hash rule — reproducible, growth-stable, never rand().
+    *
+    * Scale posture: pass 1 is a map-side-combined per-source count/token
+    * aggregate (|S| rows; the weight/share/K columns are windows over
+    * that tiny grain), pass 2 re-scans with the |S|-row threshold table
+    * broadcast — data rows are never shuffled (the kept count partial-
+    * aggregates to ≤|S| rows per task before its exchange). Int64 bound:
+    * n_s·Σw < 2^63 holds through ~10^12 docs at ~10^6-token sources;
+    * beyond that, quantize T_s to mega-tokens before the sqrt (same
+    * arithmetic, scaled grid).
+    */
+  def p64TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+    val stats = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_input"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("s0", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      .withColumn("weight",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("tokens"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("tokens"), col("s0") - 1)
+          .otherwise(col("s0")))
+      .withColumn("sumw", sum(col("weight")).over(Window.partitionBy()))
+      .withColumn("target_share_pm", expr("weight * 10000 DIV sumw"))
+      .withColumn("k_total",
+        min(expr("n_input * sumw DIV weight")).over(Window.partitionBy()))
+      .withColumn("keep_permyriad",
+        least(lit(10000L), expr("(k_total * weight DIV sumw) * 10000 DIV n_input")))
+    val kept = docs
+      .join(broadcast(stats.select("source", "keep_permyriad")), Seq("source"))
+      .filter(pmod(ph(concat_ws(":", lit("temp"), col("doc_id"))), lit(10000L))
+        < col("keep_permyriad"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    stats.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_input"), col("tokens"), col("weight"),
+        col("target_share_pm"), col("keep_permyriad"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
 }

@@ -1035,6 +1035,46 @@ object PipelineOracles {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // mirror of Pipeline.p64TemperatureMix: same isqrt fix-up, same
+  // integer share/K/keep arithmetic, same salted-hash admission
+  private val p64Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), st0 AS (
+      |  SELECT source, COUNT(*) AS n_input, SUM(n_tokens) AS tokens
+      |  FROM d GROUP BY source
+      |), st1 AS (
+      |  SELECT *, CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS s0 FROM st0
+      |), st2 AS (
+      |  SELECT source, n_input, tokens,
+      |         CASE WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
+      |              WHEN s0 * s0 > tokens THEN s0 - 1 ELSE s0 END AS weight
+      |  FROM st1
+      |), st3 AS (
+      |  SELECT *, SUM(weight) OVER () AS sumw FROM st2
+      |), st4 AS (
+      |  SELECT *, weight * 10000 // sumw AS target_share_pm,
+      |         MIN(n_input * sumw // weight) OVER () AS k_total
+      |  FROM st3
+      |), th AS (
+      |  SELECT *, LEAST(10000, (k_total * weight // sumw) * 10000 // n_input)
+      |         AS keep_permyriad
+      |  FROM st4
+      |), kept AS (
+      |  SELECT d.source, COUNT(*) AS n_kept
+      |  FROM d JOIN th ON d.source = th.source
+      |  WHERE ${phSql("'temp:' || CAST(doc_id AS VARCHAR)")} % 10000 < th.keep_permyriad
+      |  GROUP BY d.source
+      |)
+      |SELECT th.source, CAST(th.n_input AS BIGINT) AS n_input, th.tokens, th.weight,
+      |       CAST(th.target_share_pm AS BIGINT) AS target_share_pm,
+      |       CAST(th.keep_permyriad AS BIGINT) AS keep_permyriad,
+      |       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM th LEFT JOIN kept ON th.source = kept.source
+      |ORDER BY 1""".stripMargin
+
   // mirror of Dedup.d30SpanScore: shared posting grain, cross-doc
   // index = spans held by >= 2 distinct docs, same integer permyriad
   // share and shared flag threshold
@@ -1189,6 +1229,7 @@ object PipelineOracles {
     "d27_incremental_dedup" -> d27Sql,
     "p56_stratified_split" -> p56Sql,
     "p57_source_mix"   -> p57Sql,
+    "p64_temperature_mix" -> p64Sql,
     "p58_seq_pack"     -> p58Sql,
     "d23_simhash"      -> d23Sql,
     "d24_ngram_jaccard" -> d24Sql,

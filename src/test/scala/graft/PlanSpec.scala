@@ -493,6 +493,14 @@ class PlanSpec extends AnyFunSuite {
       vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("p64 threshold join broadcasts; admission never sort-merges the corpus") {
+    val p = planString(operators.Pipeline.p64TemperatureMix(spark, dir))
+    // the |S|-row keep-rate table must be the broadcast side — a
+    // SortMergeJoin would re-shuffle every data row by source
+    assert(p.contains("BroadcastHashJoin"), s"threshold join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for admission:\n$p")
+  }
+
   test("d33 winnowing is joinless and reuses the doc_id window exchange") {
     val df = operators.Dedup.d33Winnow(spark, dir)
     val p = planString(df)
