@@ -92,6 +92,7 @@ object SparkEntry {
     "d33_winnow"          -> (Dedup.d33Winnow _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
+    "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),

@@ -363,6 +363,23 @@ object CoreOracles {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // q59: run-collapse then version — the second window runs over the
+    // collapsed rows, exactly like the Spark plan
+    "q59_scd_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), kept AS (
+        |  SELECT user_id, ts, event_id, state FROM ch
+        |  WHERE prev IS NULL OR state <> prev
+        |)
+        |SELECT user_id, ROW_NUMBER() OVER w AS version, state,
+        |       ts AS eff_from, LEAD(ts) OVER w AS eff_to,
+        |       (LEAD(ts) OVER w IS NULL) AS is_current
+        |FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin
   )
 }

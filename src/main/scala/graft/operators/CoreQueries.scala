@@ -589,4 +589,38 @@ object CoreQueries {
     finally prev.foreach { case (k, vo) =>
       vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }.orderBy("o_orderstatus")
+
+  /** q59: SCD type-2 dimension history build — reconstruct each
+    * entity's state-validity intervals from its raw event stream: drop
+    * no-change events (run collapse via lag), then version each
+    * surviving change with [eff_from, eff_to) from its own timestamp
+    * and the NEXT change's (lead), open interval = current row. This is
+    * the PRIORLOC shape the reference is built on — VACOLS keeps each
+    * case's location history as checked-out/checked-in intervals
+    * (reference R/events.R:55-90: LOCDOUT/LOCDIN per BFKEY) and every
+    * analysis reconstructs "where is the case, since when"; here the
+    * interval table is DERIVED from the change log, the standard
+    * warehouse CDC→SCD2 materialization.
+    *
+    * Scale posture: ONE exchange on user_id serves both window passes —
+    * the run-collapse filter preserves the sort, so versioning/lead
+    * reuse the same sorted partitioning (PlanSpec pins a single hash
+    * exchange); state per window is one row. Entity skew is bounded by
+    * per-entity event counts (VACOLS-like logs: hundreds per case, not
+    * millions); the presentation sort is oracle determinism only.
+    */
+  def q59ScdHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("state") =!= col("prev"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("eff_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("state"),
+        col("ts").as("eff_from"), col("eff_to"),
+        col("eff_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
 }

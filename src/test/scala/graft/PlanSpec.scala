@@ -501,6 +501,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for admission:\n$p")
   }
 
+  test("q59 SCD2 build runs both window passes on one user_id exchange") {
+    val df = operators.CoreQueries.q59ScdHistory(spark, dir)
+    val p = planString(df)
+    // run collapse preserves the (ts, event_id) sort, so versioning and
+    // lead must NOT re-shuffle: one hash exchange + the presentation range
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"SCD2 build must be join-free:\n$p")
+  }
+
   test("d33 winnowing is joinless and reuses the doc_id window exchange") {
     val df = operators.Dedup.d33Winnow(spark, dir)
     val p = planString(df)
