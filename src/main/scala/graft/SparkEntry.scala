@@ -71,6 +71,7 @@ object SparkEntry {
     "s28_ann_ivf"         -> (Similarity.s28AnnIvf _),
     "s29_ann_rerank"      -> (Similarity.s29AnnRerank _),
     "s30_kmeans"          -> (Similarity.s30Kmeans _),
+    "s31_silhouette"      -> (Similarity.s31Silhouette _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
@@ -93,6 +94,7 @@ object SparkEntry {
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),
+    "q60_cube"            -> (CoreQueries.q60Cube _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),

@@ -380,6 +380,18 @@ object CoreOracles {
         |       ts AS eff_from, LEAD(ts) OVER w AS eff_to,
         |       (LEAD(ts) OVER w IS NULL) AS is_current
         |FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, version""".stripMargin
+        |ORDER BY user_id, version""".stripMargin,
+
+    // q60: same lattice + the same grouping-id bit order
+    // (status bit 1, priority bit 0)
+    "q60_cube" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS priority,
+        |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin
   )
 }

@@ -609,6 +609,34 @@ object CoreQueries {
     * per-entity event counts (VACOLS-like logs: hundreds per case, not
     * millions); the presentation sort is oracle determinism only.
     */
+  /** q60: CUBE / grouping-sets aggregation — every subtotal combination
+    * of (status, priority) in one pass, with an explicit grouping-id so
+    * consumers can tell a cube-ALL row from a genuine dimension value
+    * (the q41 rollup's COALESCE trick is ambiguous the moment a dim is
+    * nullable; `grouping()` is the ANSI answer). Complements q41:
+    * ROLLUP is the hierarchy shape, CUBE the full lattice — the status-
+    * report cross-tabs the reference renders from every angle
+    * (notebooks' type×disposition×year breakdowns) are grouping sets.
+    *
+    * Scale posture: Spark expands the lattice BEFORE the exchange (one
+    * Expand + one partial-aggregated shuffle on the expanded keys — 4×
+    * the map-side rows for 2 dims, still one pass over the fact table,
+    * never 4 scans); low-cardinality grouping keys partial-aggregate to
+    * ~|lattice| rows per task.
+    */
+  def q60Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg((grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid"), col("n_orders"), col("total_price"))
+      .orderBy("gid", "status", "priority")
+  }
+
   def q59ScdHistory(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)

@@ -443,6 +443,23 @@ object PipelineOracles {
     s"""$kmeansCtes
       |SELECT vec_id, cid, dist FROM asg ORDER BY vec_id""".stripMargin
 
+  // mirror of Similarity.s31Silhouette: b(i) = min distance over the
+  // OTHER centroids from the same d2 all-pairs grain the assignment
+  // used; identical integer permyriad arithmetic
+  private val s31Sql: String =
+    s"""$kmeansCtes, sil AS (
+      |  SELECT a.vec_id, a.cid, a.dist AS a2, MIN(d.d) AS b2
+      |  FROM asg a JOIN d2 d ON a.vec_id = d.vec_id AND d.cid <> a.cid
+      |  GROUP BY 1, 2, 3
+      |), sp AS (
+      |  SELECT cid, (b2 - a2) * 10000 // GREATEST(GREATEST(a2, b2), 1) AS s_pm
+      |  FROM sil
+      |)
+      |SELECT cid, COUNT(*) AS n_members,
+      |       SUM(s_pm) // COUNT(*) AS mean_sil_pm,
+      |       MIN(s_pm) AS min_sil_pm, MAX(s_pm) AS max_sil_pm
+      |FROM sp GROUP BY cid ORDER BY cid""".stripMargin
+
   private val p62Sql: String =
     s"""$kmeansCtes
       |SELECT cid, rnk, vec_id, dist FROM (
@@ -1239,6 +1256,7 @@ object PipelineOracles {
     "s28_ann_ivf"      -> s28Sql,
     "s29_ann_rerank"   -> s29Sql,
     "s30_kmeans"       -> s30Sql,
+    "s31_silhouette"   -> s31Sql,
     "p62_balanced_sample" -> p62Sql,
     "t36_lm_score"     -> t36Sql,
     "m35_payload_chunkdup" -> m35Sql,

@@ -236,6 +236,43 @@ object Similarity {
         expr("key div 100L").as("dist"))
   }
 
+  /** s31: per-cluster silhouette quality report for the s30 model — the
+    * clustering-eval harness completing the s29 pattern (s29 grades the
+    * ANN index, s31 grades the clustering itself). Centroid-based
+    * simplified silhouette (Rousseeuw 1987's s(i) with centroid
+    * distances standing in for mean member distances — the standard
+    * O(N·K) large-corpus variant of the O(N²) original): a(i) = squared
+    * distance to the OWN centroid (the assignment already computed it),
+    * b(i) = min squared distance to any OTHER centroid, s(i) =
+    * (b−a)/max(a,b). On s30's integer grid every distance is an exact
+    * int64, and s(i) is reported in permyriad via integer division —
+    * bit-identical across engines, no float ratios. Assignment is the
+    * global argmin, so a ≤ b and s ∈ [0, 10000] by construction.
+    *
+    * Scale posture: ONE pass over the assigned corpus with the packed
+    * K-row model broadcast; b(i) is the same codegen'd argmin primitive
+    * over the own-centroid-filtered array (the K-element `filter` runs
+    * per row on a 16-struct broadcast array — constant work, no
+    * N·K explode); the report partial-aggregates to ≤K rows per task.
+    */
+  def s31Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = quantize(Tables.embeddings(spark, dir))
+    val model = kmeansModel(q) // ONE model subtree feeds assignment AND b(i)
+    val asg = assignStep(q, model)
+    asg.crossJoin(broadcast(packCentroids(model)))
+      .withColumn("okey", expr("graft_kmeans_argmin(q, filter(cents, c -> c.cid != cid))"))
+      .withColumn("b2", expr("okey div 100L"))
+      .withColumn("s_pm",
+        expr("(b2 - dist) * 10000 DIV greatest(greatest(dist, b2), 1L)"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(s_pm) DIV count(1)").as("mean_sil_pm"),
+        min(col("s_pm")).as("min_sil_pm"),
+        max(col("s_pm")).as("max_sil_pm"))
+      .orderBy("cid")
+  }
+
   /** One centroid update: posexplode to (cid, pos) grain, exact integer
     * component sums, floor(sum/n) back onto the grid, rebuild arrays in
     * pos order. K·64 rows out — broadcastable by construction. */

@@ -234,6 +234,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"point grain shuffled for a join:\n$p")
   }
 
+  test("s31 silhouette stays on the broadcast-projection shape (no N·K explode)") {
+    val p = planString(operators.Similarity.s31Silhouette(spark, dir))
+    // b(i) must come from the same in-row argmin over the broadcast
+    // model as the assignment — never a per-(point,centroid) join
+    assert(!p.contains("CartesianProduct"), s"cartesian in silhouette:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"model row not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"point grain shuffled for a join:\n$p")
+  }
+
   test("p62 per-cluster cap pushes into the shuffle as WindowGroupLimit") {
     val p = planString(operators.Pipeline.p62BalancedSample(spark, dir))
     // rnk <= cap must prune to <=cap rows per cluster BEFORE the
