@@ -100,6 +100,7 @@ object SparkEntry {
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
+    "st41_stream_scd"     -> (graft.streaming.Streams.st41StreamScd _),
     "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
     "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),
@@ -169,6 +170,24 @@ object SparkEntry {
           |SELECT user_id, session_start, session_end, n_events
           |FROM sess WHERE session_num < last_num
           |ORDER BY user_id, session_start""".stripMargin,
+      // st41: q59's closed intervals — the open (is_current) row per
+      // entity stays in group state, deliberately un-emitted (append
+      // mode cannot retract), the same contract as st34
+      "st41_stream_scd" ->
+        """WITH ch AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+          |         event_type AS state,
+          |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events
+          |), kept AS (
+          |  SELECT user_id, ts, event_id, state FROM ch
+          |  WHERE prev IS NULL OR state <> prev
+          |)
+          |SELECT user_id, CAST(ROW_NUMBER() OVER w AS INT) AS version, state,
+          |       ts AS eff_from, LEAD(ts) OVER w AS eff_to
+          |FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |QUALIFY eff_to IS NOT NULL
+          |ORDER BY user_id, version""".stripMargin,
       // q37/q38 round-trip through csv / jdbc; end state is statable on parquet
       "q37_csv_roundtrip" ->
         """SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation

@@ -364,4 +364,61 @@ object Streams {
     runToTable(spark, sessions.toDF(), "append", "st34")
       .orderBy("user_id", "session_start")
   }
+
+  case class ScdEv(user_id: Long, us: Long, event_id: Long, state: String)
+  case class ScdState(us: Long, event_id: Long, state: String, version: Int)
+  case class ScdOut(user_id: Long, version: Int, state: String,
+      eff_from: Instant, eff_to: Instant)
+
+  /** st41: streaming SCD type-2 maintenance — the continuous form of
+    * q59's batch build. Each entity's current (state, since, version)
+    * lives in group state; an arriving change CLOSES the previous
+    * validity interval (emitted, append mode) and opens the next in
+    * state. Append-mode streaming cannot retract, so exactly the CLOSED
+    * intervals are emitted and each entity's open current row stays in
+    * state — the oracle is q59's history minus the is_current rows, the
+    * same deliberate contract as st34 (trailing session un-emitted).
+    *
+    * Ordering contract (standard CDC): the within-batch iterator is
+    * unordered, so each batch's events are sorted per key by (ts,
+    * event_id) before folding — memory O(events per KEY per batch), the
+    * per-entity change-log bound (VACOLS-like: hundreds per case).
+    * Cross-batch, the log is assumed to ship in order (the file replay
+    * and any log-shipping CDC source guarantee it); a late event older
+    * than the state's watermark would need a retraction channel, which
+    * append mode rules out by construction.
+    *
+    * State is ONE row per entity regardless of history length — the
+    * 100 TB posture: state volume is |entities|, emitted history flows
+    * through instead of accumulating.
+    */
+  def st41StreamScd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+        col("event_id"), col("event_type").as("state"))
+      .as[ScdEv]
+    def toInstant(us: Long): Instant =
+      Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+    val closed = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val batch = it.toArray.sortBy(e => (e.us, e.event_id))
+        val out = ArrayBuffer.empty[ScdOut]
+        var cur = state.getOption.orNull
+        batch.foreach { e =>
+          if (cur == null) {
+            cur = ScdState(e.us, e.event_id, e.state, 1)
+          } else if (e.state != cur.state) {
+            out += ScdOut(uid, cur.version, cur.state,
+              toInstant(cur.us), toInstant(e.us))
+            cur = ScdState(e.us, e.event_id, e.state, cur.version + 1)
+          } // no-change event: run collapse, state unchanged
+        }
+        if (cur != null) state.update(cur)
+        out.iterator
+      }
+    runToTable(spark, closed.toDF(), "append", "st41")
+      .orderBy("user_id", "version")
+  }
 }
