@@ -1052,6 +1052,36 @@ object PipelineOracles {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // mirror of TextAnalysis.t37CmsCore: same (2j+67, 7919j+253409) hash
+  // pairs, same D·W cell grain, same min-over-rows estimate
+  private val t37Sql: String = {
+    val d = TextAnalysis.CmsRows; val w = TextAnalysis.CmsWidth
+    val k = TextAnalysis.CmsTopK
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token
+      |), g AS (
+      |  SELECT token, n_occ, t.j,
+      |         ((t.j * 2 + 67) * (${phSql("token")} % $P) + t.j * 7919 + 253409)
+      |           % $P % $w AS bucket
+      |  FROM tf CROSS JOIN generate_series(0, ${d - 1}) AS t(j)
+      |), sk AS (
+      |  SELECT j, bucket, SUM(n_occ) AS cms_cell FROM g GROUP BY 1, 2
+      |), top AS (
+      |  SELECT token, n_occ FROM tf ORDER BY n_occ DESC, token LIMIT $k
+      |), est AS (
+      |  SELECT t.token, t.n_occ, MIN(s.cms_cell) AS cms_n
+      |  FROM top t JOIN g ON g.token = t.token
+      |  JOIN sk s ON s.j = g.j AND s.bucket = g.bucket
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rnk,
+      |       token, n_occ AS exact_n, cms_n,
+      |       (cms_n - n_occ) * 10000 // n_occ AS over_pm
+      |FROM est ORDER BY rnk""".stripMargin
+  }
+
   // mirror of Pipeline.p64TemperatureMix: same isqrt fix-up, same
   // integer share/K/keep arithmetic, same salted-hash admission
   private val p64Sql: String =
@@ -1259,6 +1289,7 @@ object PipelineOracles {
     "s31_silhouette"   -> s31Sql,
     "p62_balanced_sample" -> p62Sql,
     "t36_lm_score"     -> t36Sql,
+    "t37_cms_freq"     -> t37Sql,
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
     "p63_token_budget" -> p63Sql,

@@ -384,4 +384,66 @@ object TextAnalysis {
         expr("tot DIV n_bigrams").as("lm_score_ppm"))
       .orderBy("doc_id")
   }
+
+  /** t37 count-min geometry: 4 rows × 1024 buckets, and the top-K probe
+    * set the estimates are graded on. Seed offset 32 keeps the (a,b)
+    * pairs disjoint from the 16 minhash rows. */
+  val CmsRows = 4
+  val CmsWidth = 1024L
+  val CmsTopK = 20
+  // row-j hash pair = PortableHash.seedA/seedB(j + 32), inlined as the
+  // column arithmetic (2j+67, 7919j+253409) since j rides as a column
+
+  /** t37: count-min frequency sketch (Cormode & Muthukrishnan 2005) +
+    * heavy-hitter error report — the FREQUENCY member of the mergeable-
+    * sketch family (q49 HLL = distinct count, q51 = quantiles): cell
+    * (j, b) sums the counts of every token whose j-th hash lands in b;
+    * a token's estimate is min_j cell(j, h_j(token)), an overestimate by
+    * construction. The report grades the sketch against exact truth on
+    * the top-[[CmsTopK]] tokens (the s29/s31 eval-harness pattern):
+    * exact count, CMS estimate, overestimate in permyriad.
+    *
+    * The hash family is the minhash construction on the portable 60-bit
+    * hash ((a_j·x + b_j) mod P mod W — exact int64, both engines
+    * bit-identical); a real deployment tunes W to n/ε, and the sketch
+    * merges by cell-wise addition — the property that makes it the
+    * standard distributed frequency structure.
+    *
+    * Scale posture: ONE corpus explode feeds the same token-frequency
+    * aggregate p60 uses (the only data-sized shuffle); the sketch is a
+    * |vocab|·D → D·W partial-aggregated rollup (4096 cells — each task
+    * pre-combines to ≤4096 rows regardless of input), and the probe is
+    * a broadcast of the K-row top set against the broadcast sketch.
+    */
+  def t37CmsFreq(spark: SparkSession, dir: String): DataFrame =
+    t37CmsCore(Tables.documents(spark, dir))
+
+  /** Sketch core over any (doc_id, text) frame — extracted so property
+    * tests can drive random corpora through the exact production plan. */
+  private[graft] def t37CmsCore(documents: DataFrame): DataFrame = {
+    val P = graft.functions.PortableHash.P
+    val tf = documents
+      .withColumn("words", split(coalesce(col("text"), lit("")), " "))
+      .select(explode(col("words")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    val buckets = tf
+      .select(col("token"), col("n_occ"),
+        explode(array((0 until CmsRows).map(lit): _*)).as("j"))
+      .withColumn("x", pmod(ph(col("token")), lit(P)))
+      .withColumn("bucket",
+        pmod(pmod((col("j") * 2 + 67) * col("x") + col("j") * 7919 + 253409, lit(P)),
+          lit(CmsWidth)))
+    val sketch = buckets.groupBy("j", "bucket").agg(sum(col("n_occ")).as("cms_cell"))
+    val top = tf.orderBy(col("n_occ").desc, col("token")).limit(CmsTopK)
+    val w = Window.orderBy(col("n_occ").desc, col("token"))
+    broadcast(top)
+      .join(buckets.select("token", "j", "bucket"), Seq("token"))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("token", "n_occ")
+      .agg(min(col("cms_cell")).as("cms_n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("token"), col("n_occ").as("exact_n"), col("cms_n"),
+        expr("(cms_n - n_occ) * 10000 DIV n_occ").as("over_pm"))
+      .orderBy("rnk")
+  }
 }

@@ -487,6 +487,38 @@ class PropertySpec extends AnyFunSuite {
     assert(near <= 12, s"near-duplicate hamming too large: $near")
   }
 
+  test("t37 count-min sketch matches the in-memory reference on random corpora") {
+    val P = graft.functions.PortableHash.P
+    val D = operators.TextAnalysis.CmsRows
+    val W = operators.TextAnalysis.CmsWidth
+    val K = operators.TextAnalysis.CmsTopK
+    samples(corpusGen, 20).filter(_.nonEmpty).foreach { docs =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+      val got = operators.TextAnalysis.t37CmsCore(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val tf = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (t, o) => t -> o.size.toLong }
+      def bucket(j: Int, tok: String): Long =
+        ((2L * j + 67L) * (graft.functions.TextHash.ph(tok.getBytes("UTF-8")) % P) +
+          7919L * j + 253409L) % P % W
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+      tf.foreach { case (t, n) =>
+        (0 until D).foreach(j => cells((j, bucket(j, t))) += n) }
+      val want = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(K)
+        .zipWithIndex.map { case ((t, n), i) =>
+          val cms = (0 until D).map(j => cells((j, bucket(j, t)))).min
+          (i + 1).toLong -> ((t, n, cms, (cms - n) * 10000L / n))
+        }.toMap
+      assert(got === want)
+      // every estimate dominates the truth — the CMS guarantee
+      got.values.foreach { case (_, exact, cms, _) => assert(cms >= exact) }
+    }
+  }
+
   // longer docs than corpusGen (winnowing needs ≥ SpanTokens words) with a
   // tiny vocabulary so span-hash ties and repeats actually occur; lengths
   // straddle both exclusion (< w) and the clipped-window case (n_h < W)
