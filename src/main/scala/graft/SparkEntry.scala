@@ -75,6 +75,7 @@ object SparkEntry {
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),
+    "t38_langid_eval"     -> (TextAnalysis.t38LangidEval _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),

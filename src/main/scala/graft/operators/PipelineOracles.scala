@@ -608,7 +608,7 @@ object PipelineOracles {
   private val stopFr = Seq("le", "les", "des", "est", "une")
   private val stopZh = Seq("的", "是", "了", "在", "和")
 
-  private val t28Sql: String =
+  private val t28Ctes: String =
     s"""WITH w AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
       |), s AS (
@@ -627,11 +627,26 @@ object PipelineOracles {
       |              WHEN s_fr >= s_zh THEN 'fr'
       |              ELSE 'zh' END AS pred_lang
       |  FROM s
-      |)
+      |)""".stripMargin
+
+  private val t28Sql: String =
+    s"""$t28Ctes
       |SELECT doc_id, pred_lang, lang AS actual_lang,
       |       CAST(pred_lang = lang AS INT) AS correct,
       |       s_en, s_de, s_es, s_fr, s_zh
       |FROM c ORDER BY doc_id""".stripMargin
+
+  // mirror of TextAnalysis.t38LangidEval: the same prediction CTE (one
+  // definition family with t28), confusion grain + row/column shares
+  private val t38Sql: String =
+    s"""$t28Ctes, cm AS (
+      |  SELECT lang AS actual_lang, pred_lang, COUNT(*) AS n_docs
+      |  FROM c GROUP BY 1, 2
+      |)
+      |SELECT actual_lang, pred_lang, n_docs,
+      |       n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY actual_lang) AS actual_share_pm,
+      |       n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY pred_lang) AS pred_share_pm
+      |FROM cm ORDER BY actual_lang, pred_lang""".stripMargin
 
   private val t29Sql: String =
     s"""WITH w AS (
@@ -1290,6 +1305,7 @@ object PipelineOracles {
     "p62_balanced_sample" -> p62Sql,
     "t36_lm_score"     -> t36Sql,
     "t37_cms_freq"     -> t37Sql,
+    "t38_langid_eval"  -> t38Sql,
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
     "p63_token_budget" -> p63Sql,

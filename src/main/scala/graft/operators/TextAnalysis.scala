@@ -385,6 +385,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t38: language-ID evaluation — the confusion matrix for t28's
+    * classifier against the corpus ground-truth label, with per-cell
+    * row share (recall on the diagonal) and column share (precision on
+    * the diagonal) in permyriad. Completes the eval-harness family:
+    * every trained/heuristic component ships with its grader (s29 for
+    * the ANN index, s31 for the clustering, t37 for the sketch, t38 for
+    * language ID). Prediction logic is [[withPredLang]] — ONE
+    * definition with t28, so the eval cannot drift from the classifier.
+    *
+    * Scale posture: one corpus scan, one partial-aggregated exchange to
+    * the ≤|langs|² confusion grain; the share windows run on that tiny
+    * grain. The corpus never shuffles.
+    */
+  def t38LangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val cm = withPredLang(Tables.documents(spark, dir)
+        .withColumn("words", split(col("text"), " ")))
+      .select(col("lang").as("actual_lang"), col("pred_lang"))
+      .groupBy("actual_lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    cm.withColumn("actual_total",
+        sum(col("n_docs")).over(Window.partitionBy("actual_lang")))
+      .withColumn("pred_total",
+        sum(col("n_docs")).over(Window.partitionBy("pred_lang")))
+      .select(col("actual_lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 10000 DIV actual_total").as("actual_share_pm"),
+        expr("n_docs * 10000 DIV pred_total").as("pred_share_pm"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
   /** t37 count-min geometry: 4 rows × 1024 buckets, and the top-K probe
     * set the estimates are graded on. Seed offset 32 keeps the (a,b)
     * pairs disjoint from the 16 minhash rows. */
