@@ -43,6 +43,7 @@ object SparkEntry {
     "q47_param_unpivot"   -> (EventLog.q47ParamUnpivot _),
     "q48_self_dim_join"   -> (EventLog.q48SelfDimJoin _),
     "q49_hll_sketch"      -> (Sketches.q49HllSketch _),
+    "q61_sliding_distinct" -> (Sketches.q61SlidingDistinct _),
     "q52_traces"          -> (EventLog.q52Traces _),
     "q55_conformance"     -> (EventLog.q55Conformance _),
     "q56_docket_wait"     -> (Docket.q56DocketWait _),

@@ -105,6 +105,68 @@ object ExtOracles {
       |ORDER BY source""".stripMargin
   }
 
+  // exact mirror of Sketches.q61SlidingDistinct — the q49 register
+  // arithmetic on the (day, user) grain, dense day×bucket grid, windowed
+  // register max, same Z/estimate/correction expressions
+  private val q61Sql: String = {
+    import graft.functions.PortableHash._
+    import graft.operators.Sketches.SlideDays
+    val m = HllBuckets; val pb1 = HllPatternBits + 1
+    val two53 = 1L << pb1; val wm1 = SlideDays - 1
+    s"""WITH du AS (
+      |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      |  FROM events
+      |), dud AS (
+      |  SELECT day, CAST(day - DATE '1970-01-01' AS BIGINT) AS dd, user_id FROM du
+      |), rr AS (
+      |  SELECT dd, day,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $m AS bucket,
+      |         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT // $m = 0 THEN $pb1
+      |              ELSE $pb1 - length(bin(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT // $m)) END AS rho
+      |  FROM dud
+      |), bm AS (
+      |  SELECT dd, day, bucket, MAX(rho) AS mx FROM rr GROUP BY 1, 2, 3
+      |), days AS (
+      |  SELECT DISTINCT dd, day FROM dud
+      |), grid AS (
+      |  SELECT d.dd, d.day, t.b AS bucket FROM days d CROSS JOIN range(0, $m) t(b)
+      |), merged AS (
+      |  SELECT g.dd, g.day, g.bucket,
+      |         MAX(bm.mx) OVER (PARTITION BY g.bucket ORDER BY g.dd
+      |                          RANGE BETWEEN $wm1 PRECEDING AND CURRENT ROW) AS mmx
+      |  FROM grid g LEFT JOIN bm ON g.dd = bm.dd AND g.bucket = bm.bucket
+      |), z AS (
+      |  SELECT dd, day,
+      |         CAST(SUM(CASE WHEN mmx IS NOT NULL
+      |                       THEN CAST(1 AS BIGINT) << CAST($pb1 - mmx AS INT)
+      |                       ELSE 0 END) AS BIGINT) AS zp,
+      |         SUM(CASE WHEN mmx IS NOT NULL THEN 1 ELSE 0 END) AS nb
+      |  FROM merged GROUP BY 1, 2
+      |), e AS (
+      |  SELECT dd, day, zp + ($m - nb) * $two53 AS zint, $m - nb AS zeros FROM z
+      |), est AS (
+      |  SELECT dd, day, zeros,
+      |         CAST($HllAlpha AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
+      |           * CAST(${two53.toDouble} AS DOUBLE) / CAST(zint AS DOUBLE) AS est_raw
+      |  FROM e
+      |), fin AS (
+      |  SELECT dd, day,
+      |         ROUND(CASE WHEN zeros > 0 AND est_raw <= CAST(${2.5 * m} AS DOUBLE)
+      |                    THEN CAST(${m.toDouble} AS DOUBLE)
+      |                         * ln(CAST(${m.toDouble} AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |                    ELSE est_raw END, 4) AS hll_estimate
+      |  FROM est
+      |), ex AS (
+      |  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_exact
+      |  FROM days d JOIN dud u ON u.dd BETWEEN d.dd - $wm1 AND d.dd
+      |  GROUP BY d.day
+      |)
+      |SELECT CAST(f.day AS TIMESTAMP) AS day, n_exact, hll_estimate,
+      |       ROUND(ABS(hll_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4) AS rel_err
+      |FROM fin f JOIN ex ON f.day = ex.day
+      |ORDER BY day""".stripMargin
+  }
+
   // exact mirror of Multimodal.m33FrameSample: frame byte ranges and
   // integer features recomputed by slicing the payload's hex string
   // (DuckDB 1.0 cannot slice blobs directly)
@@ -522,6 +584,7 @@ object ExtOracles {
     "q47_param_unpivot" -> q47Sql,
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,
+    "q61_sliding_distinct" -> q61Sql,
     "q50_snapshot_ages" -> q50Sql,
     "q51_quantile_sketch" -> q51Sql,
     "m33_frame_sample"  -> m33Sql,

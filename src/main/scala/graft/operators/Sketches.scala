@@ -100,4 +100,78 @@ object Sketches {
       .select("source", "n_exact", "hll_estimate", "rel_err")
       .orderBy("source")
   }
+
+  /** q61 sliding-window width in days. */
+  val SlideDays = 7
+
+  /** q61: sliding-window distinct counting over mergeable daily HLL
+    * sketches — trailing-7-day active users per day, the rolling-reach
+    * query every activity dashboard runs. An exact version re-touches
+    * every (day, user) pair [[SlideDays]] times and cannot pre-
+    * aggregate; the sketch version is why HLL exists: per-day 256-
+    * register sketches are built ONCE (the incrementally-maintained
+    * daily artifact at production scale), and a window is the register-
+    * wise MAX of its days' sketches — the merge is a plain windowed max
+    * over the (bucket, day) grain, touching m·|days| rows regardless of
+    * corpus size. Same portable int64 register arithmetic as q49 (one
+    * hash/rho/Z definition family); the exact trailing count is
+    * computed alongside as the eval column (q49's contract).
+    *
+    * Scale posture: raw data shuffles once to the (day, user) distinct
+    * and partial-aggregates to (day, bucket) registers; the dense
+    * day×bucket grid (missing buckets must still carry their window
+    * history) and every window/merge step run on the m·|days| sketch
+    * grain. The exact column joins the (day, user) grain once per
+    * window position — eval-only, droppable in production.
+    */
+  def q61SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pb1 = HllPatternBits + 1
+    val two53 = 1L << pb1
+    val wDays = SlideDays
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .withColumn("dd", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val rr = du
+      .withColumn("h", ph(col("user_id").cast("string")))
+      .withColumn("bucket", pmod(col("h"), lit(HllBuckets.toLong)))
+      .withColumn("w", expr(s"h div $HllBuckets"))
+      .withColumn("rho", when(col("w") === 0, lit(pb1))
+        .otherwise(lit(pb1) - length(bin(col("w")))))
+    val bm = rr.groupBy("dd", "day", "bucket").agg(max(col("rho")).as("mx"))
+    val days = du.select("dd", "day").distinct()
+    val grid = days
+      .select(col("dd"), col("day"),
+        explode(sequence(lit(0L), lit(HllBuckets.toLong - 1L))).as("bucket"))
+    val win = Window.partitionBy("bucket").orderBy("dd")
+      .rangeBetween(-(wDays - 1).toLong, 0L)
+    val merged = grid.join(bm, Seq("dd", "day", "bucket"), "left")
+      .withColumn("mmx", max(col("mx")).over(win))
+    val z = merged.groupBy("dd", "day").agg(
+      sum(when(col("mmx").isNotNull,
+        expr(s"shiftleft(cast(1 as bigint), cast($pb1 - mmx as int))"))
+        .otherwise(lit(0L))).as("zp"),
+      sum(when(col("mmx").isNotNull, 1L).otherwise(0L)).as("nb"))
+    val m2 = HllBuckets.toDouble * HllBuckets
+    val est = z
+      .withColumn("zint", col("zp") + (lit(HllBuckets.toLong) - col("nb")) * lit(two53))
+      .withColumn("zeros", lit(HllBuckets.toLong) - col("nb"))
+      .withColumn("est_raw",
+        lit(HllAlpha) * lit(m2) * lit(two53.toDouble) / col("zint").cast("double"))
+      .withColumn("hll_estimate", round(
+        when(col("zeros") > 0 && col("est_raw") <= 2.5 * HllBuckets,
+          lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("est_raw")), 4))
+    val exact = days.select(col("dd").as("edd"), col("day").as("eday"))
+      .join(du.select(col("dd").as("udd"), col("user_id")),
+        col("udd") >= col("edd") - (wDays - 1) && col("udd") <= col("edd"))
+      .groupBy("eday").agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, col("day") === col("eday"))
+      .withColumn("rel_err", round(
+        abs(col("hll_estimate") - col("n_exact").cast("double")) / col("n_exact").cast("double"), 4))
+      .select(col("day").cast("timestamp").as("day"),
+        col("n_exact"), col("hll_estimate"), col("rel_err"))
+      .orderBy("day")
+  }
 }
