@@ -716,6 +716,72 @@ class QueriesSpec extends AnyFunSuite {
     assert(covered === nOrders, s"$covered reconciled vs $nOrders orders")
   }
 
+  test("q59 SCD2 history: per-user intervals contiguous, one current row each") {
+    val rows = graft.operators.CoreQueries.q59ScdHistory(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, h) =>
+      val sorted = h.sortBy(_.getInt(1))
+      // versions are 1..n with no holes
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to h.length), s"user $uid versions")
+      // consecutive versions never repeat a state (run collapse) and
+      // each interval's eff_to is the next interval's eff_from
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getString(2) != b.getString(2), s"user $uid uncollapsed run")
+        assert(a.getTimestamp(4) === b.getTimestamp(3), s"user $uid gap in history")
+      }
+      // exactly the last version is current (null eff_to)
+      assert(sorted.count(_.isNullAt(4)) === 1 && sorted.last.isNullAt(4),
+        s"user $uid current-row contract")
+    }
+  }
+
+  test("q60 cube: lattice complete and every subtotal consistent with the base cells") {
+    val rows = graft.operators.CoreQueries.q60Cube(spark, dir).collect()
+    val byGid = rows.groupBy(_.getLong(2))
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L), s"lattice gids: ${byGid.keySet}")
+    // grand total row counts everything; each subtotal level sums the base
+    val base = byGid(0L).map(_.getLong(3)).sum
+    assert(byGid(3L).map(_.getLong(3)).sum === base, "grand total mismatch")
+    assert(byGid(1L).map(_.getLong(3)).sum === base, "priority-all level mismatch")
+    assert(byGid(2L).map(_.getLong(3)).sum === base, "status-all level mismatch")
+  }
+
+  test("q61 sliding distinct: estimates within HLL error, exact trailing counts dominate daily") {
+    val rows = graft.operators.Sketches.q61SlidingDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // 256 registers → σ ≈ 1.04/√256 = 6.5%; 5σ is a safe determinism bound
+    rows.foreach(r => assert(r.getDouble(3) <= 0.33, s"rel_err out of band: $r"))
+    // a trailing-7d distinct count can never be below any single day's
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val day = r.getTimestamp(0).toLocalDateTime.toLocalDate.toString
+      assert(r.getLong(1) >= daily(day), s"trailing < daily on $day")
+    }
+  }
+
+  test("p64 temperature mix: shares flatter than raw, no upsampling, kept near target") {
+    val rows = graft.operators.Pipeline.p64TemperatureMix(spark, dir).collect()
+    assert(rows.length > 1)
+    val totTokens = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (n, keepPm, kept) = (r.getLong(1), r.getLong(5), r.getLong(6))
+      assert(keepPm >= 0L && keepPm <= 10000L, s"keep rate out of range: $r")
+      assert(kept <= n, s"upsampled: $r")
+      // temperature flattening: √ is concave, so a source's target share
+      // sits no farther from uniform than its raw TOKEN share does
+      // (tolerance covers isqrt truncation at the tiny SF: weight error
+      // is O(1/w) per source)
+      val raw = r.getLong(2) * 10000L / totTokens
+      val uni = 10000L / rows.length
+      val tgt = r.getLong(4)
+      assert(math.abs(tgt - uni) <= math.abs(raw - uni) + 200,
+        s"share moved away from uniform: raw=$raw uni=$uni tgt=$tgt")
+    }
+  }
+
   test("q56 docket cohorts: cumulative counts nested and monotone, wait nonnegative") {
     val rows = graft.operators.Docket.q56DocketWait(spark, dir).collect()
     assert(rows.nonEmpty)
