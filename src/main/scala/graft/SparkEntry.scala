@@ -94,6 +94,7 @@ object SparkEntry {
     "d31_quality_survivor" -> (Dedup.d31QualitySurvivor _),
     "d32_span_cut"        -> (Dedup.d32SpanCut _),
     "d33_winnow"          -> (Dedup.d33Winnow _),
+    "d34_semdedup"        -> (Dedup.d34Semdedup _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),

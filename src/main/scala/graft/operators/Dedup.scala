@@ -759,4 +759,67 @@ object Dedup {
         col("min_fp"), col("max_fp"))
       .orderBy("doc_id")
   }
+
+  /** d34: SEMANTIC deduplication — SemDeDup (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540). Paraphrased duplicates share no
+    * n-grams, so the token-level family (d21/d22/d23/d24/d29) cannot see
+    * them; they DO sit within ε of each other in embedding space. The
+    * published pipeline: k-means-cluster the embedding corpus, compare
+    * pairs only WITHIN a cluster, group transitive semantic duplicates,
+    * and from each group keep the member FARTHEST from its cluster
+    * centroid (the paper's keeper rule — interior points are the
+    * redundant ones; the extreme exemplar preserves the most signal).
+    *
+    * Composition contract (one definition each, the d31 discipline): the
+    * clusters ARE s30's k-means model ([[Similarity.kmeansAssign]] — the
+    * centroid distance reused for the election is the assignment's own
+    * `dist`), the pair bar is d25/d28's [[CellDedupThreshold]] cosine,
+    * grouping is d26's [[connectedComponents]], and the election is the
+    * deterministic two-step max-dist-then-min-id (never an arg_max tie).
+    * Output: one row per semantic-duplicate group (≥ 2 members).
+    *
+    * 100 TB posture: pair volume is Σ_c |cluster_c|² — governed by K
+    * exactly as d28's nlist governs cells; the paper runs 25k clusters on
+    * LAION and production scales K ~ √N, while this instance pins K = 16
+    * to stay on s30's oracle-shared model (the trade is documented, the
+    * mechanism identical). Candidate generation is a cid equi-join (never
+    * corpus²), components run on the tiny above-threshold pair graph, and
+    * the election aggregates the member grain with map-side combine.
+    */
+  def d34Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val asg = Similarity.kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cid"), col("dist"))
+    // raw-float cosine on the d25/d28 pattern (codegen'd graft_dot +
+    // round 6dp — the established cross-engine-stable arithmetic); the
+    // quantized grid is only the CLUSTERING space
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+      .select(col("vec_id"), col("embedding").as("vv"), col("norm"))
+    val m = e.join(asg, Seq("vec_id"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(expr("graft_dot(a.vv, b.vv)") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cos_sim") >= CellDedupThreshold)
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+    val members = connectedComponents(pairs)
+      .withColumnRenamed("cluster_id", "group_id")
+      .join(asg, col("node") === col("vec_id"))
+    // min(cid) is constant per group (edges never cross clusters) — an
+    // aggregate, not a join key, so the group grain stays (group_id)
+    val far = members.groupBy("group_id")
+      .agg(count(lit(1)).as("n_members"), max(col("dist")).as("far_dist"),
+        min(col("cid")).as("cid"))
+    members.select(col("group_id"), col("node"), col("dist"))
+      .join(far, Seq("group_id"))
+      .filter(col("dist") === col("far_dist"))
+      .groupBy("group_id", "cid", "n_members", "far_dist")
+      .agg(min(col("node")).as("survivor_id"))
+      .select(col("group_id"), col("cid"), col("n_members"),
+        col("survivor_id"), col("far_dist"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("group_id")
+  }
 }

@@ -293,6 +293,52 @@ object PipelineOracles {
       |) WHERE cos_sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** d34 mirror — SemDeDup restated: the SAME k-means chain as
+    * s30/s31/p62 (bit-identical integer assignments), d25's cosine
+    * arithmetic for the within-cluster pair bar, d26's recursive
+    * reachability for the transitive groups, and the deterministic
+    * max-dist-then-min-id election. `vv` names the vector column so the
+    * edge columns (u, v) stay unambiguous. */
+  // lazy: kmeansCtes initializes further down the object body
+  private lazy val d34Sql: String = {
+    s"""WITH RECURSIVE ${kmeansCtes.stripPrefix("WITH ")}, ev AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+      |), nv AS (
+      |  SELECT vec_id, vv, sqrt(list_sum(list_transform(vv, x -> x * x))) AS norm
+      |  FROM ev
+      |), mm AS (
+      |  SELECT nv.vec_id, nv.vv, nv.norm, asg.cid, asg.dist
+      |  FROM nv JOIN asg USING (vec_id)
+      |), pr AS (
+      |  SELECT u, v FROM (
+      |    SELECT a.vec_id AS u, b.vec_id AS v,
+      |           ROUND(list_sum(list_transform(generate_series(1, 64),
+      |                   i -> a.vv[i] * b.vv[i])) / (a.norm * b.norm), 6) AS cos_sim
+      |    FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  ) WHERE cos_sim >= ${Dedup.CellDedupThreshold}
+      |), edges AS (
+      |  SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr
+      |), reach(node, r) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.node = e.u
+      |), lab AS (
+      |  SELECT node, MIN(r) AS group_id FROM reach GROUP BY node
+      |), memb AS (
+      |  SELECT lab.group_id, lab.node, asg.cid, asg.dist
+      |  FROM lab JOIN asg ON lab.node = asg.vec_id
+      |), far AS (
+      |  SELECT group_id, COUNT(*) AS n_members, MAX(dist) AS far_dist,
+      |         MIN(cid) AS cid
+      |  FROM memb GROUP BY group_id
+      |)
+      |SELECT f.group_id, f.cid, f.n_members, MIN(m.node) AS survivor_id,
+      |       f.far_dist, f.n_members - 1 AS n_dropped
+      |FROM memb m JOIN far f ON m.group_id = f.group_id AND m.dist = f.far_dist
+      |GROUP BY f.group_id, f.cid, f.n_members, f.far_dist
+      |ORDER BY f.group_id""".stripMargin
+  }
+
   /** t36 mirror: the same integer conditional-probability arithmetic —
     * c12·10⁶ // c1 per distinct (doc,bigram), occurrence-weighted mean
     * by integer division. No floats anywhere, so no libm/order issues. */
@@ -1296,6 +1342,7 @@ object PipelineOracles {
     "d23_simhash"      -> d23Sql,
     "d24_ngram_jaccard" -> d24Sql,
     "d25_embed_neardup" -> d25Sql,
+    "d34_semdedup"     -> d34Sql,
     "s26_ann_topk"     -> s26Sql,
     "s27_ann_lsh"      -> s27Sql,
     "s28_ann_ivf"      -> s28Sql,

@@ -530,4 +530,21 @@ class PlanSpec extends AnyFunSuite {
     val n = countExchanges(df)
     assert(n <= 2, s"expected ≤2 exchanges (window + presentation sort), got $n:\n$p")
   }
+
+  test("d34 semdedup: candidate generation is a cid equi-join, model broadcast") {
+    val df = operators.Dedup.d34Semdedup(spark, dir)
+    val p = planString(df)
+    // the k-means model rides the same 1-row packed broadcast as s30 —
+    // never a shuffle join against the corpus grain
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"kmeans model not broadcast:\n$p")
+    // within-cluster pair generation must key on cid — a cartesian over
+    // the corpus is the SemDeDup anti-pattern the clustering exists to
+    // prevent (the only allowed nested-loop join is the 1-row model)
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid")
+      || p.contains("SortMergeJoin [cid#".take(18)) ||
+      "(SortMergeJoin|ShuffledHashJoin) \\[cid#\\d+".r.findFirstIn(p).nonEmpty,
+      s"pair join not keyed on cid:\n$p")
+  }
 }

@@ -803,4 +803,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(r => math.abs(r.getDouble(6) - math.max(0.0, r.getDouble(5))) > 1e-9),
       "fixpoint refinement never adjusted the initial estimate")
   }
+
+  test("d34 semdedup matches an in-memory SemDeDup reference on s30's clusters") {
+    val asg = graft.operators.Similarity.s30Kmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) // vec_id, cid, dist
+    val vecs = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 } // graft_dot's order
+      s
+    }
+    def cos6(i: Long, j: Long): BigDecimal = {
+      val (a, b) = (vecs(i), vecs(j))
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val bar = BigDecimal(graft.operators.Dedup.CellDedupThreshold)
+    val edges = asg.groupBy(_._2).values.flatMap { ms =>
+      val ids = ms.map(_._1).sorted
+      for (i <- ids; j <- ids if i < j && cos6(i, j) >= bar) yield (i, j)
+    }.toSeq
+    assert(edges.nonEmpty, "no semantic near-dup pairs in the test corpus")
+    // union-find transitive groups
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byId = asg.map(t => t._1 -> t).toMap
+    val expect = nodes.groupBy(find).map { case (g, ms) =>
+      val rows = ms.map(byId)
+      val farDist = rows.map(_._3).max
+      val survivor = rows.filter(_._3 == farDist).map(_._1).min
+      (g, rows.head._2, ms.size.toLong, survivor, farDist, ms.size.toLong - 1)
+    }.toSet
+    val got = graft.operators.Dedup.d34Semdedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+  }
 }
