@@ -787,7 +787,10 @@ object Dedup {
     * corpus²), components run on the tiny above-threshold pair graph, and
     * the election aggregates the member grain with map-side combine.
     */
-  def d34Semdedup(spark: SparkSession, dir: String): DataFrame = {
+  /** d34's candidate-pair stage, exposed so PlanSpec can pin the cid
+    * equi-join directly: [[connectedComponents]]' localCheckpoint
+    * truncates lineage, so the final d34 plan cannot show this join. */
+  private[graft] def d34Pairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val asg = Similarity.kmeansAssign(spark, dir)
       .select(col("vec_id"), col("cid"), col("dist"))
@@ -798,12 +801,19 @@ object Dedup {
       .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
       .select(col("vec_id"), col("embedding").as("vv"), col("norm"))
     val m = e.join(asg, Seq("vec_id"))
-    val pairs = m.as("a").join(m.as("b"),
+    m.as("a").join(m.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim",
         round(expr("graft_dot(a.vv, b.vv)") / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cos_sim") >= CellDedupThreshold)
       .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+  }
+
+  def d34Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val asg = Similarity.kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cid"), col("dist"))
+    val pairs = d34Pairs(spark, dir)
     val members = connectedComponents(pairs)
       .withColumnRenamed("cluster_id", "group_id")
       .join(asg, col("node") === col("vec_id"))

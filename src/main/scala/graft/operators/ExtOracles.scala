@@ -357,7 +357,7 @@ object ExtOracles {
       |  FROM c GROUP BY status
       |)
       |SELECT status, n_cases, n_distinct_traces,
-      |       n_cases * 10000 // SUM(n_cases) OVER () AS share_pm
+      |       CAST(n_cases * 10000 // SUM(n_cases) OVER () AS BIGINT) AS share_pm
       |FROM agg
       |ORDER BY status""".stripMargin
   }

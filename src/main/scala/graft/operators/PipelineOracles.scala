@@ -502,7 +502,7 @@ object PipelineOracles {
       |  FROM sil
       |)
       |SELECT cid, COUNT(*) AS n_members,
-      |       SUM(s_pm) // COUNT(*) AS mean_sil_pm,
+      |       CAST(SUM(s_pm) // COUNT(*) AS BIGINT) AS mean_sil_pm,
       |       MIN(s_pm) AS min_sil_pm, MAX(s_pm) AS max_sil_pm
       |FROM sp GROUP BY cid ORDER BY cid""".stripMargin
 
@@ -690,8 +690,8 @@ object PipelineOracles {
       |  FROM c GROUP BY 1, 2
       |)
       |SELECT actual_lang, pred_lang, n_docs,
-      |       n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY actual_lang) AS actual_share_pm,
-      |       n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY pred_lang) AS pred_share_pm
+      |       CAST(n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY actual_lang) AS BIGINT) AS actual_share_pm,
+      |       CAST(n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS pred_share_pm
       |FROM cm ORDER BY actual_lang, pred_lang""".stripMargin
 
   private val t29Sql: String =
@@ -1128,7 +1128,7 @@ object PipelineOracles {
       |           % $P % $w AS bucket
       |  FROM tf CROSS JOIN generate_series(0, ${d - 1}) AS t(j)
       |), sk AS (
-      |  SELECT j, bucket, SUM(n_occ) AS cms_cell FROM g GROUP BY 1, 2
+      |  SELECT j, bucket, CAST(SUM(n_occ) AS BIGINT) AS cms_cell FROM g GROUP BY 1, 2
       |), top AS (
       |  SELECT token, n_occ FROM tf ORDER BY n_occ DESC, token LIMIT $k
       |), est AS (
@@ -1151,7 +1151,7 @@ object PipelineOracles {
       |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tokens
       |  FROM documents
       |), st0 AS (
-      |  SELECT source, COUNT(*) AS n_input, SUM(n_tokens) AS tokens
+      |  SELECT source, COUNT(*) AS n_input, CAST(SUM(n_tokens) AS BIGINT) AS tokens
       |  FROM d GROUP BY source
       |), st1 AS (
       |  SELECT *, CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS s0 FROM st0

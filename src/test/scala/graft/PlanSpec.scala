@@ -532,19 +532,26 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d34 semdedup: candidate generation is a cid equi-join, model broadcast") {
-    val df = operators.Dedup.d34Semdedup(spark, dir)
-    val p = planString(df)
+    // pin the PAIR stage, not the final frame: connectedComponents'
+    // localCheckpoint truncates lineage, so the cid join is invisible in
+    // the final executed plan by construction
+    val pairs = operators.Dedup.d34Pairs(spark, dir)
+    val p = planString(pairs)
     // the k-means model rides the same 1-row packed broadcast as s30 —
     // never a shuffle join against the corpus grain
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"kmeans model not broadcast:\n$p")
     // within-cluster pair generation must key on cid — a cartesian over
     // the corpus is the SemDeDup anti-pattern the clustering exists to
-    // prevent (the only allowed nested-loop join is the 1-row model)
+    // prevent (the only allowed nested-loop join is the 1-row model;
+    // BHJ/SMJ/SHJ are all acceptable physical forms of the equi-join —
+    // AQE broadcasts the small side at toy SF)
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
-    assert(p.contains("SortMergeJoin [cid") || p.contains("ShuffledHashJoin [cid")
-      || p.contains("SortMergeJoin [cid#".take(18)) ||
-      "(SortMergeJoin|ShuffledHashJoin) \\[cid#\\d+".r.findFirstIn(p).nonEmpty,
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid#\\d+".r.findFirstIn(p).nonEmpty,
       s"pair join not keyed on cid:\n$p")
+    // the final frame must stay cartesian-free too
+    val pf = planString(operators.Dedup.d34Semdedup(spark, dir))
+    assert(!pf.contains("CartesianProduct"), s"unexpected cartesian in final plan:\n$pf")
   }
 }

@@ -820,10 +820,10 @@ class QueriesSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     }
     val bar = BigDecimal(graft.operators.Dedup.CellDedupThreshold)
-    val edges = asg.groupBy(_._2).values.flatMap { ms =>
-      val ids = ms.map(_._1).sorted
+    val edges = asg.groupBy(_._2).values.toSeq.flatMap { ms =>
+      val ids = ms.map(_._1).sorted.toSeq
       for (i <- ids; j <- ids if i < j && cos6(i, j) >= bar) yield (i, j)
-    }.toSeq
+    }
     assert(edges.nonEmpty, "no semantic near-dup pairs in the test corpus")
     // union-find transitive groups
     val parent = scala.collection.mutable.Map[Long, Long]()

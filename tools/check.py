@@ -51,6 +51,19 @@ def main(sf_dir: str, out_dir: str) -> None:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        # int-vs-float dtype drift: DuckDB HUGEINT (e.g. an uncast SUM of
+        # BIGINT) reaches pandas as float64 while Spark writes int64. The
+        # exact-value compare below would still pass (123 == 123.0) but a
+        # representation-sensitive hash ("123" vs "123.0") does not — the
+        # one dtype class the driver's gate rejects. Fail it here so the
+        # oracle gets its CAST(... AS BIGINT) before the driver ever runs.
+        drift = [c for c in got.columns
+                 if pd.api.types.is_integer_dtype(got[c]) != pd.api.types.is_integer_dtype(want[c])
+                 and (pd.api.types.is_numeric_dtype(got[c]) and pd.api.types.is_numeric_dtype(want[c]))]
+        if drift:
+            print(f"FAIL {name}: int/float dtype drift on {drift} "
+                  f"(spark {[str(got[c].dtype) for c in drift]} vs oracle {[str(want[c].dtype) for c in drift]})")
+            n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
         try:
