@@ -42,22 +42,48 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    val qs = results.map { case (k, v) =>
-      jstr(k) + ":" + v.fold(_ => "-1", t => t.toString) }.mkString("{", ",", "}")
+    def jnum(t: Double): String = BigDecimal(t)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    def qmap(rs: Seq[(String, Either[String, Double])]): String =
+      rs.map { case (k, v) => jstr(k) + ":" + v.fold(_ => "-1", jnum) }
+        .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.values.collect { case Right(t) => t }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // also persist to a file (the Verify pattern): the driver keeps only a
-    // bounded stdout tail, and r6's BENCH record was truncated mid-JSON —
-    // a file copy means the round's bench artifact is never lossy
+    def render(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$extra,"errors":$errs,"sf":"$sfDir"}"""
+    val full = render(qmap(results.toSeq.sortBy(_._1)), "")
+    // persist the FULL per-query map to a file (the Verify pattern): the
+    // driver keeps only a bounded stdout TAIL (2000 chars), and with 100+
+    // queries the full JSON line cannot fit — r6/r7 records were truncated
+    // mid-JSON and recorded parsed:null. The file is never lossy.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // stdout: the same JSON shape, but with `queries` trimmed to the
+    // slowest rows that fit a ~1700-char line so the driver's bounded
+    // tail always contains one complete parseable JSON object (headline
+    // total + every row anyone grades individually); `queries_full`
+    // points at the lossless file copy.
+    val byTime = results.toSeq.sortBy {
+      case (_, Right(t)) => -t
+      case (_, Left(_))  => Double.NegativeInfinity // errors always shown
+    }
+    val budget = 1550
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double])]
+    var used = 0
+    byTime.foreach { case kv @ (k, v) =>
+      val w = k.length + 4 + v.fold(_ => 2, jnum(_).length)
+      if (used + w <= budget) { kept += kv; used += w }
+    }
+    val omitted = results.size - kept.size
+    val stdoutJson =
+      if (omitted == 0) full
+      else render(qmap(kept.sortBy(_._1).toSeq),
+        s""","queries_omitted":$omitted,"queries_full":${jstr(out)}""")
+    println(stdoutJson)
     spark.stop()
   }
 }
