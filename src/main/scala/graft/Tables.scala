@@ -44,27 +44,47 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** The one sanctioned session-conf mutation in the library: reading
-    * `events.parquet` (TIMESTAMP(NANOS)) requires the nanosAsLong legacy
-    * shim, and SparkEntry queries must work on ANY caller-built session
+    * `events.parquet` may require the nanosAsLong legacy shim (see
+    * [[normalizeEventTs]]), and the NTZ→instant cast there is
+    * session-TZ-dependent — every oracle and the blessed session speak
+    * UTC. SparkEntry queries must work on ANY caller-built session
     * (the driver contract), so the loaders self-heal rather than require
-    * construction-time config. [[graft.GraftSession]] sets the same conf
-    * at build time; this is a no-op there. Centralized here so operators
-    * never mutate session state themselves (VERDICT r3 hygiene #2).
+    * construction-time config. [[graft.GraftSession]] sets the same
+    * confs at build time; this is a no-op there. Centralized here so
+    * operators never mutate session state themselves (VERDICT r3
+    * hygiene #2).
     */
-  private[graft] def ensureNanosShim(s: SparkSession): Unit =
+  private[graft] def ensureNanosShim(s: SparkSession): Unit = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone", "") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a nanos long (legacy conf) and convert to a
-    * micros TimestampType with integer `DIV` (no double roundtrip — ns
-    * epochs exceed 2^53). Matches the oracle's CAST(ts AS TIMESTAMP).
+  /** Driver testdata generations differ in the physical type of
+    * `events.ts`: TIMESTAMP(NANOS) through round 7 — refused by Spark 4
+    * unless the legacy conf reads it as a nanos LONG — and plain
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) from round 8. Either way
+    * the stored value is a UTC wall time; normalize to one micros
+    * TimestampType instant so every batch operator AND streaming source
+    * sees a single ts type. Integer `DIV` on the nanos path (ns epochs
+    * exceed 2^53 — no double roundtrip); UTC-session cast on the NTZ
+    * path. Matches the oracle's CAST(ts AS TIMESTAMP).
     */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosShim(s)
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

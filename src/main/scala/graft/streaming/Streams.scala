@@ -60,13 +60,17 @@ object Streams {
   /** Streaming source over the events table: batch-read the schema, then
     * readStream the same file. The nanos shim is applied via the one
     * sanctioned loader hook ([[graft.Tables.ensureNanosShim]]) — stream
-    * operators themselves never mutate session conf.
+    * operators themselves never mutate session conf — and `ts` is
+    * normalized to a micros TimestampType instant by the same shared
+    * definition the batch loader uses ([[graft.Tables.normalizeEventTs]]),
+    * so batch and stream cannot drift on the physical ts type.
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.ensureNanosShim(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** st33: tumbling-window aggregation with watermark.
@@ -76,7 +80,6 @@ object Streams {
     */
   def st33StreamWindow(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = ev
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -129,7 +132,6 @@ object Streams {
     */
   def st37StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_event"),
         col("ts").as("view_ts"))
@@ -341,7 +343,7 @@ object Streams {
   def st34StreamSession(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = eventsStream(spark, dir)
-      .select(col("user_id"), expr("ts DIV 1000").as("us"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .as[Ev]
     def toOut(uid: Long, s: SessionState): SessionOut = SessionOut(uid,
       Instant.ofEpochSecond(s.start / 1000000L, (s.start % 1000000L) * 1000L),
@@ -395,7 +397,7 @@ object Streams {
   def st41StreamScd(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = eventsStream(spark, dir)
-      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type").as("state"))
       .as[ScdEv]
     def toInstant(us: Long): Instant =
