@@ -46,6 +46,7 @@ object SparkEntry {
     "q61_sliding_distinct" -> (Sketches.q61SlidingDistinct _),
     "q52_traces"          -> (EventLog.q52Traces _),
     "q55_conformance"     -> (EventLog.q55Conformance _),
+    "q62_transitions"     -> (EventLog.q62Transitions _),
     "q56_docket_wait"     -> (Docket.q56DocketWait _),
     "q53_competing_risks" -> (Survival.q53CompetingRisks _),
     "q54_merge_disambiguation" -> (Linking.q54MergeDisambiguation _),

@@ -97,24 +97,32 @@ object EventLog {
     * already-tiny relation, the same safe-by-construction posture as
     * q11/q12's cumulative curves.
     */
-  /** Per-case (session) ordered activity-sequence string — the trace
-    * grain q52's ranking and q55's conformance check both consume. ONE
-    * definition so the two can never disagree on sessionization or
-    * trace construction. */
-  private def caseTraces(spark: SparkSession, dir: String): DataFrame = {
+  /** q07's gap sessionization at the EVENT grain — each event labeled
+    * with its (user_id, session_num) case. The shared case definition:
+    * q52's traces, q55's conformance, and q62's directly-follows edges
+    * all consume this ONE sessionization, so the process-mining family
+    * can never disagree on what a case is. The window is the single
+    * user-key exchange the whole family pays. */
+  private def sessionizedEvents(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+          col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("session_num", sum(col("is_new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-case (session) ordered activity-sequence string — the trace
+    * grain q52's ranking and q55's conformance check both consume. */
+  private def caseTraces(spark: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(spark, dir)
       .groupBy("user_id", "session_num")
       .agg(concat_ws(">", transform(
         array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
         x => x.getField("event_type"))).as("trace"))
-  }
 
   def q52Traces(spark: SparkSession, dir: String): DataFrame = {
     val traces = caseTraces(spark, dir)
@@ -178,5 +186,60 @@ object EventLog {
       .select(col("status"), col("n_cases"), col("n_distinct_traces"),
         expr("n_cases * 10000 DIV total").as("share_pm"))
       .orderBy("status")
+  }
+
+  /** q62: the directly-follows graph — process mining's process-map
+    * edge table (discovery step 1b alongside q52's trace variants; every
+    * process-map renderer draws exactly this table). For each case (q52's
+    * session — the ONE shared [[sessionizedEvents]] definition), every
+    * consecutive activity pair contributes an edge, plus a virtual
+    * START→first and last→END edge so source/sink activities are
+    * explicit (reference: the status API's trace table is the path-level
+    * view of the same event log, scratch/other/status-api-traces.R).
+    * Per edge: observation count, distinct-case coverage, share of the
+    * from-activity's outgoing edges (integer permyriad), and the mean
+    * inter-activity gap in whole seconds (NULL on virtual edges —
+    * START/END carry no timestamp).
+    *
+    * 100 TB posture: the edge derivation rides the SAME single user-key
+    * exchange the whole q07/q52/q55 family pays — the (user_id,
+    * session_num) lead/lag window is satisfied by the sessionization's
+    * user_id hash partitioning (a subset of its keys), so Spark inserts
+    * only a local sort, no second exchange (PlanSpec pins one exchange
+    * below the edge grain). Each event emits ≤2 edge rows map-side
+    * (bounded explode); the aggregation grain is |activities+2|² —
+    * trivially broadcastable — and the outgoing-share window runs on
+    * that aggregated grain, never on events.
+    */
+  def q62Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_num").orderBy("ts", "event_id")
+    val edgeType = "array<struct<from_act:string,to_act:string,gap_us:bigint>>"
+    val e = sessionizedEvents(spark, dir)
+      .select(col("user_id"), col("session_num"), col("ts"), col("event_id"),
+        col("event_type").as("act"), col("us"))
+      .withColumn("nxt", lead(col("act"), 1).over(w))
+      .withColumn("nxt_us", lead(col("us"), 1).over(w))
+      .withColumn("is_first", lag(col("act"), 1).over(w).isNull)
+    val edges = e
+      .select(col("user_id"), col("session_num"),
+        explode(concat(
+          when(col("is_first"), array(struct(
+            lit("START").as("from_act"), col("act").as("to_act"),
+            lit(null).cast("long").as("gap_us"))))
+            .otherwise(array().cast(edgeType)),
+          array(struct(col("act").as("from_act"),
+            coalesce(col("nxt"), lit("END")).as("to_act"),
+            (col("nxt_us") - col("us")).as("gap_us"))))).as("edge"))
+      .select(col("user_id"), col("session_num"), col("edge.*"))
+    edges.groupBy("from_act", "to_act")
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct(col("user_id"), col("session_num")).as("n_cases"),
+        sum(col("gap_us")).as("gap_sum"))
+      .withColumn("out_total",
+        sum(col("n_obs")).over(Window.partitionBy("from_act")))
+      .select(col("from_act"), col("to_act"), col("n_obs"), col("n_cases"),
+        expr("n_obs * 10000 DIV out_total").as("share_out_pm"),
+        expr("gap_sum DIV n_obs DIV 1000000").as("mean_gap_s"))
+      .orderBy("from_act", "to_act")
   }
 }

@@ -362,6 +362,38 @@ object ExtOracles {
       |ORDER BY status""".stripMargin
   }
 
+  /** q62: directly-follows process-map edges — mirrors
+    * [[EventLog.q62Transitions]] (same session CTE `g`, same virtual
+    * START/END edges, same integer share/gap arithmetic). */
+  private val q62Sql: String =
+    s"""$traceCte, sg AS (
+      |  SELECT user_id, session_num, event_type AS act,
+      |         epoch_us(ts) AS us,
+      |         LEAD(event_type) OVER w AS nxt,
+      |         LEAD(epoch_us(ts)) OVER w AS nxt_us,
+      |         LAG(event_type) OVER w AS prv
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY user_id, session_num ORDER BY ts, event_id)
+      |), edges AS (
+      |  SELECT user_id, session_num, 'START' AS from_act, act AS to_act,
+      |         CAST(NULL AS BIGINT) AS gap_us
+      |  FROM sg WHERE prv IS NULL
+      |  UNION ALL
+      |  SELECT user_id, session_num, act, COALESCE(nxt, 'END'),
+      |         nxt_us - us
+      |  FROM sg
+      |), a AS (
+      |  SELECT from_act, to_act, CAST(COUNT(*) AS BIGINT) AS n_obs,
+      |         CAST(COUNT(DISTINCT (user_id, session_num)) AS BIGINT) AS n_cases,
+      |         SUM(gap_us) AS gap_sum
+      |  FROM edges GROUP BY from_act, to_act
+      |)
+      |SELECT from_act, to_act, n_obs, n_cases,
+      |       CAST(n_obs * 10000 // SUM(n_obs) OVER (PARTITION BY from_act) AS BIGINT) AS share_out_pm,
+      |       CAST(gap_sum // n_obs // 1000000 AS BIGINT) AS mean_gap_s
+      |FROM a
+      |ORDER BY from_act, to_act""".stripMargin
+
   /** q53: Aalen-Johansen competing-risks CIF with delayed entry —
     * mirrors [[Survival.q53CompetingRisks]].
     */
@@ -579,6 +611,7 @@ object ExtOracles {
     "q46_chain_resolve" -> q46Sql,
     "q52_traces"        -> q52Sql,
     "q55_conformance"   -> q55Sql,
+    "q62_transitions"   -> q62Sql,
     "q53_competing_risks" -> q53Sql,
     "q54_merge_disambiguation" -> q54Sql,
     "q47_param_unpivot" -> q47Sql,

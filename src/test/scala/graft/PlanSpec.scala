@@ -339,6 +339,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"case grain re-shuffled for the model join:\n$p")
   }
 
+  test("q62 edge window rides the sessionization exchange (one events scan)") {
+    val df = operators.EventLog.q62Transitions(spark, dir)
+    val p = planString(df)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+    // the (user_id, session_num) lead/lag window must be satisfied by the
+    // sessionization's user_id hash partitioning (subset of its keys) —
+    // only a local sort may sit between the two window passes, never a
+    // second event-grain exchange. Budget: user window + distinct-agg
+    // two-phase + from_act share window + presentation sort.
+    val n = countExchanges(df)
+    assert(n <= 5, s"expected <=5 exchanges, got $n:\n$p")
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 user-grain exchange, got $hashEx:\n$p")
+  }
+
   test("p61 chunking is a pure projection (no exchange before the sort)") {
     val df = operators.Pipeline.p61ChunkOverlap(spark, dir)
     val plan = executed(df).toString

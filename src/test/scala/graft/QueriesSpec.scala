@@ -236,6 +236,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(totalCases === sessions)
   }
 
+  test("q62 edges conserve sessions: START outflow = END inflow = session count; shares partition") {
+    import org.apache.spark.sql.functions._
+    val t = graft.operators.EventLog.q62Transitions(spark, dir)
+    val rows = t.collect()
+    assert(rows.nonEmpty)
+    // every case enters through START exactly once and leaves into END
+    // exactly once, so both virtual flows equal the session count
+    val sessions = graft.operators.CoreQueries.q07Sessionize(spark, dir).count()
+    val startOut = rows.filter(_.getString(0) == "START").map(_.getLong(2)).sum
+    val endIn = rows.filter(_.getString(1) == "END").map(_.getLong(2)).sum
+    assert(startOut === sessions, s"START outflow $startOut != sessions $sessions")
+    assert(endIn === sessions, s"END inflow $endIn != sessions $sessions")
+    // flow conservation per real activity: inflow = outflow (every event
+    // has exactly one incoming and one outgoing edge incl. virtuals)
+    val inflow = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val outflow = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val acts = (inflow.keySet ++ outflow.keySet) -- Set("START", "END")
+    acts.foreach { a =>
+      assert(inflow(a) === outflow(a), s"flow not conserved at $a")
+    }
+    // outgoing shares per from_act partition to ~10000 (integer floor)
+    rows.groupBy(_.getString(0)).foreach { case (from, es) =>
+      val s = es.map(_.getLong(4)).sum
+      assert(s <= 10000 && s > 10000 - es.length,
+        s"shares from $from sum to $s over ${es.length} edges")
+    }
+    // virtual edges carry no gap; real edges a non-negative one
+    rows.foreach { r =>
+      val virt = r.getString(0) == "START" || r.getString(1) == "END"
+      if (virt) assert(r.isNullAt(5), s"virtual edge with gap: $r")
+      else assert(!r.isNullAt(5) && r.getLong(5) >= 0, s"bad gap: $r")
+    }
+    // n_cases never exceeds n_obs
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+  }
+
   test("t32 screens every training doc once; overlap bounded; planted dup flagged") {
     import org.apache.spark.sql.functions._
     val t = graft.operators.TextAnalysis.t32Contamination(spark, dir)
