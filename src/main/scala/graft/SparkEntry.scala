@@ -106,6 +106,7 @@ object SparkEntry {
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "st41_stream_scd"     -> (graft.streaming.Streams.st41StreamScd _),
+    "st42_stream_transitions" -> (graft.streaming.Streams.st42StreamTransitions _),
     "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
     "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),

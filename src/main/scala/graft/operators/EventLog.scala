@@ -231,6 +231,15 @@ object EventLog {
             coalesce(col("nxt"), lit("END")).as("to_act"),
             (col("nxt_us") - col("us")).as("gap_us"))))).as("edge"))
       .select(col("user_id"), col("session_num"), col("edge.*"))
+    aggregateEdges(edges)
+  }
+
+  /** The edge-table rollup q62 and st42 share — (user_id, session_num,
+    * from_act, to_act, gap_us) rows to the process-map report. ONE
+    * definition so the batch and streaming edge derivations aggregate
+    * identically. The grain is |activities+2|²; the share window runs on
+    * that aggregated grain, never on events. */
+  private[graft] def aggregateEdges(edges: DataFrame): DataFrame =
     edges.groupBy("from_act", "to_act")
       .agg(count(lit(1)).as("n_obs"),
         countDistinct(col("user_id"), col("session_num")).as("n_cases"),
@@ -241,5 +250,4 @@ object EventLog {
         expr("n_obs * 10000 DIV out_total").as("share_out_pm"),
         expr("gap_sum DIV n_obs DIV 1000000").as("mean_gap_s"))
       .orderBy("from_act", "to_act")
-  }
 }

@@ -362,11 +362,11 @@ object ExtOracles {
       |ORDER BY status""".stripMargin
   }
 
-  /** q62: directly-follows process-map edges — mirrors
-    * [[EventLog.q62Transitions]] (same session CTE `g`, same virtual
-    * START/END edges, same integer share/gap arithmetic). */
-  private val q62Sql: String =
-    s"""$traceCte, sg AS (
+  /** The per-session lead/lag grain q62 and st42 both derive edges
+    * from, and the shared edge-rollup tail — mirrors
+    * [[EventLog.aggregateEdges]] (one definition on both sides). */
+  private val sgCte: String =
+    """, sg AS (
       |  SELECT user_id, session_num, event_type AS act,
       |         epoch_us(ts) AS us,
       |         LEAD(event_type) OVER w AS nxt,
@@ -374,15 +374,10 @@ object ExtOracles {
       |         LAG(event_type) OVER w AS prv
       |  FROM g
       |  WINDOW w AS (PARTITION BY user_id, session_num ORDER BY ts, event_id)
-      |), edges AS (
-      |  SELECT user_id, session_num, 'START' AS from_act, act AS to_act,
-      |         CAST(NULL AS BIGINT) AS gap_us
-      |  FROM sg WHERE prv IS NULL
-      |  UNION ALL
-      |  SELECT user_id, session_num, act, COALESCE(nxt, 'END'),
-      |         nxt_us - us
-      |  FROM sg
-      |), a AS (
+      |)""".stripMargin
+
+  private val edgeAggTail: String =
+    """, a AS (
       |  SELECT from_act, to_act, CAST(COUNT(*) AS BIGINT) AS n_obs,
       |         CAST(COUNT(DISTINCT (user_id, session_num)) AS BIGINT) AS n_cases,
       |         SUM(gap_us) AS gap_sum
@@ -393,6 +388,39 @@ object ExtOracles {
       |       CAST(gap_sum // n_obs // 1000000 AS BIGINT) AS mean_gap_s
       |FROM a
       |ORDER BY from_act, to_act""".stripMargin
+
+  /** q62: directly-follows process-map edges — mirrors
+    * [[EventLog.q62Transitions]] (same session CTE `g`, same virtual
+    * START/END edges, same integer share/gap arithmetic). */
+  private val q62Sql: String =
+    s"""$traceCte$sgCte, edges AS (
+      |  SELECT user_id, session_num, 'START' AS from_act, act AS to_act,
+      |         CAST(NULL AS BIGINT) AS gap_us
+      |  FROM sg WHERE prv IS NULL
+      |  UNION ALL
+      |  SELECT user_id, session_num, act, COALESCE(nxt, 'END'),
+      |         nxt_us - us
+      |  FROM sg
+      |)$edgeAggTail""".stripMargin
+
+  /** st42: q62's edges minus each user's trailing-session END edge (the
+    * open session cannot close in append mode) — mirrors
+    * [[graft.streaming.Streams.st42StreamTransitions]]'s contract. */
+  private val st42Sql: String =
+    s"""$traceCte$sgCte, mx AS (
+      |  SELECT user_id, MAX(session_num) AS mxs FROM sg GROUP BY user_id
+      |), edges AS (
+      |  SELECT user_id, session_num, 'START' AS from_act, act AS to_act,
+      |         CAST(NULL AS BIGINT) AS gap_us
+      |  FROM sg WHERE prv IS NULL
+      |  UNION ALL
+      |  SELECT user_id, session_num, act, nxt, nxt_us - us
+      |  FROM sg WHERE nxt IS NOT NULL
+      |  UNION ALL
+      |  SELECT sg.user_id, sg.session_num, act, 'END', CAST(NULL AS BIGINT)
+      |  FROM sg JOIN mx ON sg.user_id = mx.user_id
+      |  WHERE nxt IS NULL AND sg.session_num < mx.mxs
+      |)$edgeAggTail""".stripMargin
 
   /** q53: Aalen-Johansen competing-risks CIF with delayed entry —
     * mirrors [[Survival.q53CompetingRisks]].
@@ -612,6 +640,7 @@ object ExtOracles {
     "q52_traces"        -> q52Sql,
     "q55_conformance"   -> q55Sql,
     "q62_transitions"   -> q62Sql,
+    "st42_stream_transitions" -> st42Sql,
     "q53_competing_risks" -> q53Sql,
     "q54_merge_disambiguation" -> q54Sql,
     "q47_param_unpivot" -> q47Sql,

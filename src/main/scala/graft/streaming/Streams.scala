@@ -423,4 +423,59 @@ object Streams {
     runToTable(spark, closed.toDF(), "append", "st41")
       .orderBy("user_id", "version")
   }
+
+  case class TrEv(user_id: Long, us: Long, event_id: Long, act: String)
+  case class TrState(us: Long, act: String, session_num: Long)
+  case class TrEdge(user_id: Long, session_num: Long, from_act: String,
+      to_act: String, gap_us: Option[Long])
+
+  /** st42: streaming directly-follows edge extraction — the continuous
+    * form of q62's process-map discovery (live process monitoring: the
+    * edge counts a conformance dashboard reads). State per entity is the
+    * LAST event (act, us) plus a session counter; an arrival within the
+    * q07 gap emits the prev→act edge, a gap-crossing arrival closes the
+    * previous session (prev→END) and opens a new one (START→act), a
+    * first-ever arrival emits START→act. Exactly the edges a batch
+    * rebuild would produce EXCEPT each entity's trailing →END (the open
+    * session cannot close — st34/st41's append-mode contract); the
+    * oracle is q62's edge set minus each user's last-session END edge.
+    * The emitted edge grain is aggregated by the SAME
+    * [[graft.operators.EventLog.aggregateEdges]] definition q62 uses, so
+    * batch and stream report identically.
+    *
+    * Ordering contract (st41's): within-batch events sort per key by
+    * (ts, event_id); cross-batch the log ships in order. State is one
+    * row per entity regardless of history — edges flow through.
+    */
+  def st42StreamTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("act"))
+      .as[TrEv]
+    val edges = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrState, TrEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val batch = it.toArray.sortBy(e => (e.us, e.event_id))
+        val out = ArrayBuffer.empty[TrEdge]
+        var st = state.getOption.orNull
+        batch.foreach { e =>
+          if (st == null) {
+            out += TrEdge(uid, 1L, "START", e.act, None)
+            st = TrState(e.us, e.act, 1L)
+          } else if (e.us - st.us > GapUs) {
+            out += TrEdge(uid, st.session_num, st.act, "END", None)
+            out += TrEdge(uid, st.session_num + 1, "START", e.act, None)
+            st = TrState(e.us, e.act, st.session_num + 1)
+          } else {
+            out += TrEdge(uid, st.session_num, st.act, e.act, Some(e.us - st.us))
+            st = TrState(e.us, e.act, st.session_num)
+          }
+        }
+        if (st != null) state.update(st)
+        out.iterator
+      }
+    val sink = runToTable(spark, edges.toDF(), "append", "st42")
+    graft.operators.EventLog.aggregateEdges(sink)
+  }
 }

@@ -272,6 +272,29 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
   }
 
+  test("st42 matches q62 on real edges; only trailing-session END edges withheld") {
+    val q = graft.operators.EventLog.q62Transitions(spark, dir).collect()
+    val s = graft.streaming.Streams.st42StreamTransitions(spark, dir).collect()
+    // every within-session edge emits when its later event arrives, so
+    // the real-edge table (count, case coverage, mean gap) is identical
+    // to the batch rebuild; shares differ by construction (END outflow
+    // removed from the denominators)
+    def real(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(r => r.getString(0) != "START" && r.getString(1) != "END")
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(real(s) === real(q))
+    // START fires on every session's first arrival; END only when a NEXT
+    // session's arrival closes the previous one — each user's trailing
+    // session stays open, so END inflow = sessions − users
+    val sessions = graft.operators.CoreQueries.q07Sessionize(spark, dir).count()
+    val users = graft.Tables.events(spark, dir).select("user_id").distinct.count()
+    val startOut = s.filter(_.getString(0) == "START").map(_.getLong(2)).sum
+    val endIn = s.filter(_.getString(1) == "END").map(_.getLong(2)).sum
+    assert(startOut === sessions, s"START outflow $startOut != sessions $sessions")
+    assert(endIn === sessions - users, s"END inflow $endIn != ${sessions - users}")
+  }
+
   test("t32 screens every training doc once; overlap bounded; planted dup flagged") {
     import org.apache.spark.sql.functions._
     val t = graft.operators.TextAnalysis.t32Contamination(spark, dir)
