@@ -489,6 +489,91 @@ object PipelineOracles {
     s"""$kmeansCtes
       |SELECT vec_id, cid, dist FROM asg ORDER BY vec_id""".stripMargin
 
+  /** s32 mirror — the PQ chain restated: same floor(x·10⁶) grid, same
+    * subvector slices, same min(d·100+cid) argmin, same floor(sum/n)
+    * Lloyd update, same dense renumber; ADC is the relational form
+    * (codes ⋈ distance table, summed) — identical values to the Spark
+    * side's per-row table lookups. */
+  private val s32Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), sub AS (
+      |  SELECT vec_id, g.m, q[g.m * 8 + 1 : g.m * 8 + 8] AS sq
+      |  FROM q CROSS JOIN generate_series(0, 7) AS g(m)
+      |), init AS (
+      |  SELECT g.m, c.cid, c.q[g.m * 8 + 1 : g.m * 8 + 8] AS cv
+      |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, q
+      |        FROM q ORDER BY vec_id LIMIT 16) c
+      |  CROSS JOIN generate_series(0, 7) AS g(m)
+      |), d1 AS (
+      |  SELECT s.vec_id, s.m, i.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           j -> (s.sq[j] - i.cv[j]) * (s.sq[j] - i.cv[j]))) AS BIGINT) AS d
+      |  FROM sub s JOIN init i ON s.m = i.m
+      |), a1 AS (
+      |  SELECT vec_id, m, CAST(min(d * 100 + cid) % 100 AS INT) AS cid
+      |  FROM d1 GROUP BY vec_id, m
+      |), u1 AS (
+      |  SELECT s.m, a.cid, g.j AS pos, SUM(s.sq[g.j]) AS sm, COUNT(*) AS n
+      |  FROM a1 a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+      |  CROSS JOIN generate_series(1, 8) AS g(j)
+      |  GROUP BY 1, 2, 3
+      |), cv1 AS (
+      |  SELECT m, cid, list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cv
+      |  FROM u1 GROUP BY m, cid
+      |), cb AS (
+      |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY cid) AS INT) AS cid, cv
+      |  FROM cv1
+      |), enc AS (
+      |  SELECT vec_id, m, CAST(min(d * 100 + cid) % 100 AS INT) AS code FROM (
+      |    SELECT s.vec_id, s.m, c.cid,
+      |           CAST(list_sum(list_transform(generate_series(1, 8),
+      |             j -> (s.sq[j] - c.cv[j]) * (s.sq[j] - c.cv[j]))) AS BIGINT) AS d
+      |    FROM sub s JOIN cb c ON s.m = c.m
+      |  ) GROUP BY vec_id, m
+      |), dtab AS (
+      |  SELECT s.vec_id AS query_id, s.m, c.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           j -> (s.sq[j] - c.cv[j]) * (s.sq[j] - c.cv[j]))) AS BIGINT) AS d
+      |  FROM sub s JOIN cb c ON s.m = c.m
+      |  WHERE s.vec_id < 10
+      |), ap AS (
+      |  SELECT t.query_id, e.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS approx_d
+      |  FROM enc e JOIN dtab t ON e.m = t.m AND e.code = t.cid
+      |  WHERE t.query_id <> e.vec_id
+      |  GROUP BY 1, 2
+      |), ar AS (
+      |  SELECT query_id, neighbor_id, approx_d,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY approx_d, neighbor_id) AS INT) AS rnk
+      |  FROM ap
+      |), ex AS (
+      |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           j -> (qq.q[j] - c.q[j]) * (qq.q[j] - c.q[j]))) AS BIGINT) AS exact_d
+      |  FROM q qq JOIN q c ON qq.vec_id <> c.vec_id
+      |  WHERE qq.vec_id < 10
+      |), er AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY exact_d, neighbor_id) AS INT) AS rnk
+      |  FROM ex
+      |), hits AS (
+      |  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      |  FROM ar a JOIN er e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  WHERE a.rnk <= 5 AND e.rnk <= 5
+      |  GROUP BY a.query_id
+      |)
+      |SELECT a.query_id, a.neighbor_id AS nn_approx, a.approx_d AS nn_approx_d,
+      |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |       CAST(COALESCE(h.n_hit, 0) * 2000 AS BIGINT) AS recall_pm
+      |FROM ar a LEFT JOIN hits h ON a.query_id = h.query_id
+      |WHERE a.rnk = 1
+      |ORDER BY a.query_id""".stripMargin
+
   // mirror of Similarity.s31Silhouette: b(i) = min distance over the
   // OTHER centroids from the same d2 all-pairs grain the assignment
   // used; identical integer permyriad arithmetic
@@ -1348,6 +1433,7 @@ object PipelineOracles {
     "s28_ann_ivf"      -> s28Sql,
     "s29_ann_rerank"   -> s29Sql,
     "s30_kmeans"       -> s30Sql,
+    "s32_pq_adc"       -> s32Sql,
     "s31_silhouette"   -> s31Sql,
     "p62_balanced_sample" -> p62Sql,
     "t36_lm_score"     -> t36Sql,

@@ -284,4 +284,128 @@ object Similarity {
       .groupBy("cid")
       .agg(sort_array(collect_list(struct(col("pos"), col("cv_i")))).as("pcs"))
       .select(col("cid"), transform(col("pcs"), p => p.getField("cv_i")).as("cv"))
+
+  private[graft] val PqM = 8    // subspaces
+  private[graft] val PqDim = 8  // dims per subspace (8 × 8 = 64)
+  private[graft] val PqK = 16   // codewords per subspace → 4-bit codes
+
+  /** The subspace-explode fragment: one (m, sq) struct per subspace. */
+  private val pqSubExpr =
+    s"explode(transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice(q, m * $PqDim + 1, $PqDim) AS sq)))"
+
+  /** Per-subspace PQ codebooks (m, cid, cv): init = the subvectors of
+    * the [[PqK]] lowest vec_ids (s30's init discipline), ONE Lloyd
+    * update per subspace on the integer grid (same exact arithmetic as
+    * [[kmeansModel]] — min(d·100+cid) argmin, floor(sum/n) update),
+    * then cids renumbered DENSE per subspace so a code is exactly a
+    * position in the cid-sorted codeword array (the ADC lookup index —
+    * no reliance on every init codeword surviving the update). */
+  private[graft] def pqCodebook(q: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val init = q.orderBy("vec_id").limit(PqK)
+      .select(row_number().over(Window.orderBy("vec_id")).as("cid"), col("q"))
+      .select(col("cid"), expr(pqSubExpr).as("e"))
+      .select(col("e.m").as("m"), col("cid"), col("e.sq").as("cv"))
+    val initPacked = init.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    val sub = q.select(col("vec_id"), expr(pqSubExpr).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
+    val asg = sub.join(broadcast(initPacked), Seq("m"))
+      .select(col("m"), col("sq"),
+        (expr("graft_kmeans_argmin(sq, cents)") % 100).cast("int").as("cid"))
+    asg.select(col("m"), col("cid"), posexplode(col("sq")).as(Seq("pos", "v")))
+      .groupBy("m", "cid", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("cv_i", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy("m", "cid")
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv_i")))).as("pcs"))
+      .select(col("m"), col("cid"), transform(col("pcs"), p => p.getField("cv_i")).as("cv"))
+      .withColumn("cid2",
+        row_number().over(Window.partitionBy("m").orderBy("cid")).cast("int"))
+      .select(col("m"), col("cid2").as("cid"), col("cv"))
+  }
+
+  /** The M·K codebook rows folded into ONE broadcastable row:
+    * model[m] = the cid-sorted codeword array of subspace m. */
+  private def packPq(cb: DataFrame): DataFrame =
+    cb.groupBy("m")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cents")))).as("ms"))
+      .select(transform(col("ms"), x => x.getField("cents")).as("model"))
+
+  /** s32: product-quantization ANN with asymmetric distance computation
+    * (Jégou–Douze–Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011) — the memory-compression leg of the ANN family
+    * (s27 buckets, s28 cells, s32 compresses): each 64-dim vector is
+    * stored as [[PqM]] 4-bit codes (64 floats → 8 codes, a 64× memory
+    * cut), queries score candidates by summing per-subspace
+    * query↔codeword distances from a precomputed table (ADC — the
+    * vector itself is never touched at query time). Codebooks are
+    * per-subspace Lloyd codewords on s30's exact integer grid, so every
+    * distance, code, and table entry is an exact BIGINT — bit-identical
+    * across engines. Top-5 per query by (approx distance, neighbor id),
+    * graded s29-style against the exact grid-L2 top-5 (recall@5 in
+    * integer permyriad), with the rank-1 approximate neighbor and its
+    * code-approximated distance as witnesses.
+    *
+    * 100 TB posture: the model is ONE broadcast row (8×16 codewords);
+    * encoding is a pure projection per corpus row (argmin over the
+    * broadcast array inside the row — no N·K explode, no shuffle);
+    * scoring streams the corpus past the broadcast query table with 8
+    * array lookups per pair (never touching the 64-dim vectors); the
+    * only corpus-grain exchange is the per-query top-k rank the whole
+    * ANN family pays. The exact-truth side is eval-only (bounded query
+    * set, the s29/q49 measured-error pattern).
+    */
+  def s32PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val q = quantize(Tables.embeddings(spark, dir))
+    val model = packPq(pqCodebook(q))
+    // encode: codes[m] = dense cid of the nearest codeword of subspace m
+    val codes = q.crossJoin(broadcast(model))
+      .select(col("vec_id"), expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> CAST(graft_kmeans_argmin(slice(q, m * $PqDim + 1, $PqDim), model[m]) % 100 AS INT))")
+        .as("codes"))
+    // per-query 2D distance table: dt[m][cid-1] = ‖query_m − cv‖² (the
+    // 10-row query set pays an interpreted fold; corpus rows never do)
+    val dtExpr =
+      s"""transform(sequence(0, ${PqM - 1}), m -> transform(model[m],
+         |  cc -> aggregate(sequence(1, $PqDim), 0L, (acc, i) ->
+         |    acc + (element_at(slice(q, m * $PqDim + 1, $PqDim), i) - element_at(cc.cv, i))
+         |        * (element_at(slice(q, m * $PqDim + 1, $PqDim), i) - element_at(cc.cv, i)))))""".stripMargin
+    val queries = q.filter(col("vec_id") < 10).crossJoin(broadcast(model))
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        expr(dtExpr).as("dt"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx_d"), col("neighbor_id"))
+    val approx = codes
+      .crossJoin(broadcast(queries.select(col("query_id"), col("dt"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> acc + dt[m][codes[m] - 1])")
+          .as("approx_d"))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= 5)
+    // exact grid-L2 truth: the argmin primitive with a singleton
+    // candidate set is a plain codegen'd distance (key div 100)
+    val wE = Window.partitionBy("query_id").orderBy(col("exact_d"), col("neighbor_id"))
+    val truth = q
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qv"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_kmeans_argmin(q, array(struct(0, qv))) div 100").as("exact_d"))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 5)
+    val hits = approx.join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    approx.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("nn_approx"),
+        col("approx_d").as("nn_approx_d"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("nn_approx"), col("nn_approx_d"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 2000).as("recall_pm"))
+      .orderBy("query_id")
+  }
 }

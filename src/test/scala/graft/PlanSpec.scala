@@ -355,6 +355,17 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected exactly 1 user-grain exchange, got $hashEx:\n$p")
   }
 
+  test("s32 ADC scores via broadcast lookups; no shuffle join touches the corpus") {
+    val p = planString(operators.Similarity.s32PqAdc(spark, dir))
+    // encoding and scoring are projections over broadcast rows — the
+    // codegen'd argmin primitive must appear (no interpreted fallback on
+    // the corpus path) and the corpus must never be shuffled into a join
+    assert(p.contains("graft_kmeans_argmin"), s"argmin primitive missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"model/query tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
+  }
+
   test("p61 chunking is a pure projection (no exchange before the sort)") {
     val df = operators.Pipeline.p61ChunkOverlap(spark, dir)
     val plan = executed(df).toString

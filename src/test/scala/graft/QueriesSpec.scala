@@ -272,6 +272,29 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
   }
 
+  test("s32 PQ: per-query report consistent, codebooks dense with 8-dim codewords") {
+    val rows = graft.operators.Similarity.s32PqAdc(spark, dir).collect()
+    assert(rows.length === 10) // one row per query (vec_id < 10)
+    rows.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(1), s"query is its own neighbor: $r")
+      assert(r.getLong(2) >= 0, s"negative approx distance: $r")
+      val nHit = r.getLong(3)
+      assert(nHit >= 0 && nHit <= 5, s"n_hit out of range: $r")
+      assert(r.getLong(4) === nHit * 2000, s"recall_pm != n_hit*2000: $r")
+    }
+    // codebooks: every subspace present, cids dense 1..K (the ADC lookup
+    // index contract), every codeword 8-dim
+    val cb = graft.operators.Similarity.pqCodebook(
+      graft.operators.Similarity.quantize(
+        graft.Tables.embeddings(spark, dir))).collect()
+    assert(cb.map(_.getInt(0)).distinct.sorted.toSeq === (0 to 7))
+    cb.groupBy(_.getInt(0)).foreach { case (m, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length),
+        s"subspace $m cids not dense")
+      rs.foreach(r => assert(r.getSeq[Long](2).length === 8))
+    }
+  }
+
   test("st42 matches q62 on real edges; only trailing-session END edges withheld") {
     val q = graft.operators.EventLog.q62Transitions(spark, dir).collect()
     val s = graft.streaming.Streams.st42StreamTransitions(spark, dir).collect()
