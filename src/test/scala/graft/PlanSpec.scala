@@ -220,6 +220,12 @@ class PlanSpec extends AnyFunSuite {
     // two tf subtrees canonically identical; see t35Keywords)
     val scans = "Scan parquet".r.findAllMatchIn(p).length
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    // the one corpus-grain exchange hashes by doc_id ALONE (subset rule
+    // serves the pair aggregation AND the rank window) — a (doc, token)
+    // keyed exchange means the top-k re-shuffled the corpus (r8 fix:
+    // 2.70 → 1.51 s at sf1)
+    assert("hashpartitioning\\(doc_id#\\d+, token".r.findFirstIn(p).isEmpty,
+      s"(doc, token)-keyed corpus exchange reappeared:\n$p")
   }
 
   test("s30 assignments are broadcast projections; no N·K explode, no cartesian") {
