@@ -98,6 +98,7 @@ object SparkEntry {
     "d33_winnow"          -> (Dedup.d33Winnow _),
     "d34_semdedup"        -> (Dedup.d34Semdedup _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
+    "p65_dataset_card"    -> (Pipeline.p65DatasetCard _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),
     "q60_cube"            -> (CoreQueries.q60Cube _),

@@ -471,4 +471,44 @@ object Pipeline {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
   }
+
+  /** p65: the per-source DATASET CARD — the statistics table every
+    * published training corpus ships (docs, tokens, dedup rate, quality
+    * and language composition): n_docs, token total (t30's whitespace
+    * definition), distinct content hashes (d21's md5 canonicalization)
+    * with the exact-dup permyriad, mean t29 quality score with the
+    * share over t29's quality bar, and the share whose t28 predicted
+    * language agrees with the declared one. Every metric reuses the
+    * standalone operator's column-chain definition
+    * ([[TextAnalysis.withQualityScore]] / [[TextAnalysis.withPredLang]] /
+    * d21's md5 / t29's ≥5000 bar), so the card cannot drift from the
+    * operators it summarizes — the p55 composition discipline applied
+    * to reporting.
+    *
+    * 100 TB posture: ONE corpus scan; everything is a map-side-combined
+    * aggregation to |sources| rows except the content-hash distinct,
+    * which two-phases through the (source, hash) grain — linear, no
+    * joins, no windows. The card is the cheap end-of-pipeline artifact,
+    * not a second pipeline.
+    */
+  def p65DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.withPredLang(
+      TextAnalysis.withQualityScore(
+        Tables.documents(spark, dir).withColumn("words", split(col("text"), " "))))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("words"))).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_distinct_contents"),
+        sum(col("score_x10000")).as("score_sum"),
+        sum((col("score_x10000") >= 5000L).cast("long")).as("n_quality_ok"),
+        sum((col("pred_lang") === col("lang")).cast("long")).as("n_lang_match"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_contents"),
+        expr("(n_docs - n_distinct_contents) * 10000 DIV n_docs").as("dup_pm"),
+        expr("score_sum DIV n_docs").as("mean_score_x10000"),
+        expr("n_quality_ok * 10000 DIV n_docs").as("quality_ok_pm"),
+        expr("n_lang_match * 10000 DIV n_docs").as("lang_match_pm"))
+      .orderBy("source")
+  }
 }

@@ -804,6 +804,49 @@ object PipelineOracles {
       |           + 0.3 * LEAST(avg_word_len / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) >= 5000 AS INT) AS quality_ok
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** p65 mirror — the dataset card restated on the SAME column chains
+    * as the t28/t29/d21/t30 oracles (stop-profile prediction, rounded
+    * ratio score, md5 content hash, whitespace tokens), rolled up per
+    * source in exact integer permyriads. */
+  private lazy val p65Sql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, source, lang, text, string_split(text, ' ') AS words FROM documents
+      |), m AS (
+      |  SELECT source, lang, text,
+      |         CAST(len(words) AS BIGINT) AS n_words,
+      |         CAST(length(text) - (len(words) - 1) AS BIGINT) AS n_letters,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopDe)})) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEs)})) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopFr)})) AS BIGINT) AS s_fr,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopZh)})) AS BIGINT) AS s_zh
+      |  FROM w
+      |), r AS (
+      |  SELECT source, lang, text, n_words,
+      |         ROUND(CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS avg_word_len,
+      |         ROUND(CAST(s_en AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS stop_ratio,
+      |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |              WHEN s_fr >= s_zh THEN 'fr'
+      |              ELSE 'zh' END AS pred_lang
+      |  FROM m
+      |), sc AS (
+      |  SELECT source, lang, pred_lang, n_words, md5(text) AS h,
+      |         CAST(FLOOR((0.3 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+      |             + 0.4 * (1.0 - stop_ratio)
+      |             + 0.3 * LEAST(avg_word_len / 8.0, 1.0)) * 10000.0 + 0.5) AS BIGINT) AS score
+      |  FROM r
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+      |       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_contents,
+      |       CAST((COUNT(*) - COUNT(DISTINCT h)) * 10000 // COUNT(*) AS BIGINT) AS dup_pm,
+      |       CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_x10000,
+      |       CAST(SUM(CASE WHEN score >= 5000 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS quality_ok_pm,
+      |       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS lang_match_pm
+      |FROM sc GROUP BY source ORDER BY source""".stripMargin
+
   private val t30Sql: String =
     """WITH d AS (
       |  SELECT source, doc_id, text, string_split(text, ' ') AS words FROM documents
@@ -1434,6 +1477,7 @@ object PipelineOracles {
     "s29_ann_rerank"   -> s29Sql,
     "s30_kmeans"       -> s30Sql,
     "s32_pq_adc"       -> s32Sql,
+    "p65_dataset_card" -> p65Sql,
     "s31_silhouette"   -> s31Sql,
     "p62_balanced_sample" -> p62Sql,
     "t36_lm_score"     -> t36Sql,

@@ -361,6 +361,15 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected exactly 1 user-grain exchange, got $hashEx:\n$p")
   }
 
+  test("p65 card is one corpus scan, aggregation-only (no joins, no windows)") {
+    val df = operators.Pipeline.p65DatasetCard(spark, dir)
+    val p = planString(df)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"join in a pure rollup:\n$p")
+    assert(!p.contains("Window"), s"window in a pure rollup:\n$p")
+  }
+
   test("s32 ADC scores via broadcast lookups; no shuffle join touches the corpus") {
     val p = planString(operators.Similarity.s32PqAdc(spark, dir))
     // encoding and scoring are projections over broadcast rows — the

@@ -272,6 +272,27 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
   }
 
+  test("p65 dataset card agrees with the operators it summarizes") {
+    import org.apache.spark.sql.functions._
+    val card = graft.operators.Pipeline.p65DatasetCard(spark, dir).collect()
+    assert(card.nonEmpty)
+    // token totals must equal t30's per-source totals (shared definition)
+    val t30 = graft.operators.TextAnalysis.t30Tokencount(spark, dir)
+      .select("source", "total_tokens").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    card.foreach { r =>
+      assert(r.getLong(2) === t30(r.getString(0)),
+        s"n_tokens drifts from t30 for ${r.getString(0)}")
+      assert(r.getLong(3) <= r.getLong(1), s"distinct contents > docs: $r")
+      Seq(4, 6, 7).foreach { i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 10000, s"pm out of range: $r")
+      }
+    }
+    // doc accounting: card covers the whole corpus exactly once
+    val total = graft.Tables.documents(spark, dir).count()
+    assert(card.map(_.getLong(1)).sum === total)
+  }
+
   test("s32 PQ: per-query report consistent, codebooks dense with 8-dim codewords") {
     val rows = graft.operators.Similarity.s32PqAdc(spark, dir).collect()
     assert(rows.length === 10) // one row per query (vec_id < 10)
