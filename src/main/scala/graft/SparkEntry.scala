@@ -97,6 +97,7 @@ object SparkEntry {
     "d32_span_cut"        -> (Dedup.d32SpanCut _),
     "d33_winnow"          -> (Dedup.d33Winnow _),
     "d34_semdedup"        -> (Dedup.d34Semdedup _),
+    "d35_edit_verify"     -> (Dedup.d35EditVerify _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "p65_dataset_card"    -> (Pipeline.p65DatasetCard _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),

@@ -68,6 +68,47 @@ object Dedup {
   def d22MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashBandPairs(spark, dir).orderBy("doc_a", "doc_b")
 
+  /** d35 edit-distance verification window (chars) and the similarity
+    * bar a verified pair must clear. */
+  val EditVerifyPrefix = 256
+  val EditVerifySimPm = 8000L
+
+  /** d35: exact edit-distance VERIFICATION of d22's near-dup candidates
+    * — the confirm stage every probabilistic dedup pipeline runs after
+    * candidate generation (MinHash recalls, the verifier decides; a
+    * band collision alone is not a duplicate). Each candidate pair is
+    * scored by Levenshtein distance over the first [[EditVerifyPrefix]]
+    * chars — the standard bounded-work verifier: full-text DP is
+    * O(len²) per pair and unbounded documents would make pair cost
+    * data-dependent, while a fixed prefix window caps it at a constant
+    * (and near-dups that diverge only past the window are exactly the
+    * shingle family's job to rank — d24 owns content overlap).
+    * sim_pm = (window − lev)·10000 div window over the larger clamped
+    * length; verified iff ≥ [[EditVerifySimPm]]. Both engines run the
+    * textbook DP (`levenshtein`), so the score is engine-exact.
+    *
+    * 100 TB posture: the candidate graph is d22's (shared definition,
+    * never all-pairs); texts attach through two equi-joins of the pair
+    * list against the corpus (pairs ≪ corpus — the join shuffles
+    * pairs + the corpus projection, never corpus²); the DP runs
+    * per-pair at a constant ≤256² cell budget, codegen'd, no UDF.
+    */
+  def d35EditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val txt = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(col("text"), 1, EditVerifyPrefix).as("pfx"))
+    minhashBandPairs(spark, dir)
+      .join(txt.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+      .withColumn("win", greatest(length(col("pfx_a")), length(col("pfx_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        expr("(win - lev) * 10000 DIV win").as("sim_pm"))
+      .withColumn("verified",
+        (col("sim_pm") >= EditVerifySimPm).cast("int"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Minimum-label connected components over an undirected edge list
     * (u, v), u ≠ v. Returns (node, cluster_id) where cluster_id is the
     * smallest node id in the component — every node that appears in at

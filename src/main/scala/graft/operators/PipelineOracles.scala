@@ -127,6 +127,27 @@ object PipelineOracles {
       |SELECT doc_a, doc_b FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d35 mirror — d22's pair CTE + the same clamped-prefix Levenshtein
+    * verifier (both engines run the textbook DP; exact integers). */
+  private val d35Sql: String = {
+    import graft.operators.Dedup.{EditVerifyPrefix => W, EditVerifySimPm => Bar}
+    s"""WITH $d22PairsCtes, t AS (
+      |  SELECT doc_id, substr(text, 1, $W) AS pfx FROM documents
+      |), v AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |         CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev,
+      |         CAST(GREATEST(length(a.pfx), length(b.pfx)) AS BIGINT) AS win
+      |  FROM pairs p
+      |  JOIN t a ON p.doc_a = a.doc_id
+      |  JOIN t b ON p.doc_b = b.doc_id
+      |)
+      |SELECT doc_a, doc_b, lev,
+      |       CAST((win - lev) * 10000 // win AS BIGINT) AS sim_pm,
+      |       CAST((win - lev) * 10000 // win >= $Bar AS INT) AS verified
+      |FROM v
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // transitive closure by recursive reachability, then min-label per
   // node — near-dup components are small (bounded by true-dup cluster
   // size), so the closure is |component|² per component, never |graph|²
@@ -1460,6 +1481,7 @@ object PipelineOracles {
         |ORDER BY content_hash""".stripMargin,
     "d32_span_cut" -> d32Sql,
     "d22_minhash_lsh"  -> d22Sql,
+    "d35_edit_verify"  -> d35Sql,
     "d26_dup_clusters" -> d26Sql,
     "d31_quality_survivor" -> d31Sql,
     "d27_incremental_dedup" -> d27Sql,

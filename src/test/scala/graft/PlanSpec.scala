@@ -361,6 +361,15 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected exactly 1 user-grain exchange, got $hashEx:\n$p")
   }
 
+  test("d35 verifier attaches texts by equi-join; no nested-loop, no cartesian") {
+    val p = planString(operators.Dedup.d35EditVerify(spark, dir))
+    // the pair list joins the corpus projection on doc ids — hash joins
+    // only; a nested-loop here would mean the candidate bound was lost
+    assert(!p.contains("CartesianProduct"), s"cartesian in the verifier:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+    assert(p.contains("levenshtein"), s"DP verifier missing from plan:\n$p")
+  }
+
   test("p65 card is one corpus scan, aggregation-only (no joins, no windows)") {
     val df = operators.Pipeline.p65DatasetCard(spark, dir)
     val p = planString(df)

@@ -272,6 +272,31 @@ class QueriesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
   }
 
+  test("d35 verifies exactly d22's candidate set; exact dups score 10000") {
+    import org.apache.spark.sql.functions._
+    val v = graft.operators.Dedup.d35EditVerify(spark, dir).collect()
+    val cand = graft.operators.Dedup.d22MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the verifier decides on every candidate, adds none, drops none
+    assert(v.map(r => (r.getLong(0), r.getLong(1))).toSet === cand)
+    v.foreach { r =>
+      val lev = r.getLong(2); val sim = r.getLong(3)
+      assert(lev >= 0, s"negative distance: $r")
+      assert(sim >= 0 && sim <= 10000, s"sim out of range: $r")
+      assert(r.getInt(4) === (if (sim >= graft.operators.Dedup.EditVerifySimPm) 1 else 0))
+    }
+    // every identical-content pair that IS a candidate must verify at
+    // sim_pm = 10000 (lev = 0) — the d21 cross-check
+    val byHash = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    v.foreach { r =>
+      if (byHash(r.getLong(0)) == byHash(r.getLong(1)))
+        assert(r.getLong(2) === 0L && r.getLong(3) === 10000L,
+          s"identical contents not verified clean: $r")
+    }
+  }
+
   test("p65 dataset card agrees with the operators it summarizes") {
     import org.apache.spark.sql.functions._
     val card = graft.operators.Pipeline.p65DatasetCard(spark, dir).collect()
