@@ -515,8 +515,12 @@ object PipelineOracles {
     * Lloyd update, same dense renumber; ADC is the relational form
     * (codes ⋈ distance table, summed) — identical values to the Spark
     * side's per-row table lookups. */
-  private val s32Sql: String =
-    s"""WITH q AS (
+  /** The PQ chain CTEs (grid → subvectors → trained codebooks →
+    * corpus codes → per-query distance tables) shared by s32 and s33 —
+    * ends in `enc(vec_id, m, code)` and `dtab(query_id, m, cid, d)`.
+    * Composes after a WITH that may already hold other CTEs. */
+  private val pqCtes: String =
+    s"""q AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -561,7 +565,53 @@ object PipelineOracles {
       |           j -> (s.sq[j] - c.cv[j]) * (s.sq[j] - c.cv[j]))) AS BIGINT) AS d
       |  FROM sub s JOIN cb c ON s.m = c.m
       |  WHERE s.vec_id < 10
+      |)""".stripMargin
+
+  /** s33 mirror — IVF-PQ composed from the SAME fragments the
+    * standalone oracles use: ivfRankCtes bounds candidates (s28's cell
+    * join), pqCtes scores them (s32's codes ⋈ distance tables). */
+  private lazy val s33Sql: String =
+    s"""$ivfRankCtes, $pqCtes, cand AS (
+      |  SELECT qq.vec_id AS query_id, c2.vec_id AS neighbor_id
+      |  FROM (SELECT vec_id, c FROM rk WHERE rn <= $IvfProbes AND vec_id < 10) qq
+      |  JOIN (SELECT vec_id, c FROM rk WHERE rn = 1) c2
+      |    ON qq.c = c2.c AND qq.vec_id <> c2.vec_id
       |), ap AS (
+      |  SELECT cand.query_id, cand.neighbor_id, CAST(SUM(t.d) AS BIGINT) AS approx_d
+      |  FROM cand
+      |  JOIN enc e2 ON cand.neighbor_id = e2.vec_id
+      |  JOIN dtab t ON e2.m = t.m AND e2.code = t.cid AND t.query_id = cand.query_id
+      |  GROUP BY 1, 2
+      |), ncd AS (
+      |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1
+      |), ar AS (
+      |  SELECT query_id, neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_d, neighbor_id) AS rnk
+      |  FROM ap
+      |), ex AS (
+      |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           j -> (qq.q[j] - c.q[j]) * (qq.q[j] - c.q[j]))) AS BIGINT) AS exact_d
+      |  FROM q qq JOIN q c ON qq.vec_id <> c.vec_id
+      |  WHERE qq.vec_id < 10
+      |), er AS (
+      |  SELECT query_id, neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY exact_d, neighbor_id) AS rnk
+      |  FROM ex
+      |), hits AS (
+      |  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      |  FROM ar a JOIN er e3 ON a.query_id = e3.query_id AND a.neighbor_id = e3.neighbor_id
+      |  WHERE a.rnk <= 5 AND e3.rnk <= 5
+      |  GROUP BY 1
+      |)
+      |SELECT ncd.query_id, ncd.n_candidates,
+      |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |       CAST(COALESCE(h.n_hit, 0) * 2000 AS BIGINT) AS recall_pm
+      |FROM ncd LEFT JOIN hits h ON ncd.query_id = h.query_id
+      |ORDER BY ncd.query_id""".stripMargin
+
+  private val s32Sql: String =
+    s"""WITH $pqCtes, ap AS (
       |  SELECT t.query_id, e.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS approx_d
       |  FROM enc e JOIN dtab t ON e.m = t.m AND e.code = t.cid
       |  WHERE t.query_id <> e.vec_id
@@ -1499,6 +1549,7 @@ object PipelineOracles {
     "s29_ann_rerank"   -> s29Sql,
     "s30_kmeans"       -> s30Sql,
     "s32_pq_adc"       -> s32Sql,
+    "s33_ivfpq"        -> s33Sql,
     "p65_dataset_card" -> p65Sql,
     "s31_silhouette"   -> s31Sql,
     "p62_balanced_sample" -> p62Sql,

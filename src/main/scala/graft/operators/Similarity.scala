@@ -408,4 +408,79 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) * 2000).as("recall_pm"))
       .orderBy("query_id")
   }
+
+  /** The in-expression floor(x·10⁶) grid — [[quantize]] as a SQL
+    * fragment, so cell assignment and PQ codes can share ONE projection
+    * over the raw embedding without a self-join. */
+  private val gridExpr =
+    "transform(embedding, x -> CAST(floor(x * 1000000.0D) AS BIGINT))"
+
+  /** s33: IVF-PQ — the composed production vector index (FAISS's
+    * IVFPQ: Jégou TPAMI'11 §V): s28's inverted cells bound WHICH
+    * candidates a query scores (nprobe=2 cell equi-join, never the
+    * corpus) and s32's product-quantization codes bound WHAT scoring
+    * costs (8 table lookups per candidate, vectors never touched).
+    * Index rows carry (home cell, 8 codes) — both derived in ONE
+    * projection per corpus row over the broadcast codebook model; the
+    * bounded query set probes its top-2 cells with its precomputed
+    * distance tables attached. Per query: candidate count, ADC top-5,
+    * and recall@5 vs the exact grid-L2 truth (the s29 report shape —
+    * this is the eval harness for the index both mechanisms feed).
+    *
+    * 100 TB posture: candidate generation is s28's cell equi-join
+    * (linear, cell-bounded); scoring is s32's broadcast-table lookup;
+    * the only corpus-grain exchanges are the cell join's and the
+    * per-query top-k the whole family pays. Training, encoding, and
+    * probing all reuse the s30/s32 shared definitions — one grid, one
+    * argmin, one codebook.
+    */
+  def s33IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val q = quantize(Tables.embeddings(spark, dir))
+    val model = packPq(pqCodebook(q))
+    val corp = Tables.embeddings(spark, dir).crossJoin(broadcast(model))
+      .select(col("vec_id"),
+        expr("graft_ivf_cells(embedding)[0]").as("cell"),
+        expr(s"transform(sequence(0, ${PqM - 1}), m -> CAST(graft_kmeans_argmin(slice($gridExpr, m * $PqDim + 1, $PqDim), model[m]) % 100 AS INT))")
+          .as("codes"))
+    val dtExpr =
+      s"""transform(sequence(0, ${PqM - 1}), m -> transform(model[m],
+         |  cc -> aggregate(sequence(1, $PqDim), 0L, (acc, i) ->
+         |    acc + (element_at(slice(q, m * $PqDim + 1, $PqDim), i) - element_at(cc.cv, i))
+         |        * (element_at(slice(q, m * $PqDim + 1, $PqDim), i) - element_at(cc.cv, i)))))""".stripMargin
+    // probes come from the RAW embedding — the same cell function the
+    // corpus home cell uses (the quantized grid exists only for PQ)
+    val qp = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .crossJoin(broadcast(model))
+      .withColumn("q", expr(gridExpr))
+      .select(col("vec_id").as("query_id"), expr(dtExpr).as("dt"),
+        explode(expr("graft_ivf_cells(embedding)")).as("cell"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx_d"), col("neighbor_id"))
+    val cand = corp.join(broadcast(qp.select(col("query_id"), col("dt"), col("cell"))),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> acc + dt[m][codes[m] - 1])")
+          .as("approx_d"))
+    val nCand = cand.groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    val approx = cand.withColumn("rnk", row_number().over(wA)).filter(col("rnk") <= 5)
+    val wE = Window.partitionBy("query_id").orderBy(col("exact_d"), col("neighbor_id"))
+    val truth = q
+      .crossJoin(broadcast(q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_kmeans_argmin(q, array(struct(0, qv))) div 100").as("exact_d"))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 5)
+    val hits = approx.join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    nCand.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 2000).as("recall_pm"))
+      .orderBy("query_id")
+  }
 }

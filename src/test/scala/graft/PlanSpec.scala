@@ -390,6 +390,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unplanned cartesian:\n$p")
   }
 
+  test("s33 candidates come from the cell equi-join; scoring never touches vectors") {
+    val p = planString(operators.Similarity.s33IvfPq(spark, dir))
+    // both composed mechanisms must appear: the cell primitive (IVF
+    // candidate bound) and the argmin primitive (PQ encoding)
+    assert(p.contains("graft_ivf_cells"), s"cell primitive missing:\n$p")
+    assert(p.contains("graft_kmeans_argmin"), s"PQ argmin missing:\n$p")
+    // candidate generation is an equi-join on cell — a cartesian here
+    // would mean the IVF bound was lost and the corpus is scored whole
+    assert(!p.contains("CartesianProduct"), s"candidate bound lost:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a join:\n$p")
+  }
+
   test("p61 chunking is a pure projection (no exchange before the sort)") {
     val df = operators.Pipeline.p61ChunkOverlap(spark, dir)
     val plan = executed(df).toString

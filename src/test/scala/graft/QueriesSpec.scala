@@ -297,6 +297,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s33 IVF-PQ report: bounded candidates, recall consistency") {
+    val corpus = graft.Tables.embeddings(spark, dir).count()
+    val rows = graft.operators.Similarity.s33IvfPq(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val nc = r.getLong(1); val nh = r.getLong(2)
+      // the IVF bound is real: a probe never scores the whole corpus
+      assert(nc >= 1 && nc < corpus, s"candidate bound lost: $r")
+      assert(nh >= 0 && nh <= 5, s"n_hit out of range: $r")
+      assert(r.getLong(3) === nh * 2000, s"recall_pm != n_hit*2000: $r")
+    }
+  }
+
   test("p65 dataset card agrees with the operators it summarizes") {
     import org.apache.spark.sql.functions._
     val card = graft.operators.Pipeline.p65DatasetCard(spark, dir).collect()
