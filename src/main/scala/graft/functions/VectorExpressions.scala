@@ -511,6 +511,8 @@ object GraftFunctions {
       "graft_kmeans_argmin", exprs => KmeansArgmin(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chunk_fps", exprs => ChunkFps(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stop_scores", exprs => StopScores(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

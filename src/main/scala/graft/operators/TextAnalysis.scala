@@ -13,29 +13,36 @@ import graft.functions.PortableHash.ph
   */
 object TextAnalysis {
 
-  private val stopEn = Seq("the", "a", "of", "and", "to")
-  private val stopDe = Seq("der", "die", "das", "und", "ist")
-  private val stopEs = Seq("el", "la", "los", "que", "una")
-  private val stopFr = Seq("le", "les", "des", "est", "une")
-  private val stopZh = Seq("的", "是", "了", "在", "和")
+  // canonical lists live with the codegen'd kernel — one definition for
+  // the expression, these column chains, and (by value) the oracle
+  private val profiles = graft.functions.TextHash.StopProfiles
+  private val stopEn = profiles(0).toSeq
+  private val stopDe = profiles(1).toSeq
+  private val stopEs = profiles(2).toSeq
+  private val stopFr = profiles(3).toSeq
+  private val stopZh = profiles(4).toSeq
 
   private def inList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("(", ", ", ")")
-
-  private def scoreCol(xs: Seq[String]): Column =
-    expr(s"size(filter(words, w -> w in ${inList(xs)}))").cast("long")
 
   /** Adds the five stopword-profile scores and `pred_lang` (fixed
     * precedence tie-break en > de > es > fr > zh). Requires a `words`
     * column. Shared by t28 and the p55 pipeline — ONE definition, so the
     * composite can never drift from the standalone operator.
     */
-  private[operators] def withPredLang(df: DataFrame): DataFrame = df
-    .withColumn("s_en", scoreCol(stopEn))
-    .withColumn("s_de", scoreCol(stopDe))
-    .withColumn("s_es", scoreCol(stopEs))
-    .withColumn("s_fr", scoreCol(stopFr))
-    .withColumn("s_zh", scoreCol(stopZh))
+  private[operators] def withPredLang(df: DataFrame): DataFrame = {
+    // all five profile scores in ONE codegen'd pass over the token
+    // array (the five interpreted size(filter(...)) chains measured
+    // 3.4 s at sf1 on t38 — see graft.functions.StopScores)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df
+    .withColumn("graft_ls", expr("graft_stop_scores(words)"))
+    .withColumn("s_en", col("graft_ls").getItem(0))
+    .withColumn("s_de", col("graft_ls").getItem(1))
+    .withColumn("s_es", col("graft_ls").getItem(2))
+    .withColumn("s_fr", col("graft_ls").getItem(3))
+    .withColumn("s_zh", col("graft_ls").getItem(4))
+    .drop("graft_ls")
     .withColumn("pred_lang",
       when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
            col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
@@ -44,6 +51,7 @@ object TextAnalysis {
       .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
       .when(col("s_fr") >= col("s_zh"), "fr")
       .otherwise("zh"))
+  }
 
   /** t28: language ID via stopword-profile scores with a fixed
     * precedence tie-break (en > de > es > fr > zh). A deterministic

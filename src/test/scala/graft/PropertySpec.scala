@@ -340,6 +340,32 @@ class PropertySpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("graft_stop_scores equals the interpreted filter chains on real and random docs") {
+    // the codegen'd single-pass kernel replaced five interpreted
+    // size(filter(words, w -> w in (...))) chains — value parity with
+    // the declarative formulation must hold for every profile
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val profiles = graft.functions.TextHash.StopProfiles
+    val rnd = new scala.util.Random(7)
+    val vocab = profiles.flatten ++ Array("alpha", "beta", "gamma", "", "THE", "den")
+    val random = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = real.union(random.toDF("doc_id", "text"))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("native", expr("graft_stop_scores(words)"))
+    val mismatches = profiles.zipWithIndex.map { case (p, i) =>
+      val inl = p.map(w => s"'$w'").mkString("(", ", ", ")")
+      docs.filter(element_at(col("native"), i + 1) =!=
+        expr(s"size(filter(words, w -> w in $inl))").cast("long")).count()
+    }.sum
+    assert(mismatches === 0L)
+  }
+
   test("graft_chunk_fps matches an in-memory reference on random byte payloads") {
     graft.functions.GraftFunctions.register(spark)
     import java.security.MessageDigest
