@@ -72,20 +72,25 @@ object TextAnalysis {
     * doubles on both engines make floor deterministic, unlike decimal
     * round() whose half-case handling differs across engines.
     */
-  private[operators] def withQualityScore(df: DataFrame): DataFrame = df
+  private[operators] def withQualityScore(df: DataFrame): DataFrame = {
+    // the en-profile count comes from the same codegen'd kernel the
+    // language chain uses (element 0) — not an interpreted filter
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df
     .withColumn("n_chars_m", length(col("text")).cast("long"))
     .withColumn("n_words", size(col("words")).cast("long"))
     .withColumn("n_letters", (col("n_chars_m") - (col("n_words") - 1)).cast("long"))
     .withColumn("avg_word_len",
       round(col("n_letters").cast("double") / col("n_words").cast("double"), 4))
     .withColumn("stop_ratio", round(
-      expr(s"size(filter(words, w -> w in ${inList(stopEn)}))").cast("double") /
+      expr("graft_stop_scores(words)[0]").cast("double") /
         col("n_words").cast("double"), 4))
     .withColumn("score_x10000", floor(
       (lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)) +
        lit(0.4) * (lit(1.0) - col("stop_ratio")) +
        lit(0.3) * least(col("avg_word_len") / 8.0, lit(1.0))) * 10000.0 + 0.5)
       .cast("long"))
+  }
 
   /** t29: document quality scoring — length, stopword ratio, mean word
     * length — the length/punct/stopword-ratio heuristics of corpus
