@@ -237,13 +237,20 @@ object EventLog {
   /** The edge-table rollup q62 and st42 share — (user_id, session_num,
     * from_act, to_act, gap_us) rows to the process-map report. ONE
     * definition so the batch and streaming edge derivations aggregate
-    * identically. The grain is |activities+2|²; the share window runs on
-    * that aggregated grain, never on events. */
+    * identically. Two-level aggregation instead of a count-distinct:
+    * the (case, edge) pre-aggregate's distribution requirement is
+    * satisfied by q62's existing user_id partitioning (subset rule —
+    * NO exchange, where countDistinct planned an Expand plus an extra
+    * exchange on the expanded grain), and the per-case rows make
+    * n_cases a plain count. The final grain is |activities+2|²; the
+    * share window runs there, never on events. */
   private[graft] def aggregateEdges(edges: DataFrame): DataFrame =
-    edges.groupBy("from_act", "to_act")
-      .agg(count(lit(1)).as("n_obs"),
-        countDistinct(col("user_id"), col("session_num")).as("n_cases"),
-        sum(col("gap_us")).as("gap_sum"))
+    edges.groupBy("user_id", "session_num", "from_act", "to_act")
+      .agg(count(lit(1)).as("n_in_case"), sum(col("gap_us")).as("g"))
+      .groupBy("from_act", "to_act")
+      .agg(sum(col("n_in_case")).as("n_obs"),
+        count(lit(1)).as("n_cases"),
+        sum(col("g")).as("gap_sum"))
       .withColumn("out_total",
         sum(col("n_obs")).over(Window.partitionBy("from_act")))
       .select(col("from_act"), col("to_act"), col("n_obs"), col("n_cases"),
