@@ -353,10 +353,13 @@ class PlanSpec extends AnyFunSuite {
     // the (user_id, session_num) lead/lag window must be satisfied by the
     // sessionization's user_id hash partitioning (subset of its keys) —
     // only a local sort may sit between the two window passes, never a
-    // second event-grain exchange. Budget: user window + distinct-agg
-    // two-phase + from_act share window + presentation sort.
+    // second event-grain exchange — and the per-case edge pre-aggregate
+    // rides the SAME partitioning (r8: replaced the countDistinct
+    // Expand + its extra exchange). Budget: user window + (from,to) agg
+    // + from_act share window + presentation sort.
     val n = countExchanges(df)
-    assert(n <= 5, s"expected <=5 exchanges, got $n:\n$p")
+    assert(n <= 4, s"expected <=4 exchanges, got $n:\n$p")
+    assert(!p.contains("Expand"), s"count-distinct expand reappeared:\n$p")
     val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).length
     assert(hashEx == 1, s"expected exactly 1 user-grain exchange, got $hashEx:\n$p")
   }
