@@ -23,8 +23,20 @@ object Bench {
     // multi-second GC noise at this heap size. A query that THROWS is
     // recorded as a failure (-1 + errors entry), never as the wall time
     // of the failure path — a broken query must not look fast (r2 #5).
+    //
+    // Between queries (OUTSIDE the timed region) the JVM is swept:
+    // localCheckpoint block RDDs (d26/d31/d34's lineage truncation) and
+    // broadcast variables are only reclaimed by the ContextCleaner after
+    // ordinary GC notices them, and across 100+ queries in ONE JVM the
+    // backlog inflated later rows up to 8× vs a fresh-JVM run of the
+    // same query (r8: d24 measured 39.9 s in the full sweep, 4.8 s
+    // isolated — same commit, same corpus). An explicit gc per query
+    // keeps the sweep's steady state honest at ~100 ms/query of
+    // untimed cost.
+    def sweep(): Unit = { System.gc(); Thread.sleep(50) }
     def pass(): Map[String, Either[String, Double]] =
       queries.map { case (name, fn) =>
+        sweep()
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
