@@ -80,6 +80,7 @@ object SparkEntry {
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),
     "t38_langid_eval"     -> (TextAnalysis.t38LangidEval _),
+    "t39_drift"           -> (TextAnalysis.t39Drift _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "st41_stream_scd"     -> (graft.streaming.Streams.st41StreamScd _),
     "st42_stream_transitions" -> (graft.streaming.Streams.st42StreamTransitions _),
+    "st43_stream_heavy_hitters" -> (graft.streaming.Streams.st43StreamHeavyHitters _),
     "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
     "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),

@@ -850,6 +850,57 @@ object PipelineOracles {
       |       CAST(n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS pred_share_pm
       |FROM cm ORDER BY actual_lang, pred_lang""".stripMargin
 
+  // mirror of TextAnalysis.t39DriftCore: the same prediction CASE (one
+  // definition family with t28), d27's % 5 arrival split, exact integer
+  // permyriad shares and the TVD = Σ|Δ|/2 total row per dimension
+  private val t39Sql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+      |), s AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEn)})) AS BIGINT) AS s_en,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopDe)})) AS BIGINT) AS s_de,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopEs)})) AS BIGINT) AS s_es,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopFr)})) AS BIGINT) AS s_fr,
+      |         CAST(len(list_filter(words, x -> x IN ${inList(stopZh)})) AS BIGINT) AS s_zh
+      |  FROM w
+      |), c AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |              WHEN s_fr >= s_zh THEN 'fr'
+      |              ELSE 'zh' END AS pred_lang
+      |  FROM s
+      |), u AS (
+      |  SELECT doc_id % 5 = 0 AS is_new, 'source' AS dim, source AS value FROM c
+      |  UNION ALL
+      |  SELECT doc_id % 5 = 0, 'lang', pred_lang FROM c
+      |), g AS (
+      |  SELECT dim, value,
+      |         CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS old_n,
+      |         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_n
+      |  FROM u GROUP BY 1, 2
+      |), sh AS (
+  |  SELECT dim, value, old_n, new_n,
+      |         CAST(CASE WHEN SUM(old_n) OVER (PARTITION BY dim) = 0 THEN 0
+      |              ELSE old_n * 10000 // SUM(old_n) OVER (PARTITION BY dim) END AS BIGINT) AS old_share_pm,
+      |         CAST(CASE WHEN SUM(new_n) OVER (PARTITION BY dim) = 0 THEN 0
+      |              ELSE new_n * 10000 // SUM(new_n) OVER (PARTITION BY dim) END AS BIGINT) AS new_share_pm
+      |  FROM g
+      |), d AS (
+      |  SELECT dim, value, old_n, new_n, old_share_pm, new_share_pm,
+      |         ABS(old_share_pm - new_share_pm) AS delta_pm
+      |  FROM sh
+      |)
+      |SELECT * FROM d
+      |UNION ALL
+      |SELECT dim, '__TOTAL__', CAST(SUM(old_n) AS BIGINT), CAST(SUM(new_n) AS BIGINT),
+      |       CAST(10000 AS BIGINT), CAST(10000 AS BIGINT),
+      |       CAST(SUM(delta_pm) // 2 AS BIGINT)
+      |FROM d GROUP BY dim
+      |ORDER BY dim, value""".stripMargin
+
   private val t29Sql: String =
     s"""WITH w AS (
       |  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
@@ -1313,12 +1364,14 @@ object PipelineOracles {
   }
 
   // mirror of TextAnalysis.t37CmsCore: same (2j+67, 7919j+253409) hash
-  // pairs, same D·W cell grain, same min-over-rows estimate
-  private val t37Sql: String = {
+  // pairs, same D·W cell grain, same min-over-rows estimate. Shared with
+  // st43 (the streaming sketch over the arriving subset) by
+  // parameterizing ONLY the corpus relation — one sketch/report chain.
+  private def cmsSqlOver(rel: String): String = {
     val d = TextAnalysis.CmsRows; val w = TextAnalysis.CmsWidth
     val k = TextAnalysis.CmsTopK
     s"""WITH tok AS (
-      |  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM documents
+      |  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS token FROM $rel
       |), tf AS (
       |  SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token
       |), g AS (
@@ -1341,6 +1394,9 @@ object PipelineOracles {
       |       (cms_n - n_occ) * 10000 // n_occ AS over_pm
       |FROM est ORDER BY rnk""".stripMargin
   }
+  private val t37Sql: String = cmsSqlOver("documents")
+  private val st43Sql: String =
+    cmsSqlOver("(SELECT * FROM documents WHERE doc_id % 5 = 0)")
 
   // mirror of Pipeline.p64TemperatureMix: same isqrt fix-up, same
   // integer share/K/keep arithmetic, same salted-hash admission
@@ -1556,8 +1612,10 @@ object PipelineOracles {
     "t36_lm_score"     -> t36Sql,
     "t37_cms_freq"     -> t37Sql,
     "t38_langid_eval"  -> t38Sql,
+    "t39_drift"        -> t39Sql,
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
+    "st43_stream_heavy_hitters" -> st43Sql,
     "p63_token_budget" -> p63Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,

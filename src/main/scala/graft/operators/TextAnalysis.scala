@@ -444,6 +444,15 @@ object TextAnalysis {
   // row-j hash pair = PortableHash.seedA/seedB(j + 32), inlined as the
   // column arithmetic (2j+67, 7919j+253409) since j rides as a column
 
+  /** Row-`j` CMS bucket of a token — ONE definition for the batch sketch
+    * (t37) and the streaming sketch (st43), so the continuously
+    * maintained cells are bit-identical to the batch rebuild. */
+  private[graft] def cmsBucket(token: Column, j: Column): Column = {
+    val P = graft.functions.PortableHash.P
+    pmod(pmod((j * 2 + 67) * pmod(ph(token), lit(P)) + j * 7919 + 253409, lit(P)),
+      lit(CmsWidth))
+  }
+
   /** t37: count-min frequency sketch (Cormode & Muthukrishnan 2005) +
     * heavy-hitter error report — the FREQUENCY member of the mergeable-
     * sketch family (q49 HLL = distinct count, q51 = quantiles): cell
@@ -471,7 +480,6 @@ object TextAnalysis {
   /** Sketch core over any (doc_id, text) frame — extracted so property
     * tests can drive random corpora through the exact production plan. */
   private[graft] def t37CmsCore(documents: DataFrame): DataFrame = {
-    val P = graft.functions.PortableHash.P
     val tf = documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(explode(col("words")).as("token"))
@@ -479,10 +487,7 @@ object TextAnalysis {
     val buckets = tf
       .select(col("token"), col("n_occ"),
         explode(array((0 until CmsRows).map(lit): _*)).as("j"))
-      .withColumn("x", pmod(ph(col("token")), lit(P)))
-      .withColumn("bucket",
-        pmod(pmod((col("j") * 2 + 67) * col("x") + col("j") * 7919 + 253409, lit(P)),
-          lit(CmsWidth)))
+      .withColumn("bucket", cmsBucket(col("token"), col("j")))
     val sketch = buckets.groupBy("j", "bucket").agg(sum(col("n_occ")).as("cms_cell"))
     val top = tf.orderBy(col("n_occ").desc, col("token")).limit(CmsTopK)
     val w = Window.orderBy(col("n_occ").desc, col("token"))
@@ -495,5 +500,65 @@ object TextAnalysis {
       .select(col("rnk"), col("token"), col("n_occ").as("exact_n"), col("cms_n"),
         expr("(cms_n - n_occ) * 10000 DIV n_occ").as("over_pm"))
       .orderBy("rnk")
+  }
+
+  /** t39: corpus snapshot DRIFT report — the data-quality monitor every
+    * continuously-ingested corpus runs before admitting a batch: does the
+    * arriving increment (d27's `doc_id % 5` arrival rule — one admission
+    * definition with d27/st38) look like the standing corpus, or has the
+    * source mix / language mix shifted? Two monitored dimensions, each
+    * compared as a categorical distribution: the DECLARED `source` and
+    * t28's PREDICTED language ([[withPredLang]] — one prediction
+    * definition with t28/t38/p55, so the monitor grades the same signal
+    * the cleaning pipeline acts on). Distance is total-variation
+    * TVD = ½·Σ|p−q| in exact integer permyriad — unlike PSI/KL there is
+    * no ln(), so both engines agree bit-for-bit and a zero-count bucket
+    * needs no smoothing. Output: one row per (dimension, value) with
+    * counts, shares and |Δ| pm, plus a `__TOTAL__` row per dimension
+    * carrying the TVD in `delta_pm` (alerting thresholds read that row).
+    *
+    * Scale posture: ONE corpus scan — the two dimensions ride a map-side
+    * `stack` generator (2 rows per doc, no second pass), the only
+    * data-sized shuffle is the partial-aggregated rollup to the
+    * ≤|sources|+|langs| grain, and the share windows + TVD rollup run on
+    * that tiny grain (the per-dim window is safe by construction —
+    * post-aggregation cardinality, the q52 argument). The union's two
+    * branches share one physical aggregation via ReuseExchange
+    * (PlanSpec pins the single corpus scan).
+    */
+  def t39Drift(spark: SparkSession, dir: String): DataFrame =
+    t39DriftCore(Tables.documents(spark, dir))
+
+  /** Drift core over any (doc_id, source, text) frame — extracted so
+    * property tests can drive synthetic shifted corpora through the
+    * exact production plan. */
+  private[graft] def t39DriftCore(documents: DataFrame): DataFrame = {
+    val base = withPredLang(documents.withColumn("words", split(col("text"), " ")))
+      .withColumn("is_new",
+        pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod.toLong)) === 0L)
+    val u = base.selectExpr("is_new",
+      "stack(2, 'source', source, 'lang', pred_lang) as (dim, value)")
+    val w = Window.partitionBy("dim")
+    val d = u.groupBy("dim", "value")
+      .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("old_n"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_n"))
+      .withColumn("tot_old", sum(col("old_n")).over(w))
+      .withColumn("tot_new", sum(col("new_n")).over(w))
+      // an empty side (the very first increment, or a drained corpus) is
+      // legitimate — its shares read 0, never a divide-by-zero
+      .withColumn("old_share_pm",
+        expr("CASE WHEN tot_old = 0 THEN 0L ELSE old_n * 10000 DIV tot_old END"))
+      .withColumn("new_share_pm",
+        expr("CASE WHEN tot_new = 0 THEN 0L ELSE new_n * 10000 DIV tot_new END"))
+      .withColumn("delta_pm", abs(col("old_share_pm") - col("new_share_pm")))
+    val perValue = d.select(col("dim"), col("value"), col("old_n"), col("new_n"),
+      col("old_share_pm"), col("new_share_pm"), col("delta_pm"))
+    val totals = d.groupBy("dim")
+      .agg(max(col("tot_old")).as("old_n"), max(col("tot_new")).as("new_n"),
+        expr("sum(delta_pm) DIV 2").as("delta_pm"))
+      .select(col("dim"), lit("__TOTAL__").as("value"), col("old_n"), col("new_n"),
+        lit(10000L).as("old_share_pm"), lit(10000L).as("new_share_pm"),
+        col("delta_pm"))
+    perValue.unionByName(totals).orderBy("dim", "value")
   }
 }

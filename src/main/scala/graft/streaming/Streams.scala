@@ -478,4 +478,59 @@ object Streams {
     val sink = runToTable(spark, edges.toDF(), "append", "st42")
     graft.operators.EventLog.aggregateEdges(sink)
   }
+
+  /** st43: streaming count-min heavy hitters — t37's frequency sketch
+    * maintained CONTINUOUSLY over the arriving-document stream (d27's
+    * `% 5` arrival rule), the online leg of the mergeable-sketch family
+    * (q49 HLL / q51 quantiles / t37 frequencies / q61 sliding HLL). The
+    * property that makes these sketches the standard distributed
+    * frequency structure is exactly what makes them streaming-native:
+    * cell-wise ADDITION is the merge, so each micro-batch's token
+    * arrivals simply add into the (j, bucket) cell state — streaming
+    * aggregation state is O(D·W) = 4096 cells REGARDLESS of stream
+    * volume (contrast st34/st41, whose state grows with entities). Each
+    * arriving token increments [[graft.operators.TextAnalysis.CmsRows]]
+    * cells map-side; the bucket arithmetic is the shared
+    * [[graft.operators.TextAnalysis.cmsBucket]] definition, so the live
+    * cells are bit-identical to a batch rebuild (spec-pinned).
+    *
+    * The report tail is t37's eval harness read AFTER draining: the
+    * drained cell table (the production "periodic sketch snapshot") is
+    * probed by the arriving subset's exact top-K — estimate = min over
+    * rows, overestimate graded in permyriad. Deterministic: cell sums
+    * are order-independent, so arrival order cannot change the output.
+    */
+  def st43StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.TextAnalysis
+    val isNew = pmod(col("doc_id"),
+      lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val js = explode(array((0 until TextAnalysis.CmsRows).map(lit): _*)).as("j")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(isNew)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .select(col("token"), js)
+      .withColumn("bucket", TextAnalysis.cmsBucket(col("token"), col("j")))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("cms_cell"))
+    val cells = runToTable(spark, stream, "complete", "st43")
+    val tf = docs.filter(isNew)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occ"))
+    val top = tf.orderBy(col("n_occ").desc, col("token")).limit(TextAnalysis.CmsTopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occ").desc, col("token"))
+    broadcast(top)
+      .select(col("token"), col("n_occ"), js)
+      .withColumn("bucket", TextAnalysis.cmsBucket(col("token"), col("j")))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("token", "n_occ")
+      .agg(min(col("cms_cell")).as("cms_n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("token"), col("n_occ").as("exact_n"), col("cms_n"),
+        expr("(cms_n - n_occ) * 10000 DIV n_occ").as("over_pm"))
+      .orderBy("rnk")
+  }
 }

@@ -331,6 +331,20 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("t39 drift monitor pays one corpus scan; both union branches reuse it") {
+    val df = operators.TextAnalysis.t39Drift(spark, dir)
+    val p = planString(df)
+    // the per-value rows and the __TOTAL__ TVD rows both derive from the
+    // same (dim, value) aggregation — the corpus scan + stack explode +
+    // rollup must be computed once (the q55/d30 ReuseExchange contract);
+    // a second scan would double the only data-sized stage
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    assert(p.contains("ReusedExchange"), s"drift grain not reused:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"unexpected join in a join-free rollup:\n$p")
+  }
+
   test("q55 reference model and classification share one sessionization (one events scan)") {
     val p = planString(operators.EventLog.q55Conformance(spark, dir))
     // the top-K reference model and the per-case classification both

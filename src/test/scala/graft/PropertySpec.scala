@@ -439,6 +439,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // drift corpora carry a declared source and words drawn from the stop
+  // profiles (so pred_lang varies) plus filler; doc_ids 0..39 make both
+  // the %5 arrival split and zero-count buckets reachable
+  private val driftCorpusGen: Gen[List[(Long, String, String)]] = Gen.listOf(for {
+    id <- Gen.choose(0L, 39L)
+    src <- Gen.oneOf("web", "book", "code")
+    nw <- Gen.choose(1, 8)
+    ws <- Gen.listOfN(nw, Gen.oneOf(
+      "the", "a", "der", "und", "el", "que", "le", "est", "的", "在", "w1", "w2"))
+  } yield (id, src, ws.mkString(" "))).map(_.groupBy(_._1).map { case (_, ds) =>
+    ds.head
+  }.toList)
+
+  test("t39 drift matches the in-memory TVD reference on random shifted corpora") {
+    val profiles = graft.functions.TextHash.StopProfiles
+    def predLang(text: String): String = {
+      val ws = text.split(" ")
+      val s = profiles.map(p => ws.count(p.contains)).toSeq
+      if (s(0) >= s(1) && s(0) >= s(2) && s(0) >= s(3) && s(0) >= s(4)) "en"
+      else if (s(1) >= s(2) && s(1) >= s(3) && s(1) >= s(4)) "de"
+      else if (s(2) >= s(3) && s(2) >= s(4)) "es"
+      else if (s(3) >= s(4)) "fr"
+      else "zh"
+    }
+    samples(driftCorpusGen, 20).filter(_.nonEmpty).foreach { docs =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          docs.map { case (i, s, t) => Row(i, s, t) }, 3), schema)
+      val got = operators.TextAnalysis.t39DriftCore(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap
+      // reference: per-dim categorical split by the %5 arrival rule
+      val tagged = docs.map { case (id, src, text) =>
+        (id % 5 == 0, src, predLang(text)) }
+      val want = Seq(
+        "source" -> tagged.map(d => (d._1, d._2)),
+        "lang" -> tagged.map(d => (d._1, d._3))).flatMap { case (dim, xs) =>
+        val totOld = xs.count(!_._1).toLong; val totNew = xs.count(_._1).toLong
+        val perValue = xs.groupBy(_._2).toSeq.map { case (v, g) =>
+          val on = g.count(!_._1).toLong; val nn = g.count(_._1).toLong
+          // a fully-new (or fully-old) sample has a zero side total — the
+          // operator defines those shares as 0 (first-increment case)
+          val osp = if (totOld == 0) 0L else on * 10000L / totOld
+          val nsp = if (totNew == 0) 0L else nn * 10000L / totNew
+          (dim, v) -> ((on, nn, osp, nsp, math.abs(osp - nsp)))
+        }
+        val tvd = perValue.map(_._2._5).sum / 2
+        perValue :+ ((dim, "__TOTAL__") -> ((totOld, totNew, 10000L, 10000L, tvd)))
+      }.toMap
+      assert(got === want)
+    }
+  }
+
   test("p60 vocab matches the in-memory frequency table on random corpora") {
     samples(corpusGen, 20).filter(_.nonEmpty).foreach { docs =>
       val schema = StructType(Seq(

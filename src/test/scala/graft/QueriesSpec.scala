@@ -407,6 +407,17 @@ class QueriesSpec extends AnyFunSuite {
       s"benchmark copies not flagged: ${copies -- flagged}")
   }
 
+  test("st43 streaming sketch report equals the batch t37 chain on the arriving subset") {
+    // the continuously-maintained cells must be bit-identical to a batch
+    // rebuild (shared cmsBucket definition + order-independent cell sums)
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streams.st43StreamHeavyHitters(spark, dir).collect()
+    val want = graft.operators.TextAnalysis.t37CmsCore(
+      Tables.documents(spark, dir).filter(pmod(col("doc_id"),
+        lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L)).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("st38 statuses equal d27's wherever d27 does not elect a batch leader") {
     // st38 deliberately omits exact_batch (arrival-order-dependent); on
     // every other doc the streaming admission must agree with the batch
