@@ -102,6 +102,7 @@ object SparkEntry {
     "d35_edit_verify"     -> (Dedup.d35EditVerify _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "p65_dataset_card"    -> (Pipeline.p65DatasetCard _),
+    "p66_bpe_merges"      -> (Pipeline.p66BpeMerges _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),
     "q60_cube"            -> (CoreQueries.q60Cube _),

@@ -511,4 +511,90 @@ object Pipeline {
         expr("n_lang_match * 10000 DIV n_docs").as("lang_match_pm"))
       .orderBy("source")
   }
+
+  /** p66 merge-table depth. Production learns 30–50k merges; 3 keeps the
+    * unrolled plan bounded while exercising the full learn→apply loop on
+    * the synthetic corpus (the q56/s30 fixed-K unroll discipline). */
+  val BpeMerges = 3
+
+  /** p66: BPE merge learning (Sennrich et al. ACL'16, arXiv:1508.07909 —
+    * the tokenizer-TRAINING step p60's frequency vocabulary seeds): start
+    * from characters, repeatedly find the most frequent adjacent symbol
+    * pair and fuse it into one symbol. This is the algorithm behind
+    * GPT/Llama tokenizers; its output here is the ranked merge table
+    * (rank, left, right, merged, weighted pair count).
+    *
+    * The classic scale trick IS the Spark shape: BPE statistics depend
+    * only on the WORD-COUNT table, not the corpus — so the single
+    * corpus-sized stage is the word-frequency aggregation (map-side
+    * combined, ≤|vocab| rows per task), and every learn iteration runs
+    * on the |vocab| grain: adjacent-pair stats as a bounded explode
+    * (≤|word|−1 pairs per word), the argmax as a 1-row TakeOrdered
+    * broadcast back into a pure projection that applies the merge
+    * (the q56/p60 broadcast-scalar pattern — no driver loop, the K
+    * iterations unroll as column expressions in ONE plan).
+    *
+    * Merge application is a single `replace(sym, ' l r ', ' lr ')` pass
+    * on the space-joined symbol string — the stdlib left-to-right
+    * non-overlapping scan that Java and DuckDB implement identically
+    * (verified: " a b a b " → " ab a b " in both), so engines cannot
+    * diverge. On runs of ≥4 identical symbols this merges alternate
+    * occurrences where reference BPE's within-word greedy scan merges
+    * every other pair disjointly — a documented deviation that no
+    * natural-language word shape hits (it needs "aaaa"); determinism and
+    * cross-engine parity are the contract here. Pair ties break by pair
+    * string ascending (reference implementations break ties arbitrarily;
+    * a distributed build must pin them). Learning stops early if no pair
+    * remains (all words single-symbol): later ranks simply emit no row.
+    *
+    * Pair extraction uses an interpreted `transform` HOF — acceptable
+    * precisely because it runs on the vocabulary grain, never the
+    * corpus (the t38 stop-scores lesson applies to corpus-sized chains
+    * only; a codegen kernel here would optimize |vocab| rows).
+    */
+  def p66BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    p66BpeCore(Tables.documents(spark, dir))
+
+  /** Learn core over any (doc_id, text) frame — extracted so property
+    * tests can drive random corpora through the exact production plan. */
+  private[graft] def p66BpeCore(documents: DataFrame): DataFrame = {
+    val wc = documents
+      .withColumn("words", split(coalesce(col("text"), lit("")), " "))
+      .select(explode(col("words")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wn"))
+      // materialize the vocab grain ONCE (the d26 iterative-algorithm
+      // discipline): the corpus-sized aggregation runs exactly one job,
+      // and all K unrolled iterations + output branches iterate over the
+      // |vocab| rows. Without this the union's step-1 branch missed AQE
+      // exchange reuse and re-scanned the corpus (measured: 2 scans).
+      // Memory-only lineage truncation — same trade as d26, documented
+      // there; production swaps checkpoint() for failure-tolerant runs.
+      .localCheckpoint()
+    var syms = wc.withColumn("sym",
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 1 to BpeMerges) {
+      val top = syms
+        .withColumn("arr", split(trim(col("sym")), " "))
+        .filter(size(col("arr")) >= 2)
+        .select(col("wn"), explode(expr(
+          """transform(sequence(1, size(arr) - 1),
+            |  i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum(col("wn")).as("pair_n"))
+        .orderBy(col("pair_n").desc, col("pair")).limit(1)
+        .withColumn("m", expr("replace(pair, ' ', '')"))
+      steps += top.select(lit(k.toLong).as("rnk"),
+        expr("split(pair, ' ')[0]").as("left_sym"),
+        expr("split(pair, ' ')[1]").as("right_sym"),
+        col("m").as("merged"), col("pair_n"))
+      syms = syms
+        .crossJoin(broadcast(top.select(col("pair"), col("m"))))
+        .withColumn("sym",
+          expr("replace(sym, concat(' ', pair, ' '), concat(' ', m, ' '))"))
+        .select(col("word"), col("wn"), col("sym"))
+    }
+    steps.reduce(_ unionByName _).orderBy("rnk")
+  }
 }

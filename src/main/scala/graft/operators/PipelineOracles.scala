@@ -1394,6 +1394,44 @@ object PipelineOracles {
       |       (cms_n - n_occ) * 10000 // n_occ AS over_pm
       |FROM est ORDER BY rnk""".stripMargin
   }
+  // mirror of Pipeline.p66BpeCore: same char symbolization, the same
+  // single-replace merge semantics (the stdlib left-to-right scan both
+  // engines implement identically), same (count desc, pair asc)
+  // tie-break; the K learn iterations unroll from ONE step template —
+  // the q56 discipline, so Spark and oracle cannot drift per step
+  private val p66Sql: String = {
+    val k = Pipeline.BpeMerges
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+        |  SELECT pair, CAST(SUM(wn) AS BIGINT) AS pair_n FROM (
+        |    SELECT wn, unnest(list_transform(generate_series(1, len(arr) - 1),
+        |             j -> arr[j] || ' ' || arr[j + 1])) AS pair
+        |    FROM (SELECT wn, string_split(trim(sym), ' ') AS arr FROM s${i - 1})
+        |  ) GROUP BY pair
+        |), t$i AS (
+        |  SELECT pair, pair_n, replace(pair, ' ', '') AS m FROM p$i
+        |  ORDER BY pair_n DESC, pair LIMIT 1
+        |), s$i AS (
+        |  SELECT word, wn, replace(sym, ' ' || t$i.pair || ' ', ' ' || t$i.m || ' ') AS sym
+        |  FROM s${i - 1}, t$i
+        |)""".stripMargin
+    }
+    val sel = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rnk, string_split(pair, ' ')[1] AS left_sym,
+        |       string_split(pair, ' ')[2] AS right_sym, m AS merged, pair_n
+        |FROM t$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn FROM (
+      |    SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word FROM documents
+      |  ) WHERE word <> '' GROUP BY word
+      |), s0 AS (
+      |  SELECT word, wn, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM wc
+      |), ${steps.mkString(", ")}
+      |$sel
+      |ORDER BY rnk""".stripMargin
+  }
+
   private val t37Sql: String = cmsSqlOver("documents")
   private val st43Sql: String =
     cmsSqlOver("(SELECT * FROM documents WHERE doc_id % 5 = 0)")
@@ -1616,6 +1654,7 @@ object PipelineOracles {
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
     "st43_stream_heavy_hitters" -> st43Sql,
+    "p66_bpe_merges"   -> p66Sql,
     "p63_token_budget" -> p63Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,

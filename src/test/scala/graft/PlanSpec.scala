@@ -331,6 +331,25 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("p66 BPE iterations ride the checkpointed vocab; argmax is TakeOrdered") {
+    val df = operators.Pipeline.p66BpeMerges(spark, dir)
+    val p = planString(df)
+    // the corpus-sized word-count aggregation ran ONCE in the vocab
+    // localCheckpoint job; the K learn iterations and output branches
+    // must all iterate over the materialized |vocab| rows — a parquet
+    // scan here means an iteration re-derived the corpus
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 0, s"expected 0 corpus scans after the vocab checkpoint, got $scans:\n$p")
+    // each merge selection is a 1-row TakeOrdered (per-partition heaps),
+    // never a global sort of the pair stats
+    assert(p.contains("TakeOrdered"), s"pair argmax not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // the merge rules broadcast back into the symbol projection
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"merge rule not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab re-shuffled for a 1-row rule:\n$p")
+  }
+
   test("t39 drift monitor pays one corpus scan; both union branches reuse it") {
     val df = operators.TextAnalysis.t39Drift(spark, dir)
     val p = planString(df)

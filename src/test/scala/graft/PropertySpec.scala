@@ -496,6 +496,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // BPE corpora: short words over a 3-char alphabet so repeated-char
+  // runs ("aaa") and multi-merge words are reachable
+  private val bpeCorpusGen: Gen[List[(Long, String)]] = Gen.listOf(for {
+    id <- Gen.choose(0L, 19L)
+    nw <- Gen.choose(1, 6)
+    ws <- Gen.listOfN(nw, for {
+      len <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString)
+  } yield (id, ws.mkString(" "))).map(_.groupBy(_._1).map { case (id, ds) =>
+    (id, ds.head._2)
+  }.toList)
+
+  test("p66 BPE merges match the in-memory reference on random corpora") {
+    // the reference applies merges with Java String.replace — the SAME
+    // left-to-right non-overlapping scan the distributed plan's replace()
+    // uses — so even pathological same-char runs must agree exactly
+    def learn(docs: Seq[(Long, String)]): Seq[(Long, String, String, String, Long)] = {
+      val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      var syms = wc.toSeq.map { case (w, n) =>
+        (" " + w.map(c => s"$c ").mkString, n) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      for (k <- 1 to operators.Pipeline.BpeMerges) {
+        val pairs = scala.collection.mutable.Map.empty[String, Long]
+        syms.foreach { case (s, n) =>
+          val arr = s.trim.split(" ")
+          if (arr.length >= 2) (0 until arr.length - 1).foreach { i =>
+            val p = arr(i) + " " + arr(i + 1)
+            pairs(p) = pairs.getOrElse(p, 0L) + n
+          }
+        }
+        if (pairs.isEmpty) syms = Seq.empty
+        else {
+          val (bp, bn) = pairs.toSeq.minBy { case (p, n) => (-n, p) }
+          val m = bp.replace(" ", "")
+          out += ((k.toLong, bp.split(" ")(0), bp.split(" ")(1), m, bn))
+          syms = syms.map { case (s, n) => (s.replace(s" $bp ", s" $m "), n) }
+        }
+      }
+      out.toSeq
+    }
+    samples(bpeCorpusGen, 20).filter(_.nonEmpty).foreach { docs =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+      val got = operators.Pipeline.p66BpeCore(df).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4))).toSeq
+      assert(got === learn(docs), s"corpus: $docs")
+    }
+  }
+
   test("p60 vocab matches the in-memory frequency table on random corpora") {
     samples(corpusGen, 20).filter(_.nonEmpty).foreach { docs =>
       val schema = StructType(Seq(
