@@ -109,6 +109,7 @@ object SparkEntry {
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),
     "m34_payload_resize"  -> (Multimodal.m34PayloadResize _),
+    "m36_sample_assembly" -> (Multimodal.m36SampleAssembly _),
     "st33_stream_window"  -> (graft.streaming.Streams.st33StreamWindow _),
     "st34_stream_session" -> (graft.streaming.Streams.st34StreamSession _),
     "st41_stream_scd"     -> (graft.streaming.Streams.st41StreamScd _),

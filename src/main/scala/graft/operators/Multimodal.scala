@@ -214,4 +214,50 @@ object Multimodal {
       .filter(col("n_shared") >= ChunkdupMinShared)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** m36: training-sample ASSEMBLY — the stage that turns three modality
+    * tables into training samples (the WebDataset/sample-manifest shape):
+    * each text document left-joins its media payload (m32's synthesized
+    * binary, with every third payload missing — the upload-gap reality)
+    * and its embedding row (`vec_id = doc_id`; the embedding table covers
+    * only part of the corpus, so absence is natural, not synthesized),
+    * then classifies completeness — complete / missing_media /
+    * missing_embedding / text_only — and rolls up a per-(source, status)
+    * manifest with media byte volume, embedding dim volume, and a
+    * min-doc_id witness. The taxonomy drives the downstream split every
+    * multimodal pipeline makes: complete samples train the contrastive
+    * leg, text_only feeds the LM leg, the missing_* buckets are the
+    * re-fetch queue.
+    *
+    * 100 TB posture: per-sample media FEATURES (byte length) are
+    * projected out BEFORE the join — payload bytes never cross an
+    * exchange (m34/m35's resize-before-shuffle discipline; assembling
+    * actual bytes happens in the final sharded write, where production
+    * buckets all three tables by sample id so the join is exchange-free
+    * — q39's layout). Both joins are doc_id equi-joins preserving the
+    * document grain; the rollup map-side combines to ≤|sources|·4 rows.
+    */
+  def m36SampleAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val media = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2L)
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        size(col("embedding")).cast("long").as("emb_dim"))
+    docs.join(media, Seq("doc_id"), "left")
+      .join(emb, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("n_bytes").isNotNull && col("emb_dim").isNotNull, "complete")
+          .when(col("n_bytes").isNull && col("emb_dim").isNotNull, "missing_media")
+          .when(col("n_bytes").isNotNull, "missing_embedding")
+          .otherwise("text_only"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(coalesce(col("n_bytes"), lit(0L))).as("media_bytes"),
+        sum(coalesce(col("emb_dim"), lit(0L))).as("emb_dims"),
+        min(col("doc_id")).as("witness_id"))
+      .orderBy("source", "status")
+  }
 }

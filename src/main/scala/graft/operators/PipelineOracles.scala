@@ -1161,6 +1161,32 @@ object PipelineOracles {
   // is source byte i*stride = hex chars [8i+1, 8i+2] of the uppercase
   // hex payload (DuckDB 1.0 cannot slice blobs — same device as m33);
   // the hash is md5 of the resized bytes' hex string on both engines
+  // mirror of Multimodal.m36SampleAssembly: same %3 media-gap rule, the
+  // natural embedding coverage (vec_id = doc_id), same status CASE and
+  // per-(source, status) manifest in exact integers
+  private val m36Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, source, text FROM documents
+      |), m AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM docs WHERE doc_id % 3 <> 2
+      |), e AS (
+      |  SELECT vec_id AS doc_id, CAST(len(embedding) AS BIGINT) AS emb_dim
+      |  FROM embeddings
+      |), j AS (
+      |  SELECT d.source, d.doc_id, m.n_bytes, e.emb_dim,
+      |         CASE WHEN m.n_bytes IS NOT NULL AND e.emb_dim IS NOT NULL THEN 'complete'
+      |              WHEN m.n_bytes IS NULL AND e.emb_dim IS NOT NULL THEN 'missing_media'
+      |              WHEN m.n_bytes IS NOT NULL THEN 'missing_embedding'
+      |              ELSE 'text_only' END AS status
+      |  FROM docs d LEFT JOIN m USING (doc_id) LEFT JOIN e USING (doc_id)
+      |)
+      |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |       CAST(SUM(COALESCE(n_bytes, 0)) AS BIGINT) AS media_bytes,
+      |       CAST(SUM(COALESCE(emb_dim, 0)) AS BIGINT) AS emb_dims,
+      |       MIN(doc_id) AS witness_id
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val m34Sql: String = {
     val s = Multimodal.ResizeStride
     s"""WITH b AS (
@@ -1668,6 +1694,7 @@ object PipelineOracles {
     "d28_embed_celldedup" -> d28Sql,
     "st38_stream_corpus_admit" -> st38Sql,
     "m32_multimodal"   -> m32Sql,
-    "m34_payload_resize" -> m34Sql
+    "m34_payload_resize" -> m34Sql,
+    "m36_sample_assembly" -> m36Sql
   )
 }

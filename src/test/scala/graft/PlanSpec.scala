@@ -350,6 +350,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"vocab re-shuffled for a 1-row rule:\n$p")
   }
 
+  test("m36 assembly joins are equi-joins; the embedding side broadcasts") {
+    val df = operators.Multimodal.m36SampleAssembly(spark, dir)
+    val p = planString(df)
+    // features project out BEFORE the joins, so the joined columns are
+    // ids + lengths — and the small embedding table must broadcast, not
+    // re-shuffle the document grain (at toy SF the media side broadcasts
+    // too; at scale it SMJs — both are fine, a cartesian never is)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the assembly:\n$p")
+  }
+
   test("t39 drift monitor pays one corpus scan; both union branches reuse it") {
     val df = operators.TextAnalysis.t39Drift(spark, dir)
     val p = planString(df)

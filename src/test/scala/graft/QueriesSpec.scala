@@ -407,6 +407,23 @@ class QueriesSpec extends AnyFunSuite {
       s"benchmark copies not flagged: ${copies -- flagged}")
   }
 
+  test("m36 statuses partition the corpus; media volume matches the gap rule") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Multimodal.m36SampleAssembly(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    assert(rows.map(_.getAs[Long]("n_samples")).sum === docs.count(),
+      "statuses must partition the corpus exactly")
+    // media bytes across statuses = total utf-8 bytes of docs the %3
+    // gap rule keeps (complete + missing_embedding carry them)
+    val wantBytes = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 2L)
+      .agg(sum(length(encode(col("text"), "utf-8")).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("media_bytes")).sum === wantBytes)
+    // a missing_media row must carry zero media bytes
+    rows.filter(r => r.getAs[String]("status") == "missing_media" ||
+        r.getAs[String]("status") == "text_only")
+      .foreach(r => assert(r.getAs[Long]("media_bytes") === 0L))
+  }
+
   test("st43 streaming sketch report equals the batch t37 chain on the arriving subset") {
     // the continuously-maintained cells must be bit-identical to a batch
     // rebuild (shared cmsBucket definition + order-independent cell sums)
