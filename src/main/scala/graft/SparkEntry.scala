@@ -55,6 +55,7 @@ object SparkEntry {
     "p57_source_mix"      -> (Pipeline.p57SourceMix _),
     "p58_seq_pack"        -> (Pipeline.p58SeqPack _),
     "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),
+    "q63_fte_utilization" -> (RangeJoin.q63FteUtilization _),
     "q51_quantile_sketch" -> (Sketches.q51QuantileSketch _),
     "st36_stream_static_join" -> (graft.streaming.Streams.st36StreamStaticJoin _),
     "st37_stream_stream_join" -> (graft.streaming.Streams.st37StreamStreamJoin _),

@@ -231,6 +231,66 @@ object ExtOracles {
       |FROM cum GROUP BY s
       |ORDER BY snapshot""".stripMargin
 
+  // mirror of RangeJoin.q63FteUtilization: same weighted (startd, compd)
+  // pair collapse, month-cell explode, greatest/least overlap clipping
+  // and guarded integer productivity ratios
+  private val q63Sql: String =
+    """WITH comp AS (
+      |  SELECT l_orderkey, MAX(l_shipdate) AS completed FROM lineitem GROUP BY 1
+      |), iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS startd,
+      |         CASE WHEN o_orderstatus = 'F' THEN CAST(completed AS DATE) END AS compd
+      |  FROM orders LEFT JOIN comp ON o_orderkey = l_orderkey
+      |), pairs AS (
+      |  SELECT startd, compd, CAST(COUNT(*) AS BIGINT) AS w,
+      |         COALESCE(compd, DATE '2002-06-01') AS endd,
+      |         startd + 180 AS probd
+      |  FROM iv GROUP BY startd, compd
+      |), cells AS (
+      |  SELECT startd, endd, probd, w,
+      |         CAST(unnest(generate_series(CAST(date_trunc('month', startd) AS DATE),
+      |           CAST(date_trunc('month', GREATEST(endd, probd)) AS DATE),
+      |           INTERVAL 1 MONTH)) AS DATE) AS m
+      |  FROM pairs
+      |), ov AS (
+      |  SELECT m, w,
+      |         GREATEST(0, date_diff('day', GREATEST(startd, m),
+      |           LEAST(endd, CAST(m + INTERVAL 1 MONTH AS DATE)))) AS ov_fte,
+      |         GREATEST(0, date_diff('day', GREATEST(startd, m),
+      |           LEAST(probd, CAST(m + INTERVAL 1 MONTH AS DATE)))) AS ov_prob
+      |  FROM cells
+      |), fte AS (
+      |  SELECT m, CAST(SUM(ov_fte * w) AS BIGINT) AS fte_days,
+      |         CAST(SUM(ov_prob * w) AS BIGINT) AS prob_days
+      |  FROM ov GROUP BY m
+      |), dec AS (
+      |  SELECT CAST(date_trunc('month', compd) AS DATE) AS m,
+      |         CAST(SUM(w) AS BIGINT) AS n_decisions
+      |  FROM pairs WHERE compd IS NOT NULL GROUP BY 1
+      |), months AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2002-05-01',
+      |    INTERVAL 1 MONTH)) AS DATE) AS m
+      |), j AS (
+      |  SELECT months.m,
+      |         CAST(date_diff('day', months.m,
+      |           CAST(months.m + INTERVAL 1 MONTH AS DATE)) AS BIGINT) AS days,
+      |         COALESCE(fte.fte_days, 0) AS fte_days,
+      |         COALESCE(fte.prob_days, 0) AS prob_days,
+      |         COALESCE(dec.n_decisions, 0) AS n_decisions
+      |  FROM months LEFT JOIN fte ON months.m = fte.m
+      |  LEFT JOIN dec ON months.m = dec.m
+      |)
+      |SELECT CAST(m AS TIMESTAMP) AS month,
+      |       CAST(fte_days * 10000 // days AS BIGINT) AS fte_x10000,
+      |       CAST(prob_days * 10000 // days AS BIGINT) AS prob_x10000,
+      |       CAST(n_decisions AS BIGINT) AS n_decisions,
+      |       CAST(CASE WHEN fte_days > 0
+      |            THEN n_decisions * days * 10000 // fte_days ELSE 0 END AS BIGINT) AS dpf_x10000,
+      |       CAST(CASE WHEN fte_days - prob_days > 0
+      |            THEN n_decisions * days * 10000 // (fte_days - prob_days)
+      |            ELSE 0 END AS BIGINT) AS adj_dpf_x10000
+      |FROM j ORDER BY month""".stripMargin
+
   // exact mirror of Sketches.q51QuantileSketch — all numeric literals
   // cast to DOUBLE (DuckDB types bare decimals as DECIMAL)
   private val q51Sql: String = {
@@ -648,6 +708,7 @@ object ExtOracles {
     "q49_hll_sketch"    -> q49Sql,
     "q61_sliding_distinct" -> q61Sql,
     "q50_snapshot_ages" -> q50Sql,
+    "q63_fte_utilization" -> q63Sql,
     "q51_quantile_sketch" -> q51Sql,
     "m33_frame_sample"  -> m33Sql,
     "st35_stream_dedup" -> st35Sql,

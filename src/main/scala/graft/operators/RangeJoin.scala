@@ -90,4 +90,75 @@ object RangeJoin {
         col("n_open"), col("p50_age_days"), col("p90_age_days"))
       .orderBy("snapshot")
   }
+
+  /** q63: interval-overlap utilization — the reference's FTE curve
+    * (scratch/decisions/fte.R:44-56: per month, Σ intersection length of
+    * every attorney's tenure interval with the month, divided by month
+    * length; a probation variant over [start, start+180); then
+    * decisions-per-FTE productivity at fte.R:75-83). q50 answers
+    * point-in-interval membership; this is interval∩interval LENGTH —
+    * the occupancy/FTE/capacity shape (server utilization, hotel
+    * occupancy) and a genuinely distinct temporal join.
+    *
+    * The reference loops months × intervals in R (line 55's sapply —
+    * quadratic). The Spark-first shape is q50's grid device at month
+    * granularity: collapse intervals to weighted DISTINCT (start, comp)
+    * pairs (the pair domain grows with the DATE RANGE, not the corpus),
+    * explode each pair to the months it touches (bounded by the date
+    * span), clip overlaps with greatest/least — pure codegen'd date
+    * arithmetic — and aggregate to the |months| grain map-side.
+    * Decisions-per-FTE then joins two tiny month-grain relations.
+    * Integer permyriad outputs; denominators guard the empty months the
+    * reference's chart simply clips.
+    *
+    * Interval semantics follow q50: tenure = [startd, endd) with open
+    * cases cut off at the corpus horizon; probation = [startd,
+    * startd+180) independent of tenure end (fte.R:41's rule, which
+    * deliberately overruns short tenures); decisions = completed cases
+    * by completion month (fte.R:66's BFDDEC grouping).
+    */
+  def q63FteUtilization(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2002-06-01").cast("date")
+    val comp = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    val iv = Tables.orders(spark, dir)
+      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderdate").cast("date").as("startd"),
+        when(col("o_orderstatus") === "F", col("completed").cast("date")).as("compd"))
+    val pairs = iv.groupBy("startd", "compd").agg(count(lit(1)).as("w"))
+      .withColumn("endd", coalesce(col("compd"), cutoff))
+      .withColumn("probd", expr("date_add(startd, 180)"))
+    val cells = pairs.withColumn("m", explode(expr(
+      """sequence(cast(date_trunc('month', startd) as date),
+        |         cast(date_trunc('month', greatest(endd, probd)) as date),
+        |         interval 1 month)""".stripMargin)))
+      .withColumn("m_next", expr("add_months(m, 1)"))
+      .withColumn("ov_fte", greatest(lit(0), datediff(
+        least(col("endd"), col("m_next")), greatest(col("startd"), col("m")))))
+      .withColumn("ov_prob", greatest(lit(0), datediff(
+        least(col("probd"), col("m_next")), greatest(col("startd"), col("m")))))
+    val fte = cells.groupBy("m")
+      .agg(sum(col("ov_fte").cast("long") * col("w")).as("fte_days"),
+        sum(col("ov_prob").cast("long") * col("w")).as("prob_days"))
+    val dec = pairs.filter(col("compd").isNotNull)
+      .groupBy(expr("cast(date_trunc('month', compd) as date)").as("m"))
+      .agg(sum(col("w")).as("n_decisions"))
+    val months = spark.range(1).select(explode(expr(
+      "sequence(date '1995-01-01', date '2002-05-01', interval 1 month)")).as("m"))
+    months.join(fte, Seq("m"), "left").join(dec, Seq("m"), "left")
+      .withColumn("days", datediff(expr("add_months(m, 1)"), col("m")).cast("long"))
+      .withColumn("fte_days", coalesce(col("fte_days"), lit(0L)))
+      .withColumn("prob_days", coalesce(col("prob_days"), lit(0L)))
+      .withColumn("n_decisions", coalesce(col("n_decisions"), lit(0L)))
+      .select(col("m").cast("timestamp").as("month"),
+        expr("fte_days * 10000 DIV days").as("fte_x10000"),
+        expr("prob_days * 10000 DIV days").as("prob_x10000"),
+        col("n_decisions"),
+        expr("CASE WHEN fte_days > 0 THEN n_decisions * days * 10000 DIV fte_days ELSE 0L END")
+          .as("dpf_x10000"),
+        expr("""CASE WHEN fte_days - prob_days > 0
+                THEN n_decisions * days * 10000 DIV (fte_days - prob_days)
+                ELSE 0L END""").as("adj_dpf_x10000"))
+      .orderBy("month")
+  }
 }

@@ -350,6 +350,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"vocab re-shuffled for a 1-row rule:\n$p")
   }
 
+  test("q63 utilization: SHJ completion join, reused pair exchange, no cartesian") {
+    val df = operators.RangeJoin.q63FteUtilization(spark, dir)
+    val p = planString(df)
+    // exactly the two input tables are scanned; the weighted-pair grain
+    // feeds BOTH the overlap explode and the decisions rollup through one
+    // reused exchange (q50's completion-join + pair-collapse shape)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 2, s"expected 2 scans (orders + lineitem), got $scans:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"completion join lost its SHUFFLE_HASH hint:\n$p")
+    assert(p.contains("ReusedExchange"), s"pair grain recomputed per branch:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"months×intervals must stay an equi-join, not a theta product:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"month-grain joins should broadcast:\n$p")
+  }
+
   test("m36 assembly joins are equi-joins; the embedding side broadcasts") {
     val df = operators.Multimodal.m36SampleAssembly(spark, dir)
     val p = planString(df)

@@ -407,6 +407,29 @@ class QueriesSpec extends AnyFunSuite {
       s"benchmark copies not flagged: ${copies -- flagged}")
   }
 
+  test("q63 decisions reconcile with completed orders; overlaps are sane") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.RangeJoin.q63FteUtilization(spark, dir).collect()
+    assert(rows.length === 89, "one row per month of the charted span")
+    // every month's FTE share is non-negative and bounded by the open
+    // interval count (an interval contributes at most the full month)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fte_x10000") >= 0L)
+      assert(r.getAs[Long]("prob_x10000") >= 0L)
+    }
+    // total decisions = completed (status F) orders — the month rollup
+    // must neither drop nor double-count
+    val want = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .join(Tables.lineitem(spark, dir).groupBy("l_orderkey").agg(
+        max(col("l_shipdate")).as("completed")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("completed").isNotNull)
+      .filter(expr("cast(date_trunc('month', cast(completed as date)) as date)")
+        .between(lit("1995-01-01").cast("date"), lit("2002-05-01").cast("date")))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_decisions")).sum === want)
+  }
+
   test("m36 statuses partition the corpus; media volume matches the gap rule") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Multimodal.m36SampleAssembly(spark, dir).collect()
