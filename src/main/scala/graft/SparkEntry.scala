@@ -48,6 +48,7 @@ object SparkEntry {
     "q55_conformance"     -> (EventLog.q55Conformance _),
     "q62_transitions"     -> (EventLog.q62Transitions _),
     "q56_docket_wait"     -> (Docket.q56DocketWait _),
+    "q64_backlog_forecast" -> (Docket.q64BacklogForecast _),
     "q53_competing_risks" -> (Survival.q53CompetingRisks _),
     "q54_merge_disambiguation" -> (Linking.q54MergeDisambiguation _),
     "p55_corpus_clean"    -> (Pipeline.p55CorpusClean _),

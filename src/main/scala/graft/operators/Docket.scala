@@ -189,4 +189,73 @@ object Docket {
         .cast("timestamp").as("predicted_date"))
       .orderBy("docket_month")
   }
+
+  /** q64 forecast horizon (months) and the assumed steady-state attrition
+    * rate — capacity.R's hardcoded 3700/82500 per year ≈ 448 permyriad. */
+  val ForecastMonths = 24
+  val ClosePmPerYear = 448L
+
+  /** q64: future-backlog FORECAST — the reference's hearing-backlog
+    * projection (scratch/hearings/capacity.R's `future_backlog_by_month`
+    * block: monthly new requests ramped by an activation curve, linear
+    * resolutions, attrition proportional to the standing backlog, and a
+    * clamped recurrence `backlog_i = max(0, prev + new − res − closes)`
+    * iterated in an R for-loop). This is the one reference analysis
+    * whose core is a SEQUENTIAL recurrence — closes depends on the
+    * previous month's backlog, so no window/prefix-sum expresses it.
+    *
+    * Spark-first shape: the corpus-sized work is ONE map-side aggregate
+    * measuring the rates (standing backlog, trailing-year arrivals and
+    * resolutions — q50's completion join); the recurrence then runs
+    * entirely IN-EXPRESSION as an `aggregate` HOF fold over the
+    * constant [[ForecastMonths]]-element month sequence on that single
+    * row — no driver loop, no per-month job. The activation ramp is the
+    * deterministic integer stand-in min(1, i/12) in permyriad (the
+    * reference interpolates a survfit curve; q12/q53 own that estimator
+    * — composing it here would re-derive their output, and the
+    * projection's shape is independent of the ramp's provenance). All
+    * arithmetic is exact BIGINT — each DIV is written in ONE canonical
+    * form mirrored verbatim in the oracle (integer division is not
+    * associative, so `x*448 DIV 120000` and `(x*448 DIV 10000) DIV 12`
+    * differ; both engines use the former). Oracle = WITH RECURSIVE
+    * (the declarative equivalent of the loop, the q46 convention).
+    *
+    * 100 TB posture: rate measurement partial-aggregates to one row;
+    * the fold is O(horizon) on the driver-side row — a projection, not
+    * a shuffle; output is |horizon| rows.
+    */
+  def q64BacklogForecast(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    val rates = Tables.orders(spark, dir)
+      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("backlog0"),
+        sum(when(col("o_orderdate").cast("date") >= lit("1997-08-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1998-08-01").cast("date"), 1L)
+          .otherwise(0L)).as("arr_yr"),
+        sum(when(col("o_orderstatus") === "F" &&
+          col("completed").cast("date") >= lit("1997-08-01").cast("date") &&
+          col("completed").cast("date") < lit("1998-08-01").cast("date"), 1L)
+          .otherwise(0L)).as("res_yr"))
+    val stepExpr =
+      s"""acc.prev + (arr_yr DIV 12) * least(i * 10000 DIV 12, 10000) DIV 10000
+         | - res_yr DIV 12 - acc.prev * $ClosePmPerYear DIV 120000""".stripMargin
+    val fold =
+      s"""aggregate(sequence(1, $ForecastMonths),
+         |  named_struct('prev', backlog0, 'out', cast(array() as array<bigint>)),
+         |  (acc, i) -> named_struct(
+         |    'prev', greatest(0L, $stepExpr),
+         |    'out', concat(acc.out, array(greatest(0L, $stepExpr)))),
+         |  acc -> acc.out)""".stripMargin
+    rates
+      .select(col("arr_yr"), col("res_yr"),
+        posexplode(expr(fold)).as(Seq("idx", "backlog")))
+      .select((col("idx") + 1).cast("long").as("month_idx"),
+        expr("(arr_yr DIV 12) * least((idx + 1) * 10000 DIV 12, 10000) DIV 10000")
+          .as("new_requests"),
+        expr("res_yr DIV 12").as("resolutions"),
+        col("backlog"))
+      .orderBy("month_idx")
+  }
 }

@@ -231,6 +231,42 @@ object ExtOracles {
       |FROM cum GROUP BY s
       |ORDER BY snapshot""".stripMargin
 
+  // mirror of Docket.q64BacklogForecast: identical rate window, the same
+  // canonical DIV forms (integer division is not associative — each
+  // divisor appears exactly as the Spark expression writes it), and the
+  // clamped recurrence as WITH RECURSIVE (the q46 convention for the
+  // reference's for-loop)
+  private val q64Sql: String = {
+    import graft.operators.Docket.{ClosePmPerYear, ForecastMonths}
+    s"""WITH RECURSIVE comp AS (
+      |  SELECT l_orderkey, MAX(l_shipdate) AS completed FROM lineitem GROUP BY 1
+      |), rates AS (
+      |  SELECT CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS backlog0,
+      |         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-08-01'
+      |                        AND CAST(o_orderdate AS DATE) < DATE '1998-08-01'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS arr_yr,
+      |         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |                        AND CAST(completed AS DATE) >= DATE '1997-08-01'
+      |                        AND CAST(completed AS DATE) < DATE '1998-08-01'
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS res_yr
+      |  FROM orders LEFT JOIN comp ON o_orderkey = l_orderkey
+      |), r AS (
+      |  SELECT 0 AS i, backlog0 AS backlog FROM rates
+      |  UNION ALL
+      |  SELECT i + 1,
+      |         GREATEST(0, backlog
+      |           + (arr_yr // 12) * LEAST((i + 1) * 10000 // 12, 10000) // 10000
+      |           - res_yr // 12 - backlog * $ClosePmPerYear // 120000)
+      |  FROM r, rates WHERE i < $ForecastMonths
+      |)
+      |SELECT CAST(i AS BIGINT) AS month_idx,
+      |       CAST((arr_yr // 12) * LEAST(i * 10000 // 12, 10000) // 10000 AS BIGINT) AS new_requests,
+      |       CAST(res_yr // 12 AS BIGINT) AS resolutions,
+      |       CAST(backlog AS BIGINT) AS backlog
+      |FROM r, rates WHERE i >= 1
+      |ORDER BY month_idx""".stripMargin
+  }
+
   // mirror of RangeJoin.q63FteUtilization: same weighted (startd, compd)
   // pair collapse, month-cell explode, greatest/least overlap clipping
   // and guarded integer productivity ratios
@@ -709,6 +745,7 @@ object ExtOracles {
     "q61_sliding_distinct" -> q61Sql,
     "q50_snapshot_ages" -> q50Sql,
     "q63_fte_utilization" -> q63Sql,
+    "q64_backlog_forecast" -> q64Sql,
     "q51_quantile_sketch" -> q51Sql,
     "m33_frame_sample"  -> m33Sql,
     "st35_stream_dedup" -> st35Sql,

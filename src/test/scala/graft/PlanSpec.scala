@@ -350,6 +350,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"vocab re-shuffled for a 1-row rule:\n$p")
   }
 
+  test("q64 forecast: one rate aggregation, recurrence in-expression (no per-month jobs)") {
+    val df = operators.Docket.q64BacklogForecast(spark, dir)
+    val p = planString(df)
+    // the corpus work is the single rate aggregate over orders⋈lineitem;
+    // the 24-step recurrence must live inside ONE projection (the
+    // aggregate HOF fold + posexplode), never as month-wise joins/jobs
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 2, s"expected 2 scans (orders + lineitem), got $scans:\n$p")
+    assert(p.contains("Generate"), s"fold results not exploded in-plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join in a fold projection:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"completion join lost SHUFFLE_HASH:\n$p")
+  }
+
   test("q63 utilization: SHJ completion join, reused pair exchange, no cartesian") {
     val df = operators.RangeJoin.q63FteUtilization(spark, dir)
     val p = planString(df)

@@ -430,6 +430,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_decisions")).sum === want)
   }
 
+  test("q64 fold reproduces the reference recurrence from the measured rates") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Docket.q64BacklogForecast(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // re-measure the rates directly and iterate the clamped recurrence
+    // in plain Scala — the in-expression fold must match step for step
+    val comp = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    val r = Tables.orders(spark, dir)
+      .join(comp, col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)),
+        sum(when(col("o_orderdate").cast("date") >= lit("1997-08-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1998-08-01").cast("date"), 1L).otherwise(0L)),
+        sum(when(col("o_orderstatus") === "F" &&
+          col("completed").cast("date") >= lit("1997-08-01").cast("date") &&
+          col("completed").cast("date") < lit("1998-08-01").cast("date"), 1L).otherwise(0L)))
+      .head
+    val (b0, arr, res) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    var prev = b0
+    val want = (1 to graft.operators.Docket.ForecastMonths).map { i =>
+      val nw = (arr / 12) * math.min(i * 10000L / 12, 10000L) / 10000L
+      val next = math.max(0L,
+        prev + nw - res / 12 - prev * graft.operators.Docket.ClosePmPerYear / 120000L)
+      prev = next
+      (i.toLong, nw, res / 12, next)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("m36 statuses partition the corpus; media volume matches the gap rule") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Multimodal.m36SampleAssembly(spark, dir).collect()
