@@ -656,16 +656,20 @@ object Dedup {
 
   /** Rule core over any (doc_id, text) frame (same extraction contract
     * as [[Pipeline.p60VocabCore]]). */
-  private[graft] def d30SpanScoreCore(documents: DataFrame): DataFrame = {
+  private[graft] def d30SpanScoreCore(documents: DataFrame,
+      saltWidth: Int = SpanProbeSalt): DataFrame = {
+    // saltWidth is overridable ONLY for the skew demonstration harness
+    // (graft.SkewDemo measures salted vs unsalted on a hot corpus);
+    // every production caller uses the default
     val per = spanPostingsCore(documents)
     // sum(occ>=1 ? 1 : 0) IS the distinct-doc count per span, phrased so
     // occ stays needed in this branch (the t35 ReuseExchange contract)
     val crossDoc = per.groupBy("h")
       .agg(sum(when(col("occ") >= 1L, 1L).otherwise(0L)).as("nd"))
       .filter(col("nd") >= 2L)
-      .select(col("h"), explode(expr(s"sequence(0, ${SpanProbeSalt - 1})")).as("salt"),
+      .select(col("h"), explode(expr(s"sequence(0, ${saltWidth - 1})")).as("salt"),
         lit(1L).as("hit"))
-    per.withColumn("salt", pmod(col("doc_id"), lit(SpanProbeSalt.toLong)).cast("int"))
+    per.withColumn("salt", pmod(col("doc_id"), lit(saltWidth.toLong)).cast("int"))
       .join(crossDoc, Seq("h", "salt"), "left")
       .groupBy("doc_id")
       .agg(sum(col("occ")).as("n_windows"),
