@@ -78,6 +78,7 @@ object SparkEntry {
     "s31_silhouette"      -> (Similarity.s31Silhouette _),
     "s32_pq_adc"          -> (Similarity.s32PqAdc _),
     "s33_ivfpq"           -> (Similarity.s33IvfPq _),
+    "s34_sq_ann"          -> (Similarity.s34SqAnn _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),

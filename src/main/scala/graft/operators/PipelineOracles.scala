@@ -645,6 +645,60 @@ object PipelineOracles {
       |WHERE a.rnk = 1
       |ORDER BY a.query_id""".stripMargin
 
+  // mirror of Similarity.s34SqAnn: same per-dim (lo, hi) bounds, the
+  // same exact-integer affine round-trip x̂ = lo + ((x−lo)·255 div
+  // span)·span div 255 with the span-0 guard, same ranking/recall tail
+  private val s34Sql: String = {
+    val los = (1 to 64).map(i => s"MIN(q[$i])").mkString(", ")
+    val his = (1 to 64).map(i => s"MAX(q[$i])").mkString(", ")
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), st AS (
+      |  SELECT list_value($los) AS lo, list_value($his) AS hi FROM q
+      |), xh AS (
+      |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+      |           lo[i] + ((q.q[i] - lo[i]) * 255 // GREATEST(1, hi[i] - lo[i]))
+      |             * GREATEST(1, hi[i] - lo[i]) // 255) AS xhat
+      |  FROM q, st
+      |), qs AS (
+      |  SELECT vec_id AS query_id, q AS qv FROM q WHERE vec_id < 10
+      |), ap AS (
+      |  SELECT query_id, x.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> (x.xhat[i] - qv[i]) * (x.xhat[i] - qv[i]))) AS BIGINT) AS approx_d
+      |  FROM xh x, qs WHERE x.vec_id <> query_id
+      |), ar AS (
+      |  SELECT query_id, neighbor_id, approx_d,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY approx_d, neighbor_id) AS INT) AS rnk
+      |  FROM ap
+      |), ex AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           j -> (qv[j] - c.q[j]) * (qv[j] - c.q[j]))) AS BIGINT) AS exact_d
+      |  FROM q c, qs WHERE c.vec_id <> query_id
+      |), er AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY exact_d, neighbor_id) AS INT) AS rnk
+      |  FROM ex
+      |), hits AS (
+      |  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      |  FROM ar a JOIN er e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |  WHERE a.rnk <= 5 AND e.rnk <= 5
+      |  GROUP BY a.query_id
+      |)
+      |SELECT a.query_id, a.neighbor_id AS nn_approx, a.approx_d AS nn_approx_d,
+      |       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |       CAST(COALESCE(h.n_hit, 0) * 2000 AS BIGINT) AS recall_pm
+      |FROM ar a LEFT JOIN hits h ON a.query_id = h.query_id
+      |WHERE a.rnk = 1
+      |ORDER BY a.query_id""".stripMargin
+  }
+
   // mirror of Similarity.s31Silhouette: b(i) = min distance over the
   // OTHER centroids from the same d2 all-pairs grain the assignment
   // used; identical integer permyriad arithmetic
@@ -1669,6 +1723,7 @@ object PipelineOracles {
     "s29_ann_rerank"   -> s29Sql,
     "s30_kmeans"       -> s30Sql,
     "s32_pq_adc"       -> s32Sql,
+    "s34_sq_ann"       -> s34Sql,
     "s33_ivfpq"        -> s33Sql,
     "p65_dataset_card" -> p65Sql,
     "s31_silhouette"   -> s31Sql,

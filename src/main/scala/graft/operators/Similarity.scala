@@ -483,4 +483,72 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) * 2000).as("recall_pm"))
       .orderBy("query_id")
   }
+
+  /** s34: SCALAR-quantization ANN (FAISS's SQ8 index) — the remaining
+    * compression leg of the ANN family: where s32's PQ learns per-
+    * subspace codebooks (64× cut, lossy across dims), SQ quantizes each
+    * dimension INDEPENDENTLY to an 8-bit affine code against per-dim
+    * corpus min/max (8× cut, no codebook training, the default
+    * memory/recall trade in production vector stores). Model = ONE
+    * broadcast row of per-dim (lo, hi) bounds from a single map-side
+    * min/max aggregate; encode⊕decode collapse into one projection that
+    * reconstructs x̂ᵢ = loᵢ + round-trip(xᵢ) — exactly what a scan over
+    * stored codes computes — and scoring is the asymmetric s29 shape:
+    * the RAW query against reconstructed corpus vectors, via the same
+    * codegen'd [[graft.functions.KmeansArgmin]] singleton-candidate
+    * device the exact truth uses (no interpreted fold on the corpus
+    * grain). All arithmetic exact BIGINT on s30's grid: code = (x−lo)
+    * ·255 div max(1, hi−lo), span-0 dims round-trip to themselves.
+    * Report: top-5 by (approx_d, id) + recall@5 vs exact grid-L2 truth
+    * (the s29/s32 measured-error harness).
+    *
+    * 100 TB posture: the stats pass partial-aggregates 64 min/max pairs
+    * map-side; corpus rows meet only a 1-row broadcast model and the
+    * broadcast query set; the only corpus-grain exchange is the
+    * per-query top-k the whole family pays.
+    */
+  def s34SqAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val dim = PqM * PqDim
+    val q = quantize(Tables.embeddings(spark, dir))
+    val model = broadcast(q.agg(
+      array((1 to dim).map(i => min(element_at(col("q"), i))): _*).as("lo"),
+      array((1 to dim).map(i => max(element_at(col("q"), i))): _*).as("hi")))
+    val xhatExpr =
+      s"""transform(sequence(1, $dim), i ->
+         |  element_at(lo, i)
+         |  + ((element_at(q, i) - element_at(lo, i)) * 255L
+         |      DIV greatest(1L, element_at(hi, i) - element_at(lo, i)))
+         |    * greatest(1L, element_at(hi, i) - element_at(lo, i)) DIV 255L)"""
+        .stripMargin
+    val xh = q.crossJoin(model).select(col("vec_id"), expr(xhatExpr).as("xhat"))
+    val queries = broadcast(q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qv")))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx_d"), col("neighbor_id"))
+    val approx = xh.crossJoin(queries)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_kmeans_argmin(xhat, array(struct(0, qv))) div 100").as("approx_d"))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= 5)
+    val wE = Window.partitionBy("query_id").orderBy(col("exact_d"), col("neighbor_id"))
+    val truth = q.crossJoin(queries)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_kmeans_argmin(q, array(struct(0, qv))) div 100").as("exact_d"))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 5)
+    val hits = approx.join(truth.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    approx.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("nn_approx"),
+        col("approx_d").as("nn_approx_d"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("nn_approx"), col("nn_approx_d"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * 2000).as("recall_pm"))
+      .orderBy("query_id")
+  }
 }

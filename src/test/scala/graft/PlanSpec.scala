@@ -350,6 +350,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"vocab re-shuffled for a 1-row rule:\n$p")
   }
 
+  test("s34 SQ scoring stays codegen'd; corpus meets only broadcast relations") {
+    val df = operators.Similarity.s34SqAnn(spark, dir)
+    df.collect()
+    // the reconstruction+scoring projection must use the native argmin
+    // expression (analyzed plan), never an interpreted fold per corpus row
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_kmeans_argmin"),
+      s"native argmin missing from scoring:\n$analyzed")
+    val p = planString(df)
+    // the (lo, hi) model and the query set broadcast; the corpus is never
+    // re-shuffled for either (the family's one corpus-grain exchange is
+    // the per-query top-k window)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"model/query set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast product:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for a broadcast-size side:\n$p")
+  }
+
   test("q64 forecast: one rate aggregation, recurrence in-expression (no per-month jobs)") {
     val df = operators.Docket.q64BacklogForecast(spark, dir)
     val p = planString(df)
