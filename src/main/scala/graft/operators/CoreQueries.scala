@@ -229,7 +229,13 @@ object CoreQueries {
     val orders = Tables.orders(spark, dir)
     val comp = Tables.lineitem(spark, dir)
       .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
-    val obs = orders.join(comp, col("o_orderkey") === col("l_orderkey"), "left")
+    // SHUFFLE_HASH: the family convention for this 1:1 completion join
+    // (q50/q63/q64). Measured NEUTRAL here at sf1 (1.29 vs 1.30 s —
+    // the post-join aggregate collapses to the day grain either way);
+    // kept because SMJ's two fact-grain sorts are the avoidable cost
+    // as the fact side outgrows the sort buffer.
+    val obs = orders.join(comp.hint("SHUFFLE_HASH"),
+        col("o_orderkey") === col("l_orderkey"), "left")
       .select(
         when(col("o_orderstatus") === "F",
           datediff(col("completed").cast("date"), col("o_orderdate").cast("date")))

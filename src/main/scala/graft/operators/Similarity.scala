@@ -507,6 +507,17 @@ object Similarity {
     * broadcast query set; the only corpus-grain exchange is the
     * per-query top-k the whole family pays.
     */
+  /** s34's encode⊕decode round-trip as ONE SQL fragment over columns
+    * (q, lo, hi) — exposed so the property test drives the exact
+    * production expression against an in-memory reference. */
+  private[graft] def sqXhatExpr(dim: Int): String =
+    s"""transform(sequence(1, $dim), i ->
+       |  element_at(lo, i)
+       |  + ((element_at(q, i) - element_at(lo, i)) * 255L
+       |      DIV greatest(1L, element_at(hi, i) - element_at(lo, i)))
+       |    * greatest(1L, element_at(hi, i) - element_at(lo, i)) DIV 255L)"""
+      .stripMargin
+
   def s34SqAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
@@ -515,14 +526,7 @@ object Similarity {
     val model = broadcast(q.agg(
       array((1 to dim).map(i => min(element_at(col("q"), i))): _*).as("lo"),
       array((1 to dim).map(i => max(element_at(col("q"), i))): _*).as("hi")))
-    val xhatExpr =
-      s"""transform(sequence(1, $dim), i ->
-         |  element_at(lo, i)
-         |  + ((element_at(q, i) - element_at(lo, i)) * 255L
-         |      DIV greatest(1L, element_at(hi, i) - element_at(lo, i)))
-         |    * greatest(1L, element_at(hi, i) - element_at(lo, i)) DIV 255L)"""
-        .stripMargin
-    val xh = q.crossJoin(model).select(col("vec_id"), expr(xhatExpr).as("xhat"))
+    val xh = q.crossJoin(model).select(col("vec_id"), expr(sqXhatExpr(dim)).as("xhat"))
     val queries = broadcast(q.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qv")))
     val wA = Window.partitionBy("query_id").orderBy(col("approx_d"), col("neighbor_id"))

@@ -38,8 +38,11 @@ object Survival {
   def q53CompetingRisks(spark: SparkSession, dir: String): DataFrame = {
     val comp = Tables.lineitem(spark, dir)
       .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    // SHUFFLE_HASH: the family convention for this 1:1 completion join
+    // (q50/q63/q64); measured neutral at sf1, kept for the same
+    // larger-SF rationale documented at q12
     val obs = Tables.orders(spark, dir)
-      .join(comp, col("o_orderkey") === col("l_orderkey"), "left")
+      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
       .select(
         col("o_orderdate").cast("date").as("birth"),
         when(col("o_orderstatus") === "F", col("completed").cast("date")).as("evdate"),

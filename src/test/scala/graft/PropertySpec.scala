@@ -551,6 +551,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("s34 SQ round-trip stays inside the per-dim quantization bound") {
+    import org.apache.spark.sql.functions._
+    // random 4-dim int64 grids incl. negative values, constant dims
+    // (span 0) and spans below/above 255
+    val vecGen: Gen[List[List[Long]]] = Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-2000000L, 2000000L)))
+    samples(vecGen, 15).filter(_.nonEmpty).foreach { vecs0 =>
+      // force one constant dim so span = 0 is always exercised
+      val vecs = vecs0.map(v => v.updated(0, 7L))
+      val schema = StructType(Seq(StructField("q", ArrayType(LongType))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vecs.map(v => Row(v)), 2), schema)
+      val model = df.agg(
+        array((1 to 4).map(i => min(element_at(col("q"), i))): _*).as("lo"),
+        array((1 to 4).map(i => max(element_at(col("q"), i))): _*).as("hi"))
+      val rows = df.crossJoin(broadcast(model))
+        .select(col("q"), col("lo"), col("hi"),
+          expr(operators.Similarity.sqXhatExpr(4)).as("xhat"))
+        .collect()
+      rows.foreach { r =>
+        val q = r.getSeq[Long](0); val lo = r.getSeq[Long](1)
+        val hi = r.getSeq[Long](2); val xh = r.getSeq[Long](3)
+        (0 until 4).foreach { i =>
+          val span = math.max(1L, hi(i) - lo(i))
+          // reconstruction bound: one 8-bit affine step of error, and
+          // the reconstruction never leaves the corpus bounds
+          assert(math.abs(xh(i) - q(i)) <= span / 255L + 1,
+            s"dim $i: q=${q(i)} xhat=${xh(i)} span=$span")
+          assert(xh(i) >= lo(i) && xh(i) <= hi(i))
+          // a constant dim must round-trip exactly
+          if (hi(i) == lo(i)) assert(xh(i) === q(i))
+        }
+      }
+    }
+  }
+
   test("p60 vocab matches the in-memory frequency table on random corpora") {
     samples(corpusGen, 20).filter(_.nonEmpty).foreach { docs =>
       val schema = StructType(Seq(
