@@ -118,6 +118,7 @@ object SparkEntry {
     "st41_stream_scd"     -> (graft.streaming.Streams.st41StreamScd _),
     "st42_stream_transitions" -> (graft.streaming.Streams.st42StreamTransitions _),
     "st43_stream_heavy_hitters" -> (graft.streaming.Streams.st43StreamHeavyHitters _),
+    "st44_stream_drift"   -> (graft.streaming.Streams.st44StreamDrift _),
     "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
     "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),

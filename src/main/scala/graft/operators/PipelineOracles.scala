@@ -1732,6 +1732,9 @@ object PipelineOracles {
     "t37_cms_freq"     -> t37Sql,
     "t38_langid_eval"  -> t38Sql,
     "t39_drift"        -> t39Sql,
+    // st44 emits t39's report exactly (shared dims + tail definitions);
+    // the oracle is therefore the same SQL (the st43/cmsSqlOver device)
+    "st44_stream_drift" -> t39Sql,
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
     "st43_stream_heavy_hitters" -> st43Sql,

@@ -30,7 +30,7 @@ object TextAnalysis {
     * column. Shared by t28 and the p55 pipeline — ONE definition, so the
     * composite can never drift from the standalone operator.
     */
-  private[operators] def withPredLang(df: DataFrame): DataFrame = {
+  private[graft] def withPredLang(df: DataFrame): DataFrame = {
     // all five profile scores in ONE codegen'd pass over the token
     // array (the five interpreted size(filter(...)) chains measured
     // 3.4 s at sf1 on t38 — see graft.functions.StopScores)
@@ -536,12 +536,23 @@ object TextAnalysis {
     val base = withPredLang(documents.withColumn("words", split(col("text"), " ")))
       .withColumn("is_new",
         pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod.toLong)) === 0L)
-    val u = base.selectExpr("is_new",
-      "stack(2, 'source', source, 'lang', pred_lang) as (dim, value)")
-    val w = Window.partitionBy("dim")
-    val d = u.groupBy("dim", "value")
+    val u = base.selectExpr("is_new", DriftStack)
+    driftTail(u.groupBy("dim", "value")
       .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("old_n"),
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_n"))
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_n")))
+  }
+
+  /** The monitored dimensions as ONE stack generator — shared by t39
+    * and st44 so the two monitors watch identical signals. */
+  private[graft] val DriftStack =
+    "stack(2, 'source', source, 'lang', pred_lang) as (dim, value)"
+
+  /** t39's report tail over the (dim, value, old_n, new_n) grain —
+    * shared with st44 (the streaming monitor), so the continuous and
+    * batch drift reports cannot drift from each other. */
+  private[graft] def driftTail(grain: DataFrame): DataFrame = {
+    val w = Window.partitionBy("dim")
+    val d = grain
       .withColumn("tot_old", sum(col("old_n")).over(w))
       .withColumn("tot_new", sum(col("new_n")).over(w))
       // an empty side (the very first increment, or a drained corpus) is

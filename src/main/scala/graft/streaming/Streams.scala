@@ -533,4 +533,41 @@ object Streams {
         expr("(cms_n - n_occ) * 10000 DIV n_occ").as("over_pm"))
       .orderBy("rnk")
   }
+
+  /** st44: streaming drift monitor — t39 continuous: arriving docs
+    * (d27's `% 5` rule) accumulate (dimension, value) counts in
+    * streaming aggregation state — the state is the CATEGORICAL GRID
+    * (≤|sources|+|langs| rows), constant like st43's sketch cells, not
+    * per-entity — and the drained counts meet the STANDING corpus's
+    * counts in t39's report tail. Dimension projection
+    * ([[graft.operators.TextAnalysis.DriftStack]] over the shared
+    * withPredLang chain) and the share/TVD tail
+    * ([[graft.operators.TextAnalysis.driftTail]]) are the batch
+    * monitor's own definitions, so the continuous report equals t39's
+    * batch report row-for-row (spec-pinned) — the q62/st42 discipline.
+    */
+  def st44StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.TextAnalysis
+    val isNew = pmod(col("doc_id"),
+      lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val standing = TextAnalysis.withPredLang(
+        docs.filter(!isNew).withColumn("words", split(col("text"), " ")))
+      .selectExpr(TextAnalysis.DriftStack)
+      .groupBy("dim", "value").agg(count(lit(1)).as("old_n"))
+    val arriving = TextAnalysis.withPredLang(
+        spark.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(isNew)
+          .withColumn("words", split(col("text"), " ")))
+      .selectExpr(TextAnalysis.DriftStack)
+      .groupBy("dim", "value").agg(count(lit(1)).as("new_n"))
+    val cells = runToTable(spark, arriving, "complete", "st44")
+    TextAnalysis.driftTail(
+      standing.join(cells, Seq("dim", "value"), "full_outer")
+        .select(col("dim"), col("value"),
+          coalesce(col("old_n"), lit(0L)).as("old_n"),
+          coalesce(col("new_n"), lit(0L)).as("new_n")))
+  }
 }

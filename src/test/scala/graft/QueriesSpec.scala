@@ -477,6 +477,12 @@ class QueriesSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("media_bytes") === 0L))
   }
 
+  test("st44 streaming drift report equals t39's batch report row-for-row") {
+    val got = graft.streaming.Streams.st44StreamDrift(spark, dir).collect()
+    val want = graft.operators.TextAnalysis.t39Drift(spark, dir).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("st43 streaming sketch report equals the batch t37 chain on the arriving subset") {
     // the continuously-maintained cells must be bit-identical to a batch
     // rebuild (shared cmsBucket definition + order-independent cell sums)
