@@ -84,6 +84,7 @@ object SparkEntry {
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),
     "t38_langid_eval"     -> (TextAnalysis.t38LangidEval _),
     "t39_drift"           -> (TextAnalysis.t39Drift _),
+    "t40_entropy"         -> (TextAnalysis.t40Entropy _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "p65_dataset_card"    -> (Pipeline.p65DatasetCard _),
     "p66_bpe_merges"      -> (Pipeline.p66BpeMerges _),
+    "p67_dedup_cascade"   -> (Pipeline.p67DedupCascade _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),
     "q60_cube"            -> (CoreQueries.q60Cube _),

@@ -239,6 +239,57 @@ object TextHash {
       s
     }
 
+  /** t40's entropy statistics in ONE pass over the text: codepoint and
+    * word (space-split, empties kept — string_split parity) frequency
+    * maps, folded to Shannon entropies via H = ln(n) − (Σ c·ln c)/n —
+    * the integer-argument-log form both engines reproduce to well
+    * under 6 dp regardless of summation order.
+    * Returns array<double>[6]:
+    * [char_ent, word_ent, n_distinct_chars, n_distinct_words, n_chars, n_words].
+    */
+  def entropyStatsData(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val cc = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    var nc = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val k = Integer.valueOf(cp)
+      val prev = cc.get(k)
+      cc.put(k, if (prev eq null) 1L else prev.longValue() + 1L)
+      i += Character.charCount(cp)
+      nc += 1
+    }
+    val wc = new java.util.HashMap[String, java.lang.Long]()
+    var nw = 0L
+    var start = 0
+    var j = 0
+    while (j <= s.length) {
+      if (j == s.length || s.charAt(j) == ' ') {
+        val w = s.substring(start, j)
+        val prev = wc.get(w)
+        wc.put(w, if (prev eq null) 1L else prev.longValue() + 1L)
+        nw += 1
+        start = j + 1
+      }
+      j += 1
+    }
+    def ent(values: java.util.Collection[java.lang.Long], n: Long): Double =
+      if (n == 0L) 0.0
+      else {
+        var sum = 0.0
+        val it = values.iterator()
+        while (it.hasNext) {
+          val c = it.next().longValue()
+          sum += c * math.log(c.toDouble)
+        }
+        math.log(n.toDouble) - sum / n
+      }
+    new GenericArrayData(Array[Double](
+      ent(cc.values(), nc), ent(wc.values(), nw),
+      cc.size.toDouble, wc.size.toDouble, nc.toDouble, nw.toDouble))
+  }
+
   /** One pass over the token array → the five profile counts. */
   def stopScoresData(words: ArrayData): ArrayData = {
     val n = words.numElements()
@@ -291,6 +342,30 @@ case class StopScores(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.stopScoresData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): StopScores = copy(child = c)
+}
+
+/** entropy_stats(string) → array<double>[6]: t40's per-document entropy
+  * statistics (see [[TextHash.entropyStatsData]]) — the declarative
+  * formulation explodes the corpus to the character grain (×|chars|
+  * rows through two shuffles); this kernel folds both frequency maps in
+  * one codegen'd pass per document, zero shuffle.
+  */
+case class EntropyStats(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_entropy_stats expects string, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_entropy_stats"
+  override def staticMethod: String = "entropyStatsData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.entropyStatsData(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): EntropyStats = copy(child = c)
 }
 
 private[functions] trait TextHashCodegen { self: UnaryExpression =>

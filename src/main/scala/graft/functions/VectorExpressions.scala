@@ -513,6 +513,8 @@ object GraftFunctions {
       "graft_chunk_fps", exprs => ChunkFps(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_stop_scores", exprs => StopScores(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_entropy_stats", exprs => EntropyStats(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

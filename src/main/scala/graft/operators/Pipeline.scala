@@ -597,4 +597,60 @@ object Pipeline {
     }
     steps.reduce(_ unionByName _).orderBy("rnk")
   }
+
+  /** p67: staged dedup CASCADE audit — exact (d21) then transitive
+    * near-dup (d22 candidates + d26 components), reported per source as
+    * the stage-by-stage removal funnel every corpus build publishes
+    * (how many documents each stage dropped, and what survived).
+    *
+    * Differs from p55 (which keeps the greedy bucket-minimum rule so the
+    * whole pipeline stays pair-free): the cascade runs the TRANSITIVE
+    * cluster rule on the exact-survivor subgraph — d26's semantics
+    * staged after d21's, the order production cascades use (cheap exact
+    * pass first shrinks the near-dup candidate graph).
+    *
+    * Stage rules (shared definitions, nothing re-invented):
+    *  - exact: survivor = min doc_id per md5(text) group (d21).
+    *  - near: d22's band-bucket candidate pairs restricted to exact
+    *    survivors (two semi-joins; a pair with a dropped endpoint is
+    *    dead weight), min-label components over that subgraph
+    *    ([[Dedup.connectedComponents]]), survivor = component min.
+    *
+    * 100 TB posture: the exact stage is one linear hash aggregation on
+    * the content hash; the restriction joins shuffle the PAIR list
+    * (≪ corpus — band selectivity bounds it), never corpus²; components
+    * run on the near-dup subgraph only (log-ish rounds of linear
+    * equi-joins, lineage-truncated); the audit is one map-side-combined
+    * aggregation on source. No stage re-scans text after the first
+    * projection — docs ride as (doc_id, source, hash) triples.
+    */
+  def p67DedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keep1 = docs.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val staged = docs.join(keep1, Seq("h"))
+      .withColumn("exact_kept", col("doc_id") === col("keep_id"))
+    val survivors = staged.filter(col("exact_kept")).select("doc_id")
+    val pairs = Dedup.minhashBandPairs(spark, dir)
+      .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    val cc = Dedup.connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val nearRemoved = cc.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"), lit(1).as("near_removed"))
+    staged
+      .join(nearRemoved, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(!col("exact_kept"), 1L).otherwise(0L)).as("removed_exact"),
+        sum(when(col("exact_kept") && col("near_removed").isNotNull, 1L)
+          .otherwise(0L)).as("removed_near"))
+      .select(col("source"), col("n_input"), col("removed_exact"),
+        col("removed_near"),
+        (col("n_input") - col("removed_exact")).as("n_after_exact"),
+        (col("n_input") - col("removed_exact") - col("removed_near"))
+          .as("n_after_near"))
+      .orderBy("source")
+  }
 }

@@ -1692,7 +1692,88 @@ object PipelineOracles {
       |FROM r WHERE rnk <= ${TextAnalysis.KeywordsPerDoc}
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // p67 mirror — d21's exact rule + d22's pair CTE restricted to exact
+  // survivors + d26's recursive reachability, audited per source. Sums
+  // cast to BIGINT (DuckDB SUM(int) is HUGEINT — the r7 dtype lesson).
+  private val p67Sql: String =
+    s"""WITH RECURSIVE $d22PairsCtes, keep1 AS (
+      |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      |  FROM documents GROUP BY md5(text)
+      |), staged AS (
+      |  SELECT d.doc_id, d.source, (d.doc_id = k.keep_id) AS exact_kept
+      |  FROM documents d JOIN keep1 k ON md5(d.text) = k.h
+      |), sp AS (
+      |  SELECT p.doc_a, p.doc_b FROM pairs p
+      |  JOIN staged a ON p.doc_a = a.doc_id AND a.exact_kept
+      |  JOIN staged b ON p.doc_b = b.doc_id AND b.exact_kept
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM sp
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM sp
+      |), reach(node, r) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.node = e.u
+      |), nr AS (
+      |  SELECT node AS doc_id FROM reach
+      |  GROUP BY node HAVING node <> MIN(r)
+      |), audit AS (
+      |  SELECT s.source,
+      |         COUNT(*) AS n_input,
+      |         CAST(SUM(CASE WHEN NOT s.exact_kept THEN 1 ELSE 0 END) AS BIGINT) AS removed_exact,
+      |         CAST(SUM(CASE WHEN s.exact_kept AND nr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed_near
+      |  FROM staged s LEFT JOIN nr ON s.doc_id = nr.doc_id
+      |  GROUP BY s.source
+      |)
+      |SELECT source, n_input, removed_exact, removed_near,
+      |       n_input - removed_exact AS n_after_exact,
+      |       n_input - removed_exact - removed_near AS n_after_near
+      |FROM audit
+      |ORDER BY source""".stripMargin
+
+  // t40 mirror — the declarative character/word-grain entropy: explode
+  // to frequencies, fold H = ln(n) − Σ c·ln(c)/n (the same
+  // integral-log form the kernel computes; summation order differences
+  // vanish at the shared 6dp round). Empty text never reaches the char
+  // CTE in DuckDB (generate_series(1,0) is empty) — LEFT JOIN +
+  // COALESCE keeps the doc with entropy 0, matching the kernel.
+  private val t40Sql: String =
+    s"""WITH cg AS (
+      |  SELECT doc_id, c, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(generate_series(1, length(text)),
+      |                                 i -> substr(text, i, 1))) AS c
+      |    FROM documents
+      |  ) GROUP BY doc_id, c
+      |), ce AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+      |         ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt) AS char_ent
+      |  FROM cg GROUP BY doc_id
+      |), wg AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) GROUP BY doc_id, w
+      |), we AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |         CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+      |         ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt) AS word_ent
+      |  FROM wg GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.lang,
+      |       COALESCE(ce.n_chars, 0) AS n_chars,
+      |       we.n_words, we.n_distinct_words,
+      |       COALESCE(ROUND(ce.char_ent, 6), 0.0) AS char_entropy,
+      |       ROUND(we.word_ent, 6) AS word_entropy,
+      |       we.n_distinct_words * 10000 // we.n_words AS ttr_pm,
+      |       CAST(COALESCE(ROUND(ce.char_ent, 6), 0.0) < ${TextAnalysis.LowEntropyBar} AS INT) AS low_entropy
+      |FROM documents d
+      |LEFT JOIN ce ON d.doc_id = ce.doc_id
+      |JOIN we ON d.doc_id = we.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "p67_dedup_cascade" -> p67Sql,
+    "t40_entropy"      -> t40Sql,
     "p60_vocab_build"  -> p60Sql,
     "t35_keywords"     -> t35Sql,
     "d29_repeated_spans" -> d29Sql,

@@ -572,4 +572,53 @@ object TextAnalysis {
         col("delta_pm"))
     perValue.unionByName(totals).orderBy("dim", "value")
   }
+
+  /** t40's low-entropy spam bar (nats, against the 6dp-rounded char
+    * entropy — both engines threshold the identical rounded value).
+    * Natural-text character entropy sits ≈ 4–4.5 nats; keyboard-mash /
+    * repeated-char spam collapses toward 0. */
+  val LowEntropyBar = 2.0
+
+  /** t40: entropy-based quality signals — the character/word Shannon
+    * entropies and type-token ratio used as spam/boilerplate filters in
+    * corpus cleaning (low char entropy ⇒ repeated-character junk; low
+    * word entropy at high length ⇒ template boilerplate; Rae
+    * arXiv:2112.11446 §A1.1 uses exactly this family). Complements t29
+    * (length/stopword/punct ratios) and t34 (repetition span signals).
+    *
+    * Both frequency maps fold inside the codegen'd
+    * `graft_entropy_stats` kernel — ONE pass per document, zero
+    * shuffle, no character-grain explode (the declarative form shuffles
+    * |chars| ≈ 500× corpus rows through two aggregations; the t38/p62
+    * lesson says the interpreted-HOF version loses even when it avoids
+    * the shuffle). H = ln(n) − (Σ c·ln c)/n keeps log arguments
+    * integral, so DuckDB reproduces the doubles to 6dp regardless of
+    * its summation order.
+    *
+    * 100 TB posture: a pure projection — embarrassingly parallel,
+    * partition-local, nothing shuffles but the output rows.
+    */
+  def t40Entropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t40EntropyCore(Tables.documents(spark, dir))
+  }
+
+  /** t40 core over any (doc_id, lang, text) frame — extracted so the
+    * property suite can drive adversarial texts (multi-byte, repeated
+    * separators, empty) through the exact production plan. */
+  private[graft] def t40EntropyCore(documents: DataFrame): DataFrame = {
+    documents
+      .withColumn("es", expr("graft_entropy_stats(text)"))
+      .select(col("doc_id"), col("lang"),
+        col("es").getItem(4).cast("long").as("n_chars"),
+        col("es").getItem(5).cast("long").as("n_words"),
+        col("es").getItem(3).cast("long").as("n_distinct_words"),
+        round(col("es").getItem(0), 6).as("char_entropy"),
+        round(col("es").getItem(1), 6).as("word_entropy"))
+      .withColumn("ttr_pm",
+        expr("n_distinct_words * 10000 DIV n_words"))
+      .withColumn("low_entropy",
+        (col("char_entropy") < lit(LowEntropyBar)).cast("int"))
+      .orderBy("doc_id")
+  }
 }

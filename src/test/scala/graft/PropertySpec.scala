@@ -736,4 +736,58 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("t40 entropy kernel matches an in-memory reference on adversarial texts") {
+    graft.functions.GraftFunctions.register(spark)
+    val wordGen = Gen.oneOf("the", "cat", "日本語", "aa", "", "x", "éß")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val textsGen = Gen.listOfN(8, textGen)
+    samples(textsGen, 25).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, l, t) => Row(i, l, t) }, 3),
+        schema)
+      val got = operators.TextAnalysis.t40EntropyCore(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getLong(7), r.getInt(8))))
+        .toMap
+      def ent(counts: Iterable[Long], n: Long): Double =
+        if (n == 0L) 0.0
+        else math.log(n.toDouble) -
+          counts.map(c => c * math.log(c.toDouble)).sum / n
+      val want = docs.map { case (id, _, t) =>
+        val cps = t.codePoints().toArray.toSeq
+        val charCounts = cps.groupBy(identity).map(_._2.size.toLong)
+        // split(' ') with empties kept — string_split parity
+        val words = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var start = 0
+          for (j <- 0 to t.length)
+            if (j == t.length || t.charAt(j) == ' ') { b += t.substring(start, j); start = j + 1 }
+          b.toSeq
+        }
+        val wordCounts = words.groupBy(identity).map(_._2.size.toLong)
+        val nc = cps.size.toLong
+        val nw = words.size.toLong
+        val ce = BigDecimal(ent(charCounts, nc)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val we = BigDecimal(ent(wordCounts, nw)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((nc, nw, wordCounts.size.toLong, ce, we,
+          wordCounts.size.toLong * 10000L / nw,
+          if (ce < operators.TextAnalysis.LowEntropyBar) 1 else 0))
+      }.toMap
+      for ((id, w) <- want) {
+        val g = got(id)
+        assert(g._1 === w._1 && g._2 === w._2 && g._3 === w._3, s"counts for doc $id")
+        assert(math.abs(g._4 - w._4) < 1e-9 && math.abs(g._5 - w._5) < 1e-9,
+          s"entropies for doc $id: got $g want $w")
+        assert(g._6 === w._6 && g._7 === w._7, s"ttr/flag for doc $id")
+      }
+    }
+  }
 }

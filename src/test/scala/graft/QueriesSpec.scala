@@ -1074,4 +1074,43 @@ class QueriesSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSet
     assert(got === expect)
   }
+
+  test("p67 cascade: funnel arithmetic balances and the exact stage equals d21") {
+    import org.apache.spark.sql.functions._
+    val a = graft.operators.Pipeline.p67DedupCascade(spark, dir)
+    val rows = a.collect()
+    rows.foreach { r =>
+      val (in, re, rn, ae, an) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(re >= 0 && rn >= 0, s"negative removals in $r")
+      assert(ae === in - re && an === ae - rn, s"funnel arithmetic broken in $r")
+    }
+    val totalInput = rows.map(_.getLong(1)).sum
+    assert(totalInput === Tables.documents(spark, dir).count())
+    // stage-1 removals must equal d21's duplicate count exactly
+    val d21Removed = graft.operators.Dedup.d21ExactDedup(spark, dir)
+      .agg(sum(col("n_docs") - 1)).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === d21Removed)
+  }
+
+  test("t40 entropy: bounds, ttr range, exact dups score identically") {
+    val t = graft.operators.TextAnalysis.t40Entropy(spark, dir).collect()
+    t.foreach { r =>
+      val (nc, nw, ndw) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (ce, we, ttr) = (r.getDouble(5), r.getDouble(6), r.getLong(7))
+      assert(ce >= 0 && we >= 0, s"negative entropy in $r")
+      assert(nc == 0 || ce <= math.log(nc.toDouble) + 1e-6)
+      assert(we <= math.log(nw.toDouble) + 1e-6)
+      assert(ndw >= 1 && ndw <= nw)
+      assert(ttr >= 1 && ttr <= 10000)
+    }
+    // identical text ⇒ identical signals (join t40 against raw text)
+    val byText = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    t.groupBy(r => byText(r.getLong(0))).values.foreach { grp =>
+      val sigs = grp.map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).distinct
+      assert(sigs.size === 1, "exact-dup docs scored differently")
+    }
+  }
 }
