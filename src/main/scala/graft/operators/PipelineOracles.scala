@@ -1771,9 +1771,51 @@ object PipelineOracles {
       |JOIN we ON d.doc_id = we.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // q66 mirror — same shingle-hash universe, same exact-integer K-least
+  // selection (distinct 60-bit hashes: no ties), same double estimators
+  // over the shared rounded est_union.
+  private val q66Sql: String = {
+    val k = Sketches.KmvK
+    val m = Dedup.IncrementalBatchMod
+    s"""WITH ${shingleCte.stripPrefix("WITH ")}, hh AS (
+      |  SELECT DISTINCT (doc_id % $m = 0) AS is_new, ${phSql("s")} AS h FROM sh
+      |), a AS (SELECT DISTINCT h FROM hh WHERE NOT is_new
+      |), b AS (SELECT DISTINCT h FROM hh WHERE is_new
+      |), ka AS (SELECT h FROM a ORDER BY h LIMIT $k
+      |), kb AS (SELECT h FROM b ORDER BY h LIMIT $k
+      |), kun AS (
+      |  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+      |  ORDER BY h LIMIT $k
+      |), sk AS (SELECT COUNT(*) AS n_ku, MAX(h) AS kth FROM kun
+      |), cm AS (
+      |  SELECT COUNT(*) AS n_common FROM kun
+      |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+      |), ex AS (
+      |  SELECT COUNT(*) AS n_exact_union,
+      |         CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_inter
+      |  FROM a FULL OUTER JOIN b ON a.h = b.h
+      |), est AS (
+      |  SELECT CAST($k AS BIGINT) AS k, sk.n_ku, cm.n_common,
+      |         ROUND(CASE WHEN sk.n_ku < $k THEN CAST(sk.n_ku AS DOUBLE)
+      |               ELSE ${k - 1}.0 * 1152921504606846976.0 / CAST(sk.kth AS DOUBLE)
+      |               END, 4) AS est_union,
+      |         ex.n_exact_union, ex.n_exact_inter,
+      |         cm.n_common * 10000 // sk.n_ku AS jaccard_est_pm,
+      |         ex.n_exact_inter * 10000 // ex.n_exact_union AS jaccard_exact_pm
+      |  FROM sk, cm, ex
+      |)
+      |SELECT k, n_ku, n_common, est_union, n_exact_union,
+      |       ROUND(est_union * n_common / n_ku, 4) AS est_inter,
+      |       n_exact_inter, jaccard_est_pm, jaccard_exact_pm,
+      |       ROUND(ABS(est_union - n_exact_union) / n_exact_union, 4) AS rel_err_union
+      |FROM est""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "p67_dedup_cascade" -> p67Sql,
     "t40_entropy"      -> t40Sql,
+    "q66_kmv_overlap"  -> q66Sql,
     "p60_vocab_build"  -> p60Sql,
     "t35_keywords"     -> t35Sql,
     "d29_repeated_spans" -> d29Sql,

@@ -174,4 +174,79 @@ object Sketches {
         col("n_exact"), col("hll_estimate"), col("rel_err"))
       .orderBy("day")
   }
+
+  /** q66 sketch size: K smallest distinct hash values per side. */
+  val KmvK = 256
+
+  /** The portable hash's range: 15 hex chars = 60 bits. */
+  val KmvHashRange: Double = math.pow(2.0, 60)
+
+  /** q66: KMV (k-minimum-values) cross-corpus OVERLAP sketch — estimate
+    * the shingle-set union/intersection/Jaccard between the standing
+    * corpus and the arriving batch (d27's `%5` admission split) from two
+    * 256-value sketches (Bar-Yossef et al. RANDOM'02, the public
+    * construction; Beyer et al. SIGMOD'07 for the (K−1)·M/kth unbiased
+    * union estimator). Completes the sketch family: q49 HLL counts ONE
+    * set; KMV sketches COMPOSE across sets — sketch(A∪B) is exactly the
+    * K smallest of sketch(A) ∪ sketch(B), and a union-sketch member's
+    * side-membership is decidable from the side sketches alone (if h is
+    * among the union's K smallest and h ∈ A, fewer than K members of A
+    * are smaller — so h is in A's sketch), giving the Jaccard estimate
+    * |ku ∩ ka ∩ kb| / |ku| with zero extra passes.
+    *
+    * All selection is exact integer ordering on distinct 60-bit hashes
+    * (no ties possible), so both engines pick identical sketches; only
+    * the final estimators are doubles (rounded 4dp). The exact
+    * union/intersection columns are the sketch-error report (q49/q51
+    * pattern) — at 100 TB one drops them and keeps only the sketches.
+    *
+    * 100 TB posture: each side reduces to K values via TakeOrdered
+    * (per-partition K-smallest, merged — never a global sort); the
+    * distinct-hash grain shuffles once per side with map-side partial
+    * distinct; everything downstream of the sketches is constant-size.
+    */
+  def q66KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val k = KmvK
+    val sh = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(
+        (pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod.toLong)) === 0L).as("is_new"),
+        explode(expr("graft_shingle_hashes3(words)")).as("h"))
+    val a = sh.filter(!col("is_new")).select("h").distinct()
+    val b = sh.filter(col("is_new")).select("h").distinct()
+    val ka = a.orderBy("h").limit(k)
+    val kb = b.orderBy("h").limit(k)
+    val ku = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+    val common = ku
+      .join(ka, Seq("h"), "left_semi")
+      .join(kb, Seq("h"), "left_semi")
+    val sketch = ku.agg(count(lit(1)).as("n_ku"), max(col("h")).as("kth"))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+    val exact = a.withColumn("in_a", lit(1))
+      .join(b.withColumn("in_b", lit(1)), Seq("h"), "full_outer")
+      .agg(count(lit(1)).as("n_exact_union"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_exact_inter"))
+    sketch.crossJoin(broadcast(exact))
+      .withColumn("est_union", round(
+        when(col("n_ku") < k, col("n_ku").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvHashRange) /
+            col("kth").cast("double")), 4))
+      .withColumn("est_inter", round(
+        col("est_union") * col("n_common").cast("double") /
+          col("n_ku").cast("double"), 4))
+      .withColumn("jaccard_est_pm",
+        expr("n_common * 10000 DIV n_ku"))
+      .withColumn("jaccard_exact_pm",
+        expr("n_exact_inter * 10000 DIV n_exact_union"))
+      .withColumn("rel_err_union", round(
+        abs(col("est_union") - col("n_exact_union").cast("double")) /
+          col("n_exact_union").cast("double"), 4))
+      .select(lit(k.toLong).as("k"), col("n_ku"), col("n_common"),
+        col("est_union"), col("n_exact_union"), col("est_inter"),
+        col("n_exact_inter"), col("jaccard_est_pm"), col("jaccard_exact_pm"),
+        col("rel_err_union"))
+  }
 }

@@ -712,4 +712,14 @@ class PlanSpec extends AnyFunSuite {
     val pf = planString(operators.Dedup.d34Semdedup(spark, dir))
     assert(!pf.contains("CartesianProduct"), s"unexpected cartesian in final plan:\n$pf")
   }
+
+  test("q66 KMV sketches are TakeOrdered, side scalars broadcast, no cartesian") {
+    val df = operators.Sketches.q66KmvOverlap(spark, dir)
+    val p = planString(df)
+    // each K-least selection must be per-partition heaps + merge, never
+    // a global Sort behind a shuffle
+    assert(p.contains("TakeOrderedAndProject"), s"KMV selection not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar combine must broadcast, not cartesian:\n$p")
+  }
 }

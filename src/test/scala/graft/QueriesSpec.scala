@@ -1093,6 +1093,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === d21Removed)
   }
 
+  test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
+    val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
+    val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (estU, nExU) = (r.getDouble(3), r.getLong(4))
+    val (estI, nExI) = (r.getDouble(5), r.getLong(6))
+    val (jEst, jEx) = (r.getLong(7), r.getLong(8))
+    assert(nKu <= k && nCommon <= nKu)
+    assert(nExI <= nExU && nExU > 0)
+    assert(estU > 0 && estI >= 0 && estI <= estU + 1e-9)
+    assert(jEst >= 0 && jEst <= 10000 && jEx >= 0 && jEx <= 10000)
+    // K=256 gives ~1/sqrt(K) ≈ 6% standard error; assert a loose 4-sigma
+    assert(math.abs(jEst - jEx) <= 2500, s"jaccard estimate off: $jEst vs $jEx")
+    assert(math.abs(estU - nExU) / nExU <= 0.5, s"union estimate off: $estU vs $nExU")
+  }
+
   test("t40 entropy: bounds, ttr range, exact dups score identically") {
     val t = graft.operators.TextAnalysis.t40Entropy(spark, dir).collect()
     t.foreach { r =>
