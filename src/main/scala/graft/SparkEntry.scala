@@ -80,6 +80,7 @@ object SparkEntry {
     "s32_pq_adc"          -> (Similarity.s32PqAdc _),
     "s33_ivfpq"           -> (Similarity.s33IvfPq _),
     "s34_sq_ann"          -> (Similarity.s34SqAnn _),
+    "s35_filtered_ann"    -> (Similarity.s35FilteredAnn _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),

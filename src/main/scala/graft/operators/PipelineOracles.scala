@@ -1812,10 +1812,41 @@ object PipelineOracles {
       |FROM est""".stripMargin
   }
 
+  // s35 mirror — s28's cell candidates with the allowed-label pre-filter
+  // composed into the corpus side (label attaches from the n CTE; the
+  // IN-list is the same constant set the Spark plan pushes to the scan).
+  private val s35Sql: String = {
+    val labels = Similarity.FilteredAnnLabels.mkString(", ")
+    s"""$ivfRankCtes, corp AS (
+      |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn = 1
+      |), corpf AS (
+      |  SELECT c2.vec_id, c2.v, c2.norm, c2.cell, n.label
+      |  FROM corp c2 JOIN n ON c2.vec_id = n.vec_id
+      |  WHERE n.label IN ($labels)
+      |), qp AS (
+      |  SELECT vec_id, v, norm, c AS cell FROM rk WHERE rn <= $IvfProbes AND vec_id < 10
+      |), p AS (
+      |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+      |         c2.label AS neighbor_label,
+      |         ROUND(${dotSql("q", "c2")} / (q.norm * c2.norm), 6) AS cos_sim
+      |  FROM qp q JOIN corpf c2 ON q.cell = c2.cell AND q.vec_id <> c2.vec_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk,
+      |         CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_allowed_candidates
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, neighbor_label, rnk, cos_sim, n_allowed_candidates
+      |FROM r WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "p67_dedup_cascade" -> p67Sql,
     "t40_entropy"      -> t40Sql,
     "q66_kmv_overlap"  -> q66Sql,
+    "s35_filtered_ann" -> s35Sql,
     "p60_vocab_build"  -> p60Sql,
     "t35_keywords"     -> t35Sql,
     "d29_repeated_spans" -> d29Sql,

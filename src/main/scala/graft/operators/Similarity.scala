@@ -183,6 +183,50 @@ object Similarity {
     * exchange. Iterations are fixed at 2 (unrolled — no driver loop,
     * no collect; lineage depth is constant).
     */
+  /** s35's allowed label set — a static IN-list, chosen over an
+    * arithmetic predicate (label % 2 = 0) because IN is a parquet
+    * row-group pushdown primitive while modulo is not; PlanSpec pins
+    * the pushed filter on the corpus scan. */
+  val FilteredAnnLabels: Seq[Int] = Seq(0, 2, 4, 6, 8)
+
+  /** s35: FILTERED vector search — top-k under a metadata predicate,
+    * the production retrieval shape vector systems name as a hard
+    * problem (post-filtering an index loses recall when the filter is
+    * selective; pre-filtering loses the index when it isn't). The
+    * declarative Spark answer is PRE-FILTER THROUGH THE INDEX: the
+    * predicate composes into the IVF candidate equi-join's corpus side,
+    * so (a) it reaches the parquet scan as a pushed row-group filter —
+    * non-qualifying corpus vectors die before the join, and (b) the
+    * cell index still bounds candidates (|Q|·nprobe·cell-size, never
+    * filtered-corpus²). Recall semantics are exact w.r.t. the filtered
+    * universe — unlike post-filtering, no qualifying neighbor is lost
+    * to the cut-off, only to IVF's own probe miss (s29 measures that).
+    * Per-query n_allowed_candidates reports the filtered fan-in.
+    *
+    * 100 TB posture: identical to s28 plus a scan-level filter —
+    * strictly cheaper than the unfiltered probe.
+    */
+  def s35FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("cells", expr("graft_ivf_cells(v)"))
+    val c = e.filter(col("label").isin(FilteredAnnLabels.map(Integer.valueOf): _*))
+      .withColumn("cell", col("cells").getItem(0)).drop("cells").as("c")
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("cell", explode(col("cells"))).drop("cells").as("q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos_sim", round(expr(cosExpr) / (col("q.norm") * col("c.norm")), 6))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.label").as("neighbor_label"), col("cos_sim"))
+      .withColumn("n_allowed_candidates",
+        count(lit(1)).over(Window.partitionBy("query_id")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "neighbor_label", "rnk", "cos_sim",
+        "n_allowed_candidates")
+      .orderBy("query_id", "rnk")
+  }
+
   def s30Kmeans(spark: SparkSession, dir: String): DataFrame =
     kmeansAssign(spark, dir)
       .select(col("vec_id"), col("cid"), col("dist"))

@@ -713,6 +713,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!pf.contains("CartesianProduct"), s"unexpected cartesian in final plan:\n$pf")
   }
 
+  test("s35 filtered ANN: label IN-list is pushed to the corpus parquet scan") {
+    val df = operators.Similarity.s35FilteredAnn(spark, dir)
+    val p = df.queryExecution.toString
+    // the pre-filter must reach the scan as a row-group pushdown, not
+    // evaluate post-read (the whole point of the pre-filter strategy)
+    assert(p.contains("PushedFilters") && p.contains("In(label"),
+      s"label IN-list not pushed to scan:\n${p.take(4000)}")
+    val pf = planString(df)
+    assert(!pf.contains("CartesianProduct"), s"unexpected cartesian:\n$pf")
+  }
+
   test("q66 KMV sketches are TakeOrdered, side scalars broadcast, no cartesian") {
     val df = operators.Sketches.q66KmvOverlap(spark, dir)
     val p = planString(df)

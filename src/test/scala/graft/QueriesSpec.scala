@@ -1108,6 +1108,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(estU - nExU) / nExU <= 0.5, s"union estimate off: $estU vs $nExU")
   }
 
+  test("s35 filtered ANN: only allowed labels, ranks contiguous, sims ordered") {
+    val allowed = graft.operators.Similarity.FilteredAnnLabels.toSet
+    val rows = graft.operators.Similarity.s35FilteredAnn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { grp =>
+      val sorted = grp.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to sorted.length))
+      sorted.foreach(r => assert(allowed.contains(r.getInt(2)), s"disallowed label in $r"))
+      val sims = sorted.map(_.getDouble(4))
+      assert(sims.sliding(2).forall { case Array(a, b) => b <= a + 1e-9; case _ => true })
+      assert(grp.forall(_.getLong(5) >= grp.length))
+    }
+  }
+
   test("t40 entropy: bounds, ttr range, exact dups score identically") {
     val t = graft.operators.TextAnalysis.t40Entropy(spark, dir).collect()
     t.foreach { r =>
