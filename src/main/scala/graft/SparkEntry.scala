@@ -131,7 +131,8 @@ object SparkEntry {
     "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _),
     "q57_reconciliation"  -> (graft.sources.Sources.q57Reconciliation _),
     "q39_bucketed_join"   -> (graft.sources.Sources.q39BucketedJoin _),
-    "q40_multi_format"    -> (graft.sources.Sources.q40MultiFormat _)
+    "q40_multi_format"    -> (graft.sources.Sources.q40MultiFormat _),
+    "q67_schema_evolution" -> (graft.sources.Sources.q67SchemaEvolution _)
   )
 
   /** Resolve the optional SPARK_GRAFT_ONLY comma-list into a query map.
@@ -269,6 +270,18 @@ object SparkEntry {
       "q40_multi_format" ->
         """SELECT r_name, n_name
           |FROM nation JOIN region ON n_regionkey = r_regionkey
-          |ORDER BY r_name, n_name""".stripMargin
+          |ORDER BY r_name, n_name""".stripMargin,
+      // q67: the Spark side writes the two-schema footprints and reads
+      // them merged; the oracle restates the end state from the
+      // original parquet with the same date split (q39/q43 pattern)
+      "q67_schema_evolution" ->
+        s"""SELECT event_type, COUNT(*) AS n_events,
+          |       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '${graft.sources.Sources.EvolutionCut}'
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+          |       CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '${graft.sources.Sources.EvolutionCut}'
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled,
+          |       CAST(SUM(CAST(FLOOR(value / 100.0) AS BIGINT)) AS BIGINT) AS sum_band
+          |FROM events GROUP BY event_type
+          |ORDER BY event_type""".stripMargin
     )
 }

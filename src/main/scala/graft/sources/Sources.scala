@@ -242,4 +242,50 @@ object Sources {
         min(col("key")).as("min_key"), max(col("key")).as("max_key"))
       .orderBy("check_status")
   }
+
+  /** The date at which q67's simulated schema drift begins: files
+    * written before it lack the `value_band` column. */
+  val EvolutionCut = "2024-01-08"
+
+  /** q67: SCHEMA-EVOLUTION lake read — the drift shape every long-lived
+    * dataset hits: early files lack a column later files carry (the
+    * reference's VACOLS tables gained columns across years; any
+    * 100 TB event lake has pre-drift parquet it cannot afford to
+    * rewrite). Batch 1 (events before [[EvolutionCut]]) is written
+    * WITHOUT `value_band`; batch 2 carries it. The read unions the two
+    * footprints with `mergeSchema` (a FOOTER-level union — no file is
+    * rewritten, absent columns surface as null), and the aggregation
+    * demonstrates the canonical late-schema pattern: count physically
+    * evolved rows vs rows needing the COALESCE backfill, with the
+    * backfill expression (floor(value/100)) equal to the writer's
+    * derivation so the banded sum is drift-transparent.
+    *
+    * Structural (q39/q43 family): the Spark side pays two writes + the
+    * merged read; the oracle restates the end state from the original
+    * parquet with the same date split. 100 TB posture: mergeSchema's
+    * footer union is listing-time work; the data-side cost is the same
+    * single scan + map-side-combined aggregate as any events rollup.
+    */
+  def q67SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val n = counter.incrementAndGet()
+    val b1 = graft.Scratch.dir(s"graft_evo1_${n}_")
+    val b2 = graft.Scratch.dir(s"graft_evo2_${n}_")
+    val ev = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    ev.filter(col("event_date") < lit(EvolutionCut))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(b1)
+    ev.filter(col("event_date") >= lit(EvolutionCut))
+      .withColumn("value_band", floor(col("value") / lit(100.0)).cast("long"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "value_band")
+      .write.mode("overwrite").parquet(b2)
+    spark.read.option("mergeSchema", "true").parquet(b1, b2)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value_band").isNotNull, 1L).otherwise(0L)).as("n_evolved"),
+        sum(when(col("value_band").isNull, 1L).otherwise(0L)).as("n_backfilled"),
+        sum(coalesce(col("value_band"),
+          floor(col("value") / lit(100.0)).cast("long"))).as("sum_band"))
+      .orderBy("event_type")
+  }
 }

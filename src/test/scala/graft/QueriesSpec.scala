@@ -1108,6 +1108,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(estU - nExU) / nExU <= 0.5, s"union estimate off: $estU vs $nExU")
   }
 
+  test("q67 schema evolution: both schema regimes exercised, totals balance") {
+    val r = graft.sources.Sources.q67SchemaEvolution(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) === row.getLong(2) + row.getLong(3),
+        s"evolved+backfilled != total in $row")
+    }
+    // the drift must actually bite: pre-drift AND post-drift rows exist
+    assert(r.map(_.getLong(2)).sum > 0, "no physically evolved rows")
+    assert(r.map(_.getLong(3)).sum > 0, "no backfilled rows — mergeSchema untested")
+    assert(Tables.events(spark, dir).count() === r.map(_.getLong(1)).sum)
+  }
+
   test("s35 filtered ANN: only allowed labels, ranks contiguous, sims ordered") {
     val allowed = graft.operators.Similarity.FilteredAnnLabels.toSet
     val rows = graft.operators.Similarity.s35FilteredAnn(spark, dir).collect()
