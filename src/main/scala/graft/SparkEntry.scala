@@ -106,6 +106,7 @@ object SparkEntry {
     "d33_winnow"          -> (Dedup.d33Winnow _),
     "d34_semdedup"        -> (Dedup.d34Semdedup _),
     "d35_edit_verify"     -> (Dedup.d35EditVerify _),
+    "d36_sig_jaccard"     -> (Dedup.d36SigJaccard _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "p65_dataset_card"    -> (Pipeline.p65DatasetCard _),
     "p66_bpe_merges"      -> (Pipeline.p66BpeMerges _),

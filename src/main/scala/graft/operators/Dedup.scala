@@ -392,6 +392,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d36: signature-space Jaccard ESTIMATION over d22's candidate pairs
+    * — the Broder minhash theorem applied as an operator (P[h_min(A) =
+    * h_min(B)] = J(A,B); STOC'97/'98 construction): estimate = the
+    * fraction of the 16 minhash components that agree, computed from
+    * the SIGNATURES ALONE. This is what production dedup ranks
+    * candidates by at 100 TB — the signatures are already materialized
+    * by the LSH index, so ranking costs 16 integer compares per pair
+    * with NO access to document content (d24's exact posting
+    * intersection re-touches the corpus; d35's verifier re-reads
+    * text). The exact Jaccard (distinct shingle-hash sets) rides
+    * alongside as the estimator-error report — the q49/q51 sketch+
+    * error pattern; production drops those columns and keeps the
+    * content-free estimate.
+    *
+    * 100 TB posture: the candidate graph is d22's (shared definition);
+    * signatures and hash sets attach by two equi-joins of the pair
+    * list (pairs ≪ corpus); per-pair cost is 16 compares + one bounded
+    * array intersection (exact columns only). Nothing is all-pairs.
+    */
+  def d36SigJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.PortableHash.NumMinhash
+    val docs = shingled(spark, dir)
+      .select(col("doc_id"),
+        expr("graft_minhash_sig(shingles)").as("sig"),
+        // distinct RAW 60-bit hashes: a (consistent, shared-hash)
+        // collision must not double-count either side's intersection
+        array_distinct(expr("graft_shingle_hashes3(words)")).as("hs"))
+    minhashBandPairs(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sa"), col("hs").as("ha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sb"), col("hs").as("hb")), Seq("doc_b"))
+      .withColumn("n_match", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        .cast("long"))
+      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("ha")) + size(col("hb"))).cast("long") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        expr(s"n_match * 10000 DIV $NumMinhash").as("jaccard_est_pm"),
+        expr("n_inter * 10000 DIV n_union").as("jaccard_exact_pm"))
+      .withColumn("err_pm", abs(col("jaccard_est_pm") - col("jaccard_exact_pm")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d27 batch membership rule: every 5th doc_id is "newly arrived", the
     * rest are the standing corpus. Deterministic arithmetic both engines
     * reproduce (the q46 pattern for synthesized structure). */

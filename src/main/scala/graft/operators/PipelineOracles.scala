@@ -1842,11 +1842,46 @@ object PipelineOracles {
       |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // d36 mirror — the sig CTE's m0..m15 compared per pair (the same 16
+  // minhash values the Spark kernel computes), exact Jaccard from
+  // distinct RAW 60-bit shingle hashes.
+  private val d36Sql: String = {
+    val matches = (0 until NumMinhash)
+      .map(j => s"CAST(sa.m$j = sb.m$j AS INT)").mkString(" + ")
+    s"""WITH $d22PairsCtes, dh AS (
+      |  SELECT DISTINCT doc_id, ${phSql("s")} AS h FROM sh
+      |), dsz AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM dh GROUP BY doc_id
+      |), est AS (
+      |  SELECT p.doc_a, p.doc_b, ($matches) AS n_match
+      |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+      |               JOIN sig sb ON sb.doc_id = p.doc_b
+      |), ix AS (
+      |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      |  FROM pairs p JOIN dh a2 ON a2.doc_id = p.doc_a
+      |               JOIN dh b2 ON b2.doc_id = p.doc_b AND b2.h = a2.h
+      |  GROUP BY p.doc_a, p.doc_b
+      |)
+      |SELECT e.doc_a, e.doc_b, CAST(e.n_match AS BIGINT) AS n_match,
+      |       CAST(e.n_match AS BIGINT) * 10000 // $NumMinhash AS jaccard_est_pm,
+      |       COALESCE(ix.n_inter, 0) * 10000
+      |         // (sza.n + szb.n - COALESCE(ix.n_inter, 0)) AS jaccard_exact_pm,
+      |       ABS(CAST(e.n_match AS BIGINT) * 10000 // $NumMinhash
+      |           - COALESCE(ix.n_inter, 0) * 10000
+      |             // (sza.n + szb.n - COALESCE(ix.n_inter, 0))) AS err_pm
+      |FROM est e
+      |JOIN dsz sza ON sza.doc_id = e.doc_a
+      |JOIN dsz szb ON szb.doc_id = e.doc_b
+      |LEFT JOIN ix ON ix.doc_a = e.doc_a AND ix.doc_b = e.doc_b
+      |ORDER BY e.doc_a, e.doc_b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "p67_dedup_cascade" -> p67Sql,
     "t40_entropy"      -> t40Sql,
     "q66_kmv_overlap"  -> q66Sql,
     "s35_filtered_ann" -> s35Sql,
+    "d36_sig_jaccard"  -> d36Sql,
     "p60_vocab_build"  -> p60Sql,
     "t35_keywords"     -> t35Sql,
     "d29_repeated_spans" -> d29Sql,

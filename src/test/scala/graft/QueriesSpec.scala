@@ -1108,6 +1108,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(math.abs(estU - nExU) / nExU <= 0.5, s"union estimate off: $estU vs $nExU")
   }
 
+  test("d36 sig jaccard: pair set is d22's, band floor holds, scales bounded") {
+    val rows = graft.operators.Dedup.d36SigJaccard(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, est, ex, err) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // a band collision means 4 consecutive minhash components agree
+      assert(m >= graft.functions.PortableHash.RowsPerBand && m <= 16, s"n_match out of band in $r")
+      assert(est >= 0 && est <= 10000 && ex >= 0 && ex <= 10000)
+      assert(err === math.abs(est - ex))
+    }
+    val d22 = graft.operators.Dedup.d22MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === d22)
+  }
+
   test("q67 schema evolution: both schema regimes exercised, totals balance") {
     val r = graft.sources.Sources.q67SchemaEvolution(spark, dir).collect()
     assert(r.nonEmpty)

@@ -9,8 +9,9 @@ import sys, json
 
 # structural exclusions (BASELINE.md): layout writes, conf-scoped bloom
 # mechanism, streaming machinery
-EXCLUDE = {"q39_bucketed_join", "q43_partition_prune", "q58_bloom_prefilter"} | {
-    f"st{n}_" for n in range(33, 45)}
+EXCLUDE = {"q39_bucketed_join", "q43_partition_prune", "q58_bloom_prefilter",
+           "q67_schema_evolution"} | {
+    f"st{n}_" for n in range(33, 46)}
 
 def is_excluded(k):
     return k in EXCLUDE or any(k.startswith(p) for p in EXCLUDE)
