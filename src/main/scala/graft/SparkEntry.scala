@@ -81,6 +81,7 @@ object SparkEntry {
     "s33_ivfpq"           -> (Similarity.s33IvfPq _),
     "s34_sq_ann"          -> (Similarity.s34SqAnn _),
     "s35_filtered_ann"    -> (Similarity.s35FilteredAnn _),
+    "s36_hash_vectors"    -> (Similarity.s36HashVectors _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),
@@ -107,10 +108,12 @@ object SparkEntry {
     "d34_semdedup"        -> (Dedup.d34Semdedup _),
     "d35_edit_verify"     -> (Dedup.d35EditVerify _),
     "d36_sig_jaccard"     -> (Dedup.d36SigJaccard _),
+    "d37_bloom_admit"     -> (Dedup.d37BloomAdmit _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "p65_dataset_card"    -> (Pipeline.p65DatasetCard _),
     "p66_bpe_merges"      -> (Pipeline.p66BpeMerges _),
     "p67_dedup_cascade"   -> (Pipeline.p67DedupCascade _),
+    "p68_bpe_encode"      -> (Pipeline.p68BpeEncode _),
     "q58_bloom_prefilter" -> (CoreQueries.q58BloomPrefilter _),
     "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),
     "q60_cube"            -> (CoreQueries.q60Cube _),

@@ -59,6 +59,23 @@ object PortableHash {
   val IvfProbes = 2
   val IvfOffset = 101
 
+  /** s36 feature-hashing (hashing trick) vector dimension: token w maps
+    * to component ph(w) mod D with sign +1 iff (ph(w) div D) is even —
+    * pure int64 arithmetic both engines reproduce exactly. */
+  val HashVecDim = 64
+
+  /** d37 bloom filter: K position hashes from the minhash family at seed
+    * offset 40 (disjoint from minhash rows 0..15 and t37's CMS rows at
+    * offset 32). Bit-domain M scales with the corpus key count n as
+    * max(BloomMinBits, BloomBitsPerKey·n) — the d28 nlist discipline:
+    * fixed M saturates at scale (load kn/M → fill → FP → 1), sized M
+    * pins the load at K/BloomBitsPerKey = 0.25 and the FP rate at
+    * (1−e^−0.25)⁴ ≈ 0.24% REGARDLESS of corpus size. */
+  val BloomMinBits = 8192L
+  val BloomBitsPerKey = 16L
+  val BloomK = 4
+  val BloomSeedOffset = 40
+
   /** Portable HLL (q49): p = 8 → m = 256 buckets; the 60-bit [[ph]]
     * splits into 8 bucket bits + a 52-bit pattern word. Rho and the
     * normalizer Z are computed in pure int64 (Z in units of 2⁻⁵³), so

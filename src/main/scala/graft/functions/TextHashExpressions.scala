@@ -290,6 +290,29 @@ object TextHash {
       cc.size.toDouble, wc.size.toDouble, nc.toDouble, nw.toDouble))
   }
 
+  /** s36's feature-hashed (hashing-trick) document vector — one pass
+    * over the token array: token w adds ±1 (sign from hash bit) to
+    * component ph(w) mod D. Signed hashing keeps inner products unbiased
+    * (Weinberger et al., ICML'09 §3). Components are exact small
+    * integers carried as doubles (every value ≪ 2⁵³), so [[graft.functions.DotProduct]]
+    * and the oracle's exact-BIGINT relational dot agree bit-for-bit
+    * regardless of summation order. */
+  def hashVecData(words: ArrayData): ArrayData = {
+    val d = PortableHash.HashVecDim
+    val out = new Array[Double](d)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val h = ph(words.getUTF8String(i).getBytes)
+        val b = (h % d).toInt
+        if ((h / d) % 2 == 0L) out(b) += 1.0 else out(b) -= 1.0
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One pass over the token array → the five profile counts. */
   def stopScoresData(words: ArrayData): ArrayData = {
     val n = words.numElements()
@@ -342,6 +365,30 @@ case class StopScores(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.stopScoresData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): StopScores = copy(child = c)
+}
+
+/** hash_vec(array<string>) → array<double>[D]: s36's feature-hashed
+  * signed-tf document vector (see [[TextHash.hashVecData]]) — the
+  * declarative formulation explodes the corpus to the token grain and
+  * re-aggregates by (doc, bucket) through a shuffle; this kernel folds
+  * the whole vector in one codegen'd pass per document, zero shuffle.
+  */
+case class HashVec(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hash_vec expects array<string>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_hash_vec"
+  override def staticMethod: String = "hashVecData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.hashVecData(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): HashVec = copy(child = c)
 }
 
 /** entropy_stats(string) → array<double>[6]: t40's per-document entropy

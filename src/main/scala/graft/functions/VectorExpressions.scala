@@ -515,6 +515,8 @@ object GraftFunctions {
       "graft_stop_scores", exprs => StopScores(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_entropy_stats", exprs => EntropyStats(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash_vec", exprs => HashVec(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

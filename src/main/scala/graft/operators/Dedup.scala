@@ -497,6 +497,79 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d37: bloom-filter membership PRE-SCREEN for incremental admission
+    * (Bloom CACM'70) — the approximate index that fronts d27's exact
+    * check at 100 TB: the standing corpus's content-hash set compresses
+    * into an M-bit filter (BloomBitsPerKey·n bits, here the distinct-
+    * position relation — the same object as the bitmap, and mergeable
+    * the same way: union = OR, built map-side), and an arriving doc
+    * touches the exact hash index only if all K filter probes hit. A
+    * bloom miss is DEFINITIVE (no false negatives — the filter's
+    * contract, spec-pinned); a hit is provisional and the exact check
+    * re-verifies, so the screen is semantics-preserving exactly like
+    * q58's runtime bloom join. The report grades the filter against
+    * d27's exact rule (the q49/q51 sketch+measured-error pattern):
+    * per-outcome counts and batch shares, where false_positive share IS
+    * the measured FP rate — pinned near (1−e^(−K·n/M))^K ≈ 0.24% by the
+    * M-sizing rule (see [[graft.functions.PortableHash.BloomMinBits]];
+    * fixed-M filters saturate at scale, the d28 nlist lesson).
+    *
+    * Scale posture: the sizing count is one planning aggregate (d28
+    * precedent); build = one linear scan → ≤M-row distinct aggregate;
+    * probe = K positions per batch doc equi-joined against the filter
+    * relation (broadcast — an M-bit filter is KBs); classification =
+    * one narrow batch-grain aggregate. The corpus TEXT is never touched
+    * after the hash projection, and nothing is all-pairs.
+    */
+  def d37BloomAdmit(spark: SparkSession, dir: String): DataFrame =
+    d37BloomCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — extracted so the spec can
+    * drive constructed corpora (with real cross-partition duplicates,
+    * which the synthetic corpus lacks) through the production plan and
+    * see the true_positive / false_positive arms fire. */
+  private[graft] def d37BloomCore(documents: DataFrame): DataFrame = {
+    val mMod = IncrementalBatchMod
+    val isBatch = pmod(col("doc_id"), lit(mMod)) === 0
+    val d = documents
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        (ph(col("text")) % P).as("x"))
+    // M sizes against the distinct corpus KEY count (the values actually
+    // inserted) — one planning aggregate, derived identically in the
+    // oracle so positions agree bit-for-bit
+    val nKeys = d.filter(!isBatch).agg(countDistinct(col("x"))).head.getLong(0)
+    val mBits = math.max(BloomMinBits, BloomBitsPerKey * nKeys)
+    val posCols = (0 until BloomK).map { j =>
+      val s = BloomSeedOffset + j
+      ((lit(seedA(s)) * col("x") + lit(seedB(s))) % P % mBits).as(s"p$j")
+    }
+    val pos = d.select(col("doc_id") +: posCols: _*)
+      .select(col("doc_id"), explode(array((0 until BloomK).map(j => col(s"p$j")): _*)).as("pos"))
+    val bloom = pos.join(d.filter(!isBatch).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("pos").distinct()
+      .withColumn("in_bloom", lit(true))
+    val corpusH = d.filter(!isBatch).select(col("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val probe = pos.join(d.filter(isBatch).select("doc_id"), Seq("doc_id"), "left_semi")
+      .distinct()
+      .join(broadcast(bloom), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("in_bloom"), 1L).otherwise(0L)).as("n_hit"))
+    d.filter(isBatch)
+      .join(probe, Seq("doc_id"))
+      .join(corpusH, Seq("h"), "left")
+      .select(
+        when(col("n_hit") === col("n_pos") && col("in_corpus"), "true_positive")
+          .when(col("n_hit") === col("n_pos"), "false_positive")
+          .when(col("in_corpus"), "false_negative")
+          .otherwise("true_negative").as("outcome"))
+      .groupBy("outcome").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_pm",
+        expr("CAST(n_docs * 10000 DIV (SUM(n_docs) OVER ()) AS BIGINT)"))
+      .orderBy("outcome")
+  }
+
   /** d25 is all-pairs WITHIN a label block — the documented small-side
     * baseline (s27/s28 are the unbounded scale path). This cap makes the
     * quadratic envelope explicit: a block of b rows joins C(b,2) pairs,

@@ -555,9 +555,12 @@ object Pipeline {
   def p66BpeMerges(spark: SparkSession, dir: String): DataFrame =
     p66BpeCore(Tables.documents(spark, dir))
 
-  /** Learn core over any (doc_id, text) frame — extracted so property
-    * tests can drive random corpora through the exact production plan. */
-  private[graft] def p66BpeCore(documents: DataFrame): DataFrame = {
+  /** The shared learn loop: per rank k, the ≤1-row argmax frame
+    * (pair, pair_n, m). ONE definition feeds p66's merge report and
+    * p68's corpus encoder, so learn and apply cannot drift. Each top
+    * chains on the previous merges through the lazy plan — nothing
+    * executes until the caller's action. */
+  private[graft] def bpeLearnTops(documents: DataFrame): Seq[DataFrame] = {
     val wc = documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(explode(col("words")).as("word"))
@@ -573,8 +576,8 @@ object Pipeline {
       .localCheckpoint()
     var syms = wc.withColumn("sym",
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
-    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (k <- 1 to BpeMerges) {
+    val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to BpeMerges) {
       val top = syms
         .withColumn("arr", split(trim(col("sym")), " "))
         .filter(size(col("arr")) >= 2)
@@ -585,17 +588,97 @@ object Pipeline {
         .groupBy("pair").agg(sum(col("wn")).as("pair_n"))
         .orderBy(col("pair_n").desc, col("pair")).limit(1)
         .withColumn("m", expr("replace(pair, ' ', '')"))
-      steps += top.select(lit(k.toLong).as("rnk"),
-        expr("split(pair, ' ')[0]").as("left_sym"),
-        expr("split(pair, ' ')[1]").as("right_sym"),
-        col("m").as("merged"), col("pair_n"))
+      tops += top
       syms = syms
         .crossJoin(broadcast(top.select(col("pair"), col("m"))))
         .withColumn("sym",
           expr("replace(sym, concat(' ', pair, ' '), concat(' ', m, ' '))"))
         .select(col("word"), col("wn"), col("sym"))
     }
+    tops.toSeq
+  }
+
+  /** Learn core over any (doc_id, text) frame — extracted so property
+    * tests can drive random corpora through the exact production plan. */
+  private[graft] def p66BpeCore(documents: DataFrame): DataFrame = {
+    val steps = bpeLearnTops(documents).zipWithIndex.map { case (top, i) =>
+      top.select(lit(i + 1L).as("rnk"),
+        expr("split(pair, ' ')[0]").as("left_sym"),
+        expr("split(pair, ' ')[1]").as("right_sym"),
+        col("m").as("merged"), col("pair_n"))
+    }
     steps.reduce(_ unionByName _).orderBy("rnk")
+  }
+
+  /** p68: BPE tokenizer APPLICATION (encode) — the apply step that
+    * completes p66's learn (Sennrich ACL'16, arXiv:1508.07909): the
+    * learned merge table, applied in rank order, tokenizes the corpus,
+    * and the per-source report gives the number every tokenizer build
+    * signs off on — the compression ratio (BPE tokens per 10k character
+    * tokens). Character-level tokenization is the rank-0 floor (every
+    * non-space character one token); each merge strictly shrinks the
+    * count wherever its pair occurs.
+    *
+    * Merge application rides the SAME stdlib `replace(' l r ', ' lr ')`
+    * device p66 verified bit-identical across Java and DuckDB — applied
+    * to the whole document's symbolization in one pass per merge. Word
+    * boundaries are held by a '|' sentinel symbol (spaces → '|' before
+    * char-spacing): learned pairs never contain '|' (it does not occur
+    * in corpus words), so no replace can fuse across words — exactly
+    * per-word BPE without exploding the corpus to the word grain. An
+    * empty merge step (all words single-symbol — exhausted vocabulary)
+    * passes documents through unchanged via a left join, never wiping
+    * the corpus the way a bare cross join against an empty argmax would.
+    *
+    * 100 TB posture: learning runs on the |vocab| grain (p66's plan —
+    * the corpus-sized stage is one word-count aggregation); the merge
+    * table is K broadcast single-row frames; encoding is a pure
+    * projection over the corpus (string replaces + length arithmetic,
+    * all codegen'd); the report is one map-side-combined aggregation on
+    * source. Zero data-row shuffles end to end. A production deployment
+    * persists the merge table and runs only the projection.
+    */
+  def p68BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    p68BpeEncodeCore(Tables.documents(spark, dir))
+
+  private[graft] def p68BpeEncodeCore(documents: DataFrame): DataFrame = {
+    val tops = bpeLearnTops(documents)
+    var doc = documents.select(col("source"),
+      length(expr("replace(coalesce(text, ''), ' ', '')")).cast("long")
+        .as("chars"),
+      concat(lit(" "), regexp_replace(
+        expr("replace(coalesce(text, ''), ' ', '|')"), "(.)", "$1 "))
+        .as("sym"))
+    for (top <- tops) {
+      doc = doc.join(broadcast(top.select(col("pair"), col("m"))),
+          lit(true), "left")
+        .withColumn("sym", expr(
+          """CASE WHEN pair IS NULL THEN sym
+            |ELSE replace(sym, concat(' ', pair, ' '), concat(' ', m, ' '))
+            |END""".stripMargin))
+        .drop("pair", "m")
+    }
+    doc
+      // symbol count = spaces-between + 1 on the trimmed string; word
+      // sentinels then come back off. Pure length arithmetic — no
+      // split/array materialization on the corpus grain.
+      .withColumn("bpe",
+        when(length(trim(col("sym"))) === 0, lit(0L))
+          .otherwise((length(trim(col("sym")))
+            - length(expr("replace(trim(sym), ' ', '')")) + 1).cast("long")
+            - (length(col("sym"))
+              - length(expr("replace(sym, '|', '')"))).cast("long")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_char_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"),
+        col("n_char_tokens").cast("long").as("n_char_tokens"),
+        col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+        expr("""CASE WHEN n_char_tokens = 0 THEN CAST(10000 AS BIGINT)
+          |ELSE n_bpe_tokens * 10000 DIV n_char_tokens END""".stripMargin)
+          .as("compression_pm"))
+      .orderBy("source")
   }
 
   /** p67: staged dedup CASCADE audit — exact (d21) then transitive

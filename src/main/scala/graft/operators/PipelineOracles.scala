@@ -127,6 +127,47 @@ object PipelineOracles {
       |SELECT doc_a, doc_b FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // mirror of Dedup.d37BloomAdmit: same ph(text)%P key, same K position
+  // hashes (minhash family, seed offset 40), same corpus-sized M rule
+  // derived in a CTE, same d27 exact truth and outcome taxonomy
+  private val d37Sql: String = {
+    import graft.functions.PortableHash.{BloomK, BloomMinBits, BloomBitsPerKey, BloomSeedOffset}
+    val m = Dedup.IncrementalBatchMod
+    val posList = (0 until BloomK).map { j =>
+      val s = BloomSeedOffset + j
+      s"((${seedA(s)} * x + ${seedB(s)}) % $P) % msize.m"
+    }.mkString("[", ", ", "]")
+    s"""WITH d AS (
+      |  SELECT doc_id, md5(text) AS h, ${phSql("text")} % $P AS x FROM documents
+      |), msize AS (
+      |  SELECT GREATEST($BloomMinBits, $BloomBitsPerKey * COUNT(DISTINCT x)) AS m
+      |  FROM d WHERE doc_id % $m <> 0
+      |), pos AS (
+      |  SELECT DISTINCT doc_id, unnest($posList) AS pos FROM d, msize
+      |), bloom AS (
+      |  SELECT DISTINCT pos FROM pos WHERE doc_id % $m <> 0
+      |), corpus_h AS (
+      |  SELECT DISTINCT h FROM d WHERE doc_id % $m <> 0
+      |), probe AS (
+      |  SELECT p.doc_id, COUNT(*) AS n_pos,
+      |         SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |  FROM pos p LEFT JOIN bloom b ON p.pos = b.pos
+      |  WHERE p.doc_id % $m = 0
+      |  GROUP BY p.doc_id
+      |), cls AS (
+      |  SELECT CASE WHEN pr.n_hit = pr.n_pos AND ch.h IS NOT NULL THEN 'true_positive'
+      |              WHEN pr.n_hit = pr.n_pos THEN 'false_positive'
+      |              WHEN ch.h IS NOT NULL THEN 'false_negative'
+      |              ELSE 'true_negative' END AS outcome
+      |  FROM probe pr JOIN d ON pr.doc_id = d.doc_id
+      |       LEFT JOIN corpus_h ch ON d.h = ch.h
+      |)
+      |SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(CAST(COUNT(*) AS BIGINT) * 10000
+      |            // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS BIGINT) AS share_pm
+      |FROM cls GROUP BY outcome ORDER BY outcome""".stripMargin
+  }
+
   /** d35 mirror — d22's pair CTE + the same clamped-prefix Levenshtein
     * verifier (both engines run the textbook DP; exact integers). */
   private val d35Sql: String = {
@@ -740,6 +781,45 @@ object PipelineOracles {
       |)
       |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  // mirror of Similarity.s36HashVectors: same ph-bucket/sign arithmetic,
+  // the dot restated relationally on the (doc, bucket) grain (exact
+  // BIGINT — component values are exact in both engines), the same
+  // zero-norm exclusion and s26 rank tail
+  private val s36Sql: String = {
+    import graft.functions.PortableHash.HashVecDim
+    s"""WITH toks AS (
+      |  SELECT doc_id, ${phSql("w")} AS h FROM (
+      |    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+      |    FROM documents)
+      |), hv AS (
+      |  SELECT doc_id, h % $HashVecDim AS b,
+      |         CAST(SUM(CASE WHEN (h // $HashVecDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2
+      |), nrm AS (
+      |  SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS norm
+      |  FROM hv GROUP BY doc_id HAVING SUM(c * c) > 0
+      |), dots AS (
+      |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+      |         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      |  FROM hv a JOIN hv b ON a.b = b.b AND b.doc_id <> a.doc_id
+      |  WHERE a.doc_id < 10
+      |  GROUP BY 1, 2
+      |), p AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+      |         ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE) / (q.norm * c.norm), 6) AS cos_sim
+      |  FROM nrm q JOIN nrm c ON c.doc_id <> q.doc_id
+      |       LEFT JOIN dots d ON d.query_id = q.doc_id AND d.neighbor_id = c.doc_id
+      |  WHERE q.doc_id < 10
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+  }
 
   private val s27Sql: String = {
     val bucket = (0 until 8).map { p =>
@@ -1479,7 +1559,9 @@ object PipelineOracles {
   // engines implement identically), same (count desc, pair asc)
   // tie-break; the K learn iterations unroll from ONE step template —
   // the q56 discipline, so Spark and oracle cannot drift per step
-  private val p66Sql: String = {
+  /** The learn CTE chain (wc → s0 → p_i/t_i/s_i per rank) SHARED by the
+    * p66 and p68 oracles — one step template, the q56 discipline. */
+  private def bpeLearnCtes: String = {
     val k = Pipeline.BpeMerges
     val steps = (1 to k).map { i =>
       s"""p$i AS (
@@ -1496,20 +1578,59 @@ object PipelineOracles {
         |  FROM s${i - 1}, t$i
         |)""".stripMargin
     }
-    val sel = (1 to k).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS rnk, string_split(pair, ' ')[1] AS left_sym,
-        |       string_split(pair, ' ')[2] AS right_sym, m AS merged, pair_n
-        |FROM t$i""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH wc AS (
+    s"""wc AS (
       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn FROM (
       |    SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word FROM documents
       |  ) WHERE word <> '' GROUP BY word
       |), s0 AS (
       |  SELECT word, wn, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM wc
-      |), ${steps.mkString(", ")}
+      |), ${steps.mkString(", ")}""".stripMargin
+  }
+
+  private val p66Sql: String = {
+    val k = Pipeline.BpeMerges
+    val sel = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rnk, string_split(pair, ' ')[1] AS left_sym,
+        |       string_split(pair, ' ')[2] AS right_sym, m AS merged, pair_n
+        |FROM t$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeLearnCtes
       |$sel
       |ORDER BY rnk""".stripMargin
+  }
+
+  // mirror of Pipeline.p68BpeEncodeCore: the shared learn CTEs feed the
+  // same '|'-sentinel doc symbolization, the same K left-join replace
+  // passes (empty argmax passes docs through), the same length-arithmetic
+  // token count and per-source compression report
+  private val p68Sql: String = {
+    val k = Pipeline.BpeMerges
+    val applies = (1 to k).map { i =>
+      s"""a$i AS (
+        |  SELECT source, chars,
+        |         CASE WHEN t$i.pair IS NULL THEN sym
+        |              ELSE replace(sym, ' ' || t$i.pair || ' ', ' ' || t$i.m || ' ') END AS sym
+        |  FROM a${i - 1} LEFT JOIN t$i ON TRUE
+        |)""".stripMargin
+    }
+    s"""WITH $bpeLearnCtes, a0 AS (
+      |  SELECT source,
+      |         CAST(length(replace(COALESCE(text, ''), ' ', '')) AS BIGINT) AS chars,
+      |         ' ' || regexp_replace(replace(COALESCE(text, ''), ' ', '|'), '(.)', '\\1 ', 'g') AS sym
+      |  FROM documents
+      |), ${applies.mkString(", ")}, fin AS (
+      |  SELECT source, chars,
+      |         CASE WHEN length(trim(sym)) = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(length(trim(sym)) - length(replace(trim(sym), ' ', '')) + 1 AS BIGINT)
+      |                   - CAST(length(sym) - length(replace(sym, '|', '')) AS BIGINT) END AS bpe
+      |  FROM a$k
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(chars) AS BIGINT) AS n_char_tokens,
+      |       CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+      |       CASE WHEN SUM(chars) = 0 THEN CAST(10000 AS BIGINT)
+      |            ELSE CAST(SUM(bpe) AS BIGINT) * 10000 // CAST(SUM(chars) AS BIGINT) END AS compression_pm
+      |FROM fin GROUP BY source ORDER BY source""".stripMargin
   }
 
   private val t37Sql: String = cmsSqlOver("documents")
@@ -1898,6 +2019,7 @@ object PipelineOracles {
     "d26_dup_clusters" -> d26Sql,
     "d31_quality_survivor" -> d31Sql,
     "d27_incremental_dedup" -> d27Sql,
+    "d37_bloom_admit"  -> d37Sql,
     "p56_stratified_split" -> p56Sql,
     "p57_source_mix"   -> p57Sql,
     "p64_temperature_mix" -> p64Sql,
@@ -1907,6 +2029,7 @@ object PipelineOracles {
     "d25_embed_neardup" -> d25Sql,
     "d34_semdedup"     -> d34Sql,
     "s26_ann_topk"     -> s26Sql,
+    "s36_hash_vectors" -> s36Sql,
     "s27_ann_lsh"      -> s27Sql,
     "s28_ann_ivf"      -> s28Sql,
     "s29_ann_rerank"   -> s29Sql,
@@ -1928,6 +2051,7 @@ object PipelineOracles {
     "st40_stream_cluster_assign" -> st40Sql,
     "st43_stream_heavy_hitters" -> st43Sql,
     "p66_bpe_merges"   -> p66Sql,
+    "p68_bpe_encode"   -> p68Sql,
     "p63_token_budget" -> p63Sql,
     "p55_corpus_clean" -> p55Sql,
     "t28_langid"       -> t28Sql,

@@ -599,4 +599,50 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) * 2000).as("recall_pm"))
       .orderBy("query_id")
   }
+
+  /** s36: feature-hashed text retrieval (the hashing trick, Weinberger
+    * et al. ICML'09) — similar-document search over RAW TEXT with no
+    * embedding model: each document vectorizes by hashing its tokens
+    * into [[graft.functions.PortableHash.HashVecDim]] signed-count
+    * components (token w adds ±1 to component ph(w) mod D; the hash-bit
+    * sign keeps inner products unbiased, §3 of the paper), then cosine
+    * top-5 for the bounded query set — s26's retrieval harness on the
+    * hashed vectors. The components are exact small integers (carried
+    * as doubles ≪ 2⁵³), so the codegen'd dot product and the oracle's
+    * exact-BIGINT relational dot agree bit-for-bit.
+    *
+    * 100 TB posture: vectorization is the codegen'd `graft_hash_vec`
+    * kernel — one pass per document, zero shuffle (the declarative form
+    * explodes the corpus to the token grain through a (doc, bucket)
+    * aggregation); scoring streams the corpus past the broadcast
+    * bounded query set, |Q|·N like s26. Because the output is an
+    * ordinary fixed-width vector column, the WHOLE ANN family composes
+    * on top unchanged — s27 hyperplane buckets, s28/s33 IVF cells, s30
+    * k-means — giving the embedding-free corpus the same sublinear
+    * retrieval paths. Zero-norm documents (empty or fully
+    * sign-cancelled) are excluded on both sides: they have no cosine
+    * direction to rank.
+    */
+  def s36HashVectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.documents(spark, dir)
+      .withColumn("words", split(coalesce(col("text"), lit("")), " "))
+      .select(col("doc_id"), expr("graft_hash_vec(words)").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .filter(col("norm") > 0)
+    val q = broadcast(e.filter(col("doc_id") < 10)).as("q")
+    val c = e.as("c")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(c, col("q.doc_id") =!= col("c.doc_id"))
+      .withColumn("cos_sim",
+        round(expr("graft_dot(q.v, c.v)") / (col("q.norm") * col("c.norm")), 6))
+      .select(col("q.doc_id").as("query_id"),
+        col("c.doc_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .orderBy("query_id", "rnk")
+  }
 }

@@ -551,6 +551,126 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("p68 BPE encode matches the in-memory learn+apply reference on random corpora") {
+    // reference: learn merges exactly as the p66 reference does, then
+    // encode each document via the same '|'-sentinel symbolization and
+    // Java String.replace passes the distributed projection uses
+    def learnPairs(docs: Seq[(Long, String)]): Seq[(String, String)] = {
+      val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      var syms = wc.toSeq.map { case (w, n) =>
+        (" " + w.map(c => s"$c ").mkString, n) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      for (_ <- 1 to operators.Pipeline.BpeMerges) {
+        val pairs = scala.collection.mutable.Map.empty[String, Long]
+        syms.foreach { case (s, n) =>
+          val arr = s.trim.split(" ")
+          if (arr.length >= 2) (0 until arr.length - 1).foreach { i =>
+            val p = arr(i) + " " + arr(i + 1)
+            pairs(p) = pairs.getOrElse(p, 0L) + n
+          }
+        }
+        if (pairs.nonEmpty) {
+          val (bp, _) = pairs.toSeq.minBy { case (p, n) => (-n, p) }
+          val m = bp.replace(" ", "")
+          out += ((bp, m))
+          syms = syms.map { case (s, n) => (s.replace(s" $bp ", s" $m "), n) }
+        }
+      }
+      out.toSeq
+    }
+    def encodeCount(text: String, merges: Seq[(String, String)]): Long = {
+      var sym = " " + text.replace(' ', '|').map(c => s"$c ").mkString
+      merges.foreach { case (p, m) => sym = sym.replace(s" $p ", s" $m ") }
+      val t = sym.trim
+      val nsyms =
+        if (t.isEmpty) 0L else (t.length - t.replace(" ", "").length + 1).toLong
+      nsyms - (sym.length - sym.replace("|", "").length).toLong
+    }
+    samples(bpeCorpusGen, 15).filter(_.nonEmpty).foreach { docs =>
+      val merges = learnPairs(docs)
+      val expected = docs.groupBy(d => s"src${d._1 % 2}").map { case (src, ds) =>
+        (src, ds.size.toLong,
+          ds.map(_._2.replace(" ", "").length.toLong).sum,
+          ds.map(d => encodeCount(d._2, merges)).sum)
+      }.toSeq.sortBy(_._1)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          docs.map { case (i, t) => Row(i, t, s"src${i % 2}") }, 3), schema)
+      val got = operators.Pipeline.p68BpeEncodeCore(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got === expected, s"corpus: $docs merges: $merges")
+    }
+  }
+
+  test("d37 bloom classification matches an in-memory filter on duplicate-seeded corpora") {
+    import graft.functions.PortableHash._
+    // corpora where batch docs (id % 5 == 0) often copy a corpus doc's
+    // text — the true_positive arm the synthetic corpus never exercises;
+    // tiny vocabularies force hash collisions → false_positive reachable
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(10, 40)
+      docs <- Gen.listOfN(n, Gen.choose(0, 12).map(i => s"w$i"))
+    } yield docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    def phStr(s: String): Long =
+      graft.functions.TextHash.ph(s.getBytes("UTF-8"))
+    samples(corpusGen, 12).filter(_.nonEmpty).foreach { docs =>
+      val corpus = docs.filter(_._1 % operators.Dedup.IncrementalBatchMod != 0)
+      val batch = docs.filter(_._1 % operators.Dedup.IncrementalBatchMod == 0)
+      if (corpus.nonEmpty && batch.nonEmpty) {
+        val keys = corpus.map(d => phStr(d._2) % P).toSet
+        val mBits = math.max(BloomMinBits, BloomBitsPerKey * keys.size)
+        def positions(x: Long): Set[Long] = (0 until BloomK).map { j =>
+          val s = BloomSeedOffset + j
+          (seedA(s) * x + seedB(s)) % P % mBits
+        }.toSet
+        val bloom = keys.flatMap(positions)
+        val corpusTexts = corpus.map(_._2).toSet
+        val expected = batch.groupBy { case (_, t) =>
+          val hit = positions(phStr(t) % P).subsetOf(bloom)
+          val exact = corpusTexts.contains(t)
+          if (hit && exact) "true_positive"
+          else if (hit) "false_positive"
+          else if (exact) "false_negative"
+          else "true_negative"
+        }.map { case (o, g) =>
+          (o, g.size.toLong, g.size.toLong * 10000 / batch.size)
+        }.toSeq.sortBy(_._1)
+        assert(!expected.exists(_._1 == "false_negative"))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+        val got = operators.Dedup.d37BloomCore(df).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got === expected, s"corpus: $docs")
+      }
+    }
+  }
+
+  test("graft_hash_vec equals the in-memory signed-bucket fold on random token arrays") {
+    import graft.functions.PortableHash.HashVecDim
+    val tokGen: Gen[List[String]] = Gen.listOf(Gen.oneOf(
+      Gen.choose(0, 30).map(i => s"tok$i"), Gen.const(""), Gen.const("the")))
+    samples(tokGen, 25).foreach { toks =>
+      val expected = new Array[Double](HashVecDim)
+      toks.foreach { w =>
+        val h = graft.functions.TextHash.ph(w.getBytes("UTF-8"))
+        val b = (h % HashVecDim).toInt
+        if ((h / HashVecDim) % 2 == 0L) expected(b) += 1.0 else expected(b) -= 1.0
+      }
+      val schema = StructType(Seq(StructField("words", ArrayType(StringType))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(toks)), 1), schema)
+      graft.functions.GraftFunctions.register(spark)
+      val got = df.selectExpr("graft_hash_vec(words)").head.getSeq[Double](0)
+      assert(got.toArray.toSeq === expected.toSeq, s"tokens: $toks")
+    }
+  }
+
   test("s34 SQ round-trip stays inside the per-dim quantization bound") {
     import org.apache.spark.sql.functions._
     // random 4-dim int64 grids incl. negative values, constant dims

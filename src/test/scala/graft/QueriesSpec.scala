@@ -1093,6 +1093,49 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === d21Removed)
   }
 
+  test("p68 BPE encode: compression <= char floor, totals coherent with the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Pipeline.p68BpeEncode(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, charsT, bpeT, pm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nd > 0 && charsT > 0)
+      // each merge only ever shrinks the token count, and a doc is at
+      // least one token per word — bpe total sits between words and chars
+      assert(bpeT <= charsT, s"merges grew the token count in $r")
+      assert(pm === bpeT * 10000 / charsT)
+    }
+    // per-source char totals must equal the corpus's non-space char count
+    val expected = Tables.documents(spark, dir)
+      .agg(sum(length(expr("replace(coalesce(text, ''), ' ', '')"))))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === expected)
+    // the learned pairs occur in the corpus, so at least one merge fired
+    assert(rows.map(_.getLong(3)).sum < expected)
+  }
+
+  test("d37 bloom: no false negatives, totals cover the batch, TP equals d27 exact truth") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Dedup.d37BloomAdmit(spark, dir).collect()
+    val byOutcome = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the filter's contract: a present key always probes all-hit
+    assert(!byOutcome.contains("false_negative"), s"bloom false negative: $byOutcome")
+    assert(byOutcome.keySet.subsetOf(
+      Set("true_positive", "false_positive", "true_negative")))
+    val batchN = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(graft.operators.Dedup.IncrementalBatchMod)) === 0)
+      .count()
+    assert(byOutcome.values.sum === batchN)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1) * 10000 / batchN, s"share off in $r")
+    }
+    // bloom hits with a real corpus twin = d27's exact_corpus docs exactly
+    val d27Exact = graft.operators.Dedup.d27IncrementalDedup(spark, dir)
+      .filter(col("status") === "exact_corpus").count()
+    assert(byOutcome.getOrElse("true_positive", 0L) === d27Exact)
+  }
+
   test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
     val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
     val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
