@@ -543,15 +543,19 @@ object Dedup {
       val s = BloomSeedOffset + j
       ((lit(seedA(s)) * col("x") + lit(seedB(s))) % P % mBits).as(s"p$j")
     }
-    val pos = d.select(col("doc_id") +: posCols: _*)
-      .select(col("doc_id"), explode(array((0 until BloomK).map(j => col(s"p$j")): _*)).as("pos"))
-    val bloom = pos.join(d.filter(!isBatch).select("doc_id"), Seq("doc_id"), "left_semi")
+    // the batch/corpus split rides the position rows as a flag — no
+    // semi-join back against the doc set (two join stages saved; the
+    // flag is one boolean per row through the explode)
+    val pos = d.select(col("doc_id") +: isBatch.as("is_batch") +: posCols: _*)
+      .select(col("doc_id"), col("is_batch"),
+        explode(array((0 until BloomK).map(j => col(s"p$j")): _*)).as("pos"))
+    val bloom = pos.filter(!col("is_batch"))
       .select("pos").distinct()
       .withColumn("in_bloom", lit(true))
     val corpusH = d.filter(!isBatch).select(col("h")).distinct()
       .withColumn("in_corpus", lit(true))
-    val probe = pos.join(d.filter(isBatch).select("doc_id"), Seq("doc_id"), "left_semi")
-      .distinct()
+    val probe = pos.filter(col("is_batch"))
+      .select("doc_id", "pos").distinct()
       .join(broadcast(bloom), Seq("pos"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pos"),
