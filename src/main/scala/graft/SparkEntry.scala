@@ -127,6 +127,7 @@ object SparkEntry {
     "st42_stream_transitions" -> (graft.streaming.Streams.st42StreamTransitions _),
     "st43_stream_heavy_hitters" -> (graft.streaming.Streams.st43StreamHeavyHitters _),
     "st44_stream_drift"   -> (graft.streaming.Streams.st44StreamDrift _),
+    "st45_stream_bloom"   -> (graft.streaming.Streams.st45StreamBloom _),
     "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
     "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),

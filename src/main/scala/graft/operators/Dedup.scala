@@ -524,39 +524,39 @@ object Dedup {
   def d37BloomAdmit(spark: SparkSession, dir: String): DataFrame =
     d37BloomCore(Tables.documents(spark, dir))
 
-  /** Core over any (doc_id, text) frame — extracted so the spec can
-    * drive constructed corpora (with real cross-partition duplicates,
-    * which the synthetic corpus lacks) through the production plan and
-    * see the true_positive / false_positive arms fire. */
-  private[graft] def d37BloomCore(documents: DataFrame): DataFrame = {
-    val mMod = IncrementalBatchMod
-    val isBatch = pmod(col("doc_id"), lit(mMod)) === 0
-    val d = documents
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        (ph(col("text")) % P).as("x"))
-    // M sizes against the distinct corpus KEY count (the values actually
-    // inserted) — one planning aggregate, derived identically in the
-    // oracle so positions agree bit-for-bit
+  /** The (doc_id, content-hash, bloom-key) projection SHARED by d37 and
+    * st45 — one key definition for filter build, probe, and exact truth. */
+  private[graft] def bloomDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(col("text")).as("h"),
+      (ph(col("text")) % P).as("x"))
+
+  /** M sizes against the distinct corpus KEY count (the values actually
+    * inserted) — one planning aggregate, derived identically in the
+    * oracle so positions agree bit-for-bit. */
+  private[graft] def bloomMBits(d: DataFrame, isBatch: Column): Long = {
     val nKeys = d.filter(!isBatch).agg(countDistinct(col("x"))).head.getLong(0)
-    val mBits = math.max(BloomMinBits, BloomBitsPerKey * nKeys)
-    val posCols = (0 until BloomK).map { j =>
+    math.max(BloomMinBits, BloomBitsPerKey * nKeys)
+  }
+
+  /** The K position hashes of key column `x` at filter width mBits. */
+  private[graft] def bloomPosArray(mBits: Long): Column =
+    array((0 until BloomK).map { j =>
       val s = BloomSeedOffset + j
-      ((lit(seedA(s)) * col("x") + lit(seedB(s))) % P % mBits).as(s"p$j")
-    }
-    // the batch/corpus split rides the position rows as a flag — no
-    // semi-join back against the doc set (two join stages saved; the
-    // flag is one boolean per row through the explode)
-    val pos = d.select(col("doc_id") +: isBatch.as("is_batch") +: posCols: _*)
-      .select(col("doc_id"), col("is_batch"),
-        explode(array((0 until BloomK).map(j => col(s"p$j")): _*)).as("pos"))
-    val bloom = pos.filter(!col("is_batch"))
-      .select("pos").distinct()
-      .withColumn("in_bloom", lit(true))
+      (lit(seedA(s)) * col("x") + lit(seedB(s))) % P % mBits
+    }: _*)
+
+  /** The probe/classify/report tail shared by d37 and st45: batch docs'
+    * positions meet the filter relation; all-hit ∧ exact-twin →
+    * true_positive, all-hit alone → false_positive (the measured FP
+    * rate), miss → definitive new (false_negative is impossible by the
+    * filter's contract — spec-pinned). */
+  private[graft] def bloomReport(d: DataFrame, isBatch: Column,
+      batchPos: DataFrame, bloom: DataFrame): DataFrame = {
     val corpusH = d.filter(!isBatch).select(col("h")).distinct()
       .withColumn("in_corpus", lit(true))
-    val probe = pos.filter(col("is_batch"))
-      .select("doc_id", "pos").distinct()
-      .join(broadcast(bloom), Seq("pos"), "left")
+    val probe = batchPos.select("doc_id", "pos").distinct()
+      .join(broadcast(bloom.select("pos").withColumn("in_bloom", lit(true))),
+        Seq("pos"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pos"),
         sum(when(col("in_bloom"), 1L).otherwise(0L)).as("n_hit"))
@@ -572,6 +572,23 @@ object Dedup {
       .withColumn("share_pm",
         expr("CAST(n_docs * 10000 DIV (SUM(n_docs) OVER ()) AS BIGINT)"))
       .orderBy("outcome")
+  }
+
+  /** Core over any (doc_id, text) frame — extracted so the spec can
+    * drive constructed corpora (with real cross-partition duplicates,
+    * which the synthetic corpus lacks) through the production plan and
+    * see the true_positive / false_positive arms fire. */
+  private[graft] def d37BloomCore(documents: DataFrame): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
+    val d = bloomDocs(documents)
+    val mBits = bloomMBits(d, isBatch)
+    // the batch/corpus split rides the position rows as a flag — no
+    // semi-join back against the doc set (two join stages saved; the
+    // flag is one boolean per row through the explode)
+    val pos = d.select(col("doc_id"), isBatch.as("is_batch"),
+      explode(bloomPosArray(mBits)).as("pos"))
+    val bloom = pos.filter(!col("is_batch")).select("pos").distinct()
+    bloomReport(d, isBatch, pos.filter(col("is_batch")), bloom)
   }
 
   /** d25 is all-pairs WITHIN a label block — the documented small-side

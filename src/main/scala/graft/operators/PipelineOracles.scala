@@ -2047,6 +2047,10 @@ object PipelineOracles {
     // st44 emits t39's report exactly (shared dims + tail definitions);
     // the oracle is therefore the same SQL (the st43/cmsSqlOver device)
     "st44_stream_drift" -> t39Sql,
+    // st45's drained position state is d37's filter exactly (shared key,
+    // position, sizing, and report definitions) — one oracle, the st44
+    // device
+    "st45_stream_bloom" -> d37Sql,
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
     "st43_stream_heavy_hitters" -> st43Sql,

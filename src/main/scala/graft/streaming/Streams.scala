@@ -534,6 +534,41 @@ object Streams {
       .orderBy("rnk")
   }
 
+  /** st45: streaming bloom-filter BUILD — d37's admission pre-screen
+    * maintained continuously as the corpus streams in (the production
+    * deployment: the filter is the always-on index, rebuilt never,
+    * probed by every arriving batch). Like st43's sketch cells, the
+    * filter is streaming-native because position-set UNION is the
+    * merge: each arriving corpus doc's K positions upsert into the
+    * position-grain aggregation state, which is bounded by M bits
+    * REGARDLESS of stream volume (never per-entity). The drained
+    * position table IS the filter d37 builds in batch (same
+    * [[graft.operators.Dedup.bloomDocs]] key, same
+    * [[graft.operators.Dedup.bloomPosArray]] hashes, same M sizing) —
+    * so the report, produced by the shared
+    * [[graft.operators.Dedup.bloomReport]] tail probing the arriving
+    * `% 5` batch, equals d37's batch report row-for-row (spec-pinned;
+    * oracle = d37's SQL verbatim, the st43/st44 device).
+    */
+  def st45StreamBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val isNew = pmod(col("doc_id"),
+      lit(Dedup.IncrementalBatchMod.toLong)) === 0L
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Dedup.bloomDocs(docs)
+    val mBits = Dedup.bloomMBits(d, isNew)
+    val streamCells = Dedup.bloomDocs(
+        spark.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(!isNew))
+      .select(explode(Dedup.bloomPosArray(mBits)).as("pos"))
+      .groupBy("pos").agg(count(lit(1)).as("n_keys"))
+    val cells = runToTable(spark, streamCells, "complete", "st45")
+    val batchPos = d.filter(isNew)
+      .select(col("doc_id"), explode(Dedup.bloomPosArray(mBits)).as("pos"))
+    Dedup.bloomReport(d, isNew, batchPos, cells)
+  }
+
   /** st44: streaming drift monitor — t39 continuous: arriving docs
     * (d27's `% 5` rule) accumulate (dimension, value) counts in
     * streaming aggregation state — the state is the CATEGORICAL GRID

@@ -1136,6 +1136,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(byOutcome.getOrElse("true_positive", 0L) === d27Exact)
   }
 
+  test("st45 streaming bloom report equals d37's batch report row-for-row") {
+    val stream = graft.streaming.Streams.st45StreamBloom(spark, dir).collect().toSeq
+    val batch = graft.operators.Dedup.d37BloomAdmit(spark, dir).collect().toSeq
+    assert(stream.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
     val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
     val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
