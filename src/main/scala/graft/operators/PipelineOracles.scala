@@ -798,7 +798,7 @@ object PipelineOracles {
       |  FROM toks GROUP BY 1, 2
       |), nrm AS (
       |  SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS norm
-      |  FROM hv GROUP BY doc_id HAVING SUM(c * c) > 0
+      |  FROM hv GROUP BY doc_id
       |), dots AS (
       |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
       |         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
@@ -807,14 +807,15 @@ object PipelineOracles {
       |  GROUP BY 1, 2
       |), p AS (
       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-      |         ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE) / (q.norm * c.norm), 6) AS cos_sim
+      |         ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+      |               / NULLIF(q.norm * c.norm, 0), 6) AS cos_sim
       |  FROM nrm q JOIN nrm c ON c.doc_id <> q.doc_id
       |       LEFT JOIN dots d ON d.query_id = q.doc_id AND d.neighbor_id = c.doc_id
       |  WHERE q.doc_id < 10
       |), r AS (
       |  SELECT query_id, neighbor_id, cos_sim,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-      |                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      |                                 ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS INT) AS rnk
       |  FROM p
       |)
       |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5

@@ -620,8 +620,13 @@ object Similarity {
     * on top unchanged — s27 hyperplane buckets, s28/s33 IVF cells, s30
     * k-means — giving the embedding-free corpus the same sublinear
     * retrieval paths. Zero-norm documents (empty or fully
-    * sign-cancelled) are excluded on both sides: they have no cosine
-    * direction to rank.
+    * sign-cancelled) score NULL via nullif and rank LAST (explicit
+    * NULLS LAST both engines) — deliberately NOT a `norm > 0` filter:
+    * predicate pushdown inlines the filter's aliases into the scan
+    * filter, so the kernel would evaluate 3× per corpus row (the
+    * CollapseProject multi-reference guard protects stacked
+    * projections, but PushPredicateThroughNonJoin has no such guard —
+    * observed in the executed plan).
     */
   def s36HashVectors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -630,14 +635,13 @@ object Similarity {
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(col("doc_id"), expr("graft_hash_vec(words)").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
-      .filter(col("norm") > 0)
     val q = broadcast(e.filter(col("doc_id") < 10)).as("q")
     val c = e.as("c")
     val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("neighbor_id"))
     q.join(c, col("q.doc_id") =!= col("c.doc_id"))
       .withColumn("cos_sim",
-        round(expr("graft_dot(q.v, c.v)") / (col("q.norm") * col("c.norm")), 6))
+        expr("round(graft_dot(q.v, c.v) / nullif(q.norm * c.norm, 0D), 6)"))
       .select(col("q.doc_id").as("query_id"),
         col("c.doc_id").as("neighbor_id"), col("cos_sim"))
       .withColumn("rnk", row_number().over(w))

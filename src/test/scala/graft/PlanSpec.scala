@@ -724,6 +724,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!pf.contains("CartesianProduct"), s"unexpected cartesian:\n$pf")
   }
 
+  test("s36 hash-vector retrieval broadcasts the query side; kernel stays in codegen") {
+    val df = operators.Similarity.s36HashVectors(spark, dir)
+    // join strategy read off the initial physical plan — the AQE final
+    // string fragments into per-stage trees and hides the join node
+    val p = df.queryExecution.sparkPlan.toString
+    // the bounded query set broadcasts (non-equi <> join → BNLJ with the
+    // small side built); the corpus must stream, never broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the kernel evaluates ONCE per side (query + corpus projections).
+    // A `norm > 0` filter would be predicate-pushed into the scan with
+    // the kernel inlined into the filter expression — 3 evaluations per
+    // corpus row (measured; hence the nullif null-score design)
+    val kernelEvals = "graft_hash_vec".r.findAllIn(p).size
+    assert(kernelEvals == 2, s"kernel inlined $kernelEvals times (expected 2):\n$p")
+    // the whole chain stays inside codegen spans
+    val exec = planString(df)
+    assert(exec.contains("*("), s"no codegen span:\n$exec")
+  }
+
+  test("d37 bloom probe broadcasts the filter relation; no sort-merge join") {
+    val p = planString(operators.Dedup.d37BloomAdmit(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("p68 encode: merge scalars broadcast; apply side adds ONE corpus scan") {
+    val df = operators.Pipeline.p68BpeEncode(spark, dir)
+    val p = planString(df)
+    // K merge rows arrive as broadcast 1-row loop relations, never a
+    // shuffle join against the corpus
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+    // the encode stage reads documents exactly once (the learn side's
+    // word-count scan is materialized behind the localCheckpoint)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 corpus scan in the encode plan, got $scans:\n$p")
+  }
+
   test("q66 KMV sketches are TakeOrdered, side scalars broadcast, no cartesian") {
     val df = operators.Sketches.q66KmvOverlap(spark, dir)
     val p = planString(df)
