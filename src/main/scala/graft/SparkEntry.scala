@@ -109,6 +109,7 @@ object SparkEntry {
     "d35_edit_verify"     -> (Dedup.d35EditVerify _),
     "d36_sig_jaccard"     -> (Dedup.d36SigJaccard _),
     "d37_bloom_admit"     -> (Dedup.d37BloomAdmit _),
+    "d38_lsh_recall"      -> (Dedup.d38LshRecall _),
     "p64_temperature_mix" -> (Pipeline.p64TemperatureMix _),
     "p65_dataset_card"    -> (Pipeline.p65DatasetCard _),
     "p66_bpe_merges"      -> (Pipeline.p66BpeMerges _),

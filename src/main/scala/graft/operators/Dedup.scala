@@ -44,11 +44,17 @@ object Dedup {
     */
   private[operators] def minhashBandPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    minhashBandPairsOf(shingled(spark, dir))
+  }
+
+  /** Band-pair candidate graph over any frame carrying `doc_id` +
+    * `shingles` — the d22 definition, shared with d38's eval harness. */
+  private[graft] def minhashBandPairsOf(sh: DataFrame): DataFrame = {
     // single-pass band keys per document (graft_minhash_bands) — no token
     // explode, no signature shuffle, one evaluation per doc (a bare sig
     // array would be inlined into each band projection and recomputed);
     // the only shuffle is the band-bucket join
-    val bands = shingled(spark, dir)
+    val bands = sh
       .select(col("doc_id"),
         posexplode(expr("graft_minhash_bands(shingles)")).as(Seq("band_idx", "band_key")))
     val a = bands.as("a"); val b = bands.as("b")
@@ -523,6 +529,77 @@ object Dedup {
     */
   def d37BloomAdmit(spark: SparkSession, dir: String): DataFrame =
     d37BloomCore(Tables.documents(spark, dir))
+
+  /** d38 exact-truth sample bound (the s29/d25 discipline: the eval's
+    * all-pairs truth is computed on a BOUNDED doc sample, never the
+    * corpus). */
+  val LshEvalSample = 2000L
+
+  /** d38: LSH index-quality evaluation — s29's recall harness applied to
+    * d22's band index (the dedup-side eval every production LSH
+    * deployment ships): exact Jaccard ground truth on a bounded doc
+    * sample (distinct shingle-hash postings self-joined within the
+    * sample — the d36 exact-column device), true pairs (J ≥ 0.5) bucketed
+    * into permyriad-thousand bands, each band reporting measured recall
+    * (caught by a d22 band collision) against the theoretical banding
+    * S-curve P(J) = 1 − (1 − J^r)^b at the band midpoint (r = 4 rows,
+    * b = 4 bands — Broder/LSH standard analysis). The theory column is
+    * computed by repeated multiplication, never pow() (libm pow is not
+    * bit-identical across engines; products are).
+    *
+    * 100 TB posture: the truth side is sample²-bounded by construction
+    * (explicit id bound, the s29 pattern — production evals sample);
+    * the candidate side reuses d22's linear band join restricted to the
+    * sample; the report grain is ≤6 bands. The harness answers the
+    * operational question the 100 TB deployment asks: is the band
+    * configuration catching the duplicates we care about, and where on
+    * the S-curve does recall fall off.
+    */
+  def d38LshRecall(spark: SparkSession, dir: String): DataFrame =
+    d38LshRecallCore(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — extracted so the spec can
+    * drive constructed mid-Jaccard corpora (the synthetic corpus's
+    * near-dups all sit in the 0.9+ bands) through the production plan. */
+  private[graft] def d38LshRecallCore(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val sh = documents
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", expr("graft_shingles3(words)"))
+    val docs = sh.filter(col("doc_id") < LshEvalSample)
+      .select(col("doc_id"),
+        array_distinct(expr("graft_shingle_hashes3(words)")).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
+    val post = docs.select(col("doc_id"), col("n"), explode(col("hs")).as("x"))
+    val a = post.as("a"); val b = post.as("b")
+    val truth = a.join(b,
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jpm", expr("inter * 10000 DIV (na + nb - inter)"))
+      .filter(col("jpm") >= 5000)
+      .select("doc_a", "doc_b", "jpm")
+    val found = minhashBandPairsOf(sh)
+      .filter(col("doc_a") < LshEvalSample && col("doc_b") < LshEvalSample)
+      .withColumn("caught", lit(true))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .withColumn("band", expr("jpm DIV 1000"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall_pm", expr("n_caught * 10000 DIV n_pairs"))
+      .withColumn("s", when(col("band") === 10, lit(1.0))
+        .otherwise((col("band") * 1000 + 500) / lit(10000.0)))
+      .withColumn("t4", col("s") * col("s") * col("s") * col("s"))
+      .withColumn("q1", lit(1.0) - col("t4"))
+      .withColumn("theory_pm",
+        round((lit(1.0) - col("q1") * col("q1") * col("q1") * col("q1")) * 10000, 0)
+          .cast("long"))
+      .select("band", "n_pairs", "n_caught", "recall_pm", "theory_pm")
+      .orderBy("band")
+  }
 
   /** The (doc_id, content-hash, bloom-key) projection SHARED by d37 and
     * st45 — one key definition for filter build, probe, and exact truth. */

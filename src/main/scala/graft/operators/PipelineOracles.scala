@@ -1998,8 +1998,49 @@ object PipelineOracles {
       |ORDER BY e.doc_a, e.doc_b""".stripMargin
   }
 
+  // mirror of Dedup.d38LshRecall: the d22 pair CTE + the d36 exact-hash
+  // device bounded to the sample, same integer banding and recall, the
+  // same multiplication-only S-curve theory column
+  private val d38Sql: String = {
+    val n = Dedup.LshEvalSample
+    s"""WITH $d22PairsCtes, dh AS (
+      |  SELECT DISTINCT doc_id, ${phSql("s")} AS h FROM sh WHERE doc_id < $n
+      |), dsz AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dh GROUP BY doc_id
+      |), ix AS (
+      |  SELECT a2.doc_id AS doc_a, b2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM dh a2 JOIN dh b2 ON b2.h = a2.h AND a2.doc_id < b2.doc_id
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT ix.doc_a, ix.doc_b,
+      |         ix.inter * 10000 // (sza.n + szb.n - ix.inter) AS jpm
+      |  FROM ix JOIN dsz sza ON sza.doc_id = ix.doc_a
+      |          JOIN dsz szb ON szb.doc_id = ix.doc_b
+      |  WHERE ix.inter * 10000 // (sza.n + szb.n - ix.inter) >= 5000
+      |), fnd AS (
+      |  SELECT doc_a, doc_b FROM pairs WHERE doc_a < $n AND doc_b < $n
+      |), banded AS (
+      |  SELECT t.jpm // 1000 AS band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |         CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+      |  FROM truth t LEFT JOIN fnd f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+      |  GROUP BY 1
+      |), th AS (
+      |  SELECT band, n_pairs, n_caught,
+      |         CASE WHEN band = 10 THEN 1.0
+      |              ELSE (band * 1000 + 500) / 10000.0 END AS s
+      |  FROM banded
+      |)
+      |SELECT CAST(band AS BIGINT) AS band, n_pairs, n_caught,
+      |       n_caught * 10000 // n_pairs AS recall_pm,
+      |       CAST(ROUND((1.0 - (1.0 - s*s*s*s) * (1.0 - s*s*s*s)
+      |                         * (1.0 - s*s*s*s) * (1.0 - s*s*s*s)) * 10000, 0)
+      |            AS BIGINT) AS theory_pm
+      |FROM th ORDER BY band""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "p67_dedup_cascade" -> p67Sql,
+    "d38_lsh_recall"   -> d38Sql,
     "t40_entropy"      -> t40Sql,
     "q66_kmv_overlap"  -> q66Sql,
     "s35_filtered_ann" -> s35Sql,

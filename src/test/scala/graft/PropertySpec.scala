@@ -671,6 +671,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("d38 LSH recall bands match the in-memory truth/candidate reference") {
+    import graft.functions.TextHash
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // small vocab + shared prefixes → natural mid-Jaccard pairs (the
+    // synthetic corpus only has 0.9+ near-dups)
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(6, 16)
+      base <- Gen.listOfN(30, Gen.choose(0, 9).map(i => s"w$i"))
+      docs <- Gen.listOfN(n, for {
+        keep <- Gen.choose(3, 30)
+        extra <- Gen.listOfN(4, Gen.choose(10, 14).map(i => s"w$i"))
+        nx <- Gen.choose(0, 4)
+      } yield (base.take(keep) ++ extra.take(nx)).mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def shinglesOf(text: String): Seq[String] = {
+      val w = text.split(" ")
+      if (w.length < 3) Seq.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+    }
+    def bandsOf(sh: Seq[String]): Seq[String] =
+      TextHash.minhashBands(new GenericArrayData(
+        sh.map(UTF8String.fromString).toArray[Any])).map(_.toString).toSeq
+    samples(corpusGen, 12).filter(_.nonEmpty).foreach { docs =>
+      val withSh = docs.map { case (i, t) => (i, shinglesOf(t)) }
+        .filter(_._2.nonEmpty)
+      val pairs = for {
+        (ia, sa) <- withSh; (ib, sb) <- withSh
+        if ia < ib
+      } yield {
+        val ha = sa.map(s => TextHash.ph(s.getBytes("UTF-8"))).distinct.toSet
+        val hb = sb.map(s => TextHash.ph(s.getBytes("UTF-8"))).distinct.toSet
+        val inter = (ha & hb).size.toLong
+        val jpm = if (inter == 0) 0L else inter * 10000 / (ha.size + hb.size - inter)
+        val caught = bandsOf(sa).zip(bandsOf(sb)).exists { case (x, y) => x == y }
+        (jpm, caught)
+      }
+      val expected = pairs.filter(_._1 >= 5000).groupBy(_._1 / 1000)
+        .map { case (band, g) =>
+          val nP = g.size.toLong; val nC = g.count(_._2).toLong
+          val s = if (band == 10) 1.0 else (band * 1000 + 500) / 10000.0
+          val t4 = s * s * s * s; val q1 = 1.0 - t4
+          val theory = math.round((1.0 - q1 * q1 * q1 * q1) * 10000)
+          (band, nP, nC, nC * 10000 / nP, theory)
+        }.toSeq.sortBy(_._1)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+      val got = operators.Dedup.d38LshRecallCore(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got === expected, s"corpus: $docs")
+    }
+  }
+
   test("s34 SQ round-trip stays inside the per-dim quantization bound") {
     import org.apache.spark.sql.functions._
     // random 4-dim int64 grids incl. negative values, constant dims
