@@ -392,6 +392,34 @@ object CoreOracles {
         |       ROUND(SUM(o_totalprice), 2) AS total_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY gid, status, priority""".stripMargin
+        |ORDER BY gid, status, priority""".stripMargin,
+
+    // mirror of CoreQueries.q65ApproxAgg: same salted portable hash
+    // (p56's device), same 1% predicate, exact-BIGINT quantities, same
+    // scaled estimates and permyriad error columns
+    "q65_approx_agg" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         ('0x' || substr(md5('q65:' || CAST(l_orderkey AS VARCHAR)
+        |                              || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |           % 100 AS u
+        |  FROM lineitem
+        |), ex AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(SUM(qty) AS BIGINT) AS sum_qty
+        |  FROM li GROUP BY l_returnflag
+        |), est AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) * 100 AS BIGINT) AS est_rows,
+        |         CAST(SUM(qty) * 100 AS BIGINT) AS est_qty
+        |  FROM li WHERE u = 0 GROUP BY l_returnflag
+        |)
+        |SELECT ex.l_returnflag, ex.n_rows,
+        |       COALESCE(est.est_rows, 0) AS est_rows,
+        |       abs(COALESCE(est.est_rows, 0) - ex.n_rows) * 10000 // ex.n_rows AS err_rows_pm,
+        |       ex.sum_qty,
+        |       COALESCE(est.est_qty, 0) AS est_qty,
+        |       abs(COALESCE(est.est_qty, 0) - ex.sum_qty) * 10000 // ex.sum_qty AS err_qty_pm
+        |FROM ex LEFT JOIN est ON ex.l_returnflag = est.l_returnflag
+        |ORDER BY ex.l_returnflag""".stripMargin
   )
 }

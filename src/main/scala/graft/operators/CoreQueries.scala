@@ -657,4 +657,46 @@ object CoreQueries {
         col("eff_to").isNull.as("is_current"))
       .orderBy("user_id", "version")
   }
+
+  /** q65: approximate aggregation over a deterministic hash sample —
+    * the interactive-analytics shape at 100 TB (BlinkDB / AQP, Agarwal
+    * et al. EuroSys'13): aggregate a p = 1% sample, scale estimates by
+    * 1/p, and report the measured error against the exact answer — the
+    * q49/q51 approximate+measured-error pattern applied to plain
+    * relational aggregation (production drops the exact columns and
+    * answers 100× less data).
+    *
+    * The sample predicate is p56's salted-hash device, never rand():
+    * reproducible across engines and runs, growth-stable under fact
+    * appends (an old row never flips in or out), and independent of
+    * the grouping column — per-group estimates stay unbiased. At
+    * 100 TB only the sample crosses the exchange and touches agg
+    * state; with a materialized sample table (the AQP deployment) the
+    * scan shrinks 100× too. Quantities aggregate as exact BIGINT
+    * (cast per row), so estimate arithmetic is integer-exact in both
+    * engines.
+    */
+  def q65ApproxAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+        (PortableHash.ph(concat(lit("q65:"), col("l_orderkey"),
+          lit(":"), col("l_linenumber"))) % 100).as("u"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+    val est = li.filter(col("u") === 0)
+      .groupBy("l_returnflag")
+      .agg((count(lit(1)) * 100).as("est_rows"),
+        (sum(col("qty")) * 100).as("est_qty"))
+    exact.join(est, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_rows"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+        expr("abs(coalesce(est_rows, 0) - n_rows) * 10000 DIV n_rows")
+          .as("err_rows_pm"),
+        col("sum_qty"),
+        coalesce(col("est_qty"), lit(0L)).as("est_qty"),
+        expr("abs(coalesce(est_qty, 0) - sum_qty) * 10000 DIV sum_qty")
+          .as("err_qty_pm"))
+      .orderBy("l_returnflag")
+  }
 }

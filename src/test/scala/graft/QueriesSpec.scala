@@ -1143,6 +1143,19 @@ class QueriesSpec extends AnyFunSuite {
       batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("q65 approx agg: exact totals cover the table, estimates scale by 1/p, errors coherent") {
+    val rows = graft.operators.CoreQueries.q65ApproxAgg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum === Tables.lineitem(spark, dir).count())
+    rows.foreach { r =>
+      val (n, estN, errN) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (q, estQ, errQ) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(estN % 100 === 0 && estQ % 100 === 0, s"unscaled estimate in $r")
+      assert(errN === math.abs(estN - n) * 10000 / n)
+      assert(errQ === math.abs(estQ - q) * 10000 / q)
+    }
+  }
+
   test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
     val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
     val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
