@@ -394,6 +394,32 @@ object CoreOracles {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, status, priority""".stripMargin,
 
+    // mirror of CoreQueries.q68GapFill: same hourly grain, same dense
+    // spine bounds, same floor(value*100) exact gauge, same IGNORE NULLS
+    // carry-forward frame
+    "q68_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_v100
+        |  FROM events GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT MIN(hour) AS min_h, MAX(hour) AS max_h FROM hourly
+        |), spine AS (
+        |  SELECT t.event_type,
+        |         unnest(generate_series(b.min_h, b.max_h, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t, bounds b
+        |)
+        |SELECT s.event_type, s.hour,
+        |       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+        |       h.sum_v100,
+        |       last_value(h.sum_v100 IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_v100
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.event_type = h.event_type AND s.hour = h.hour
+        |ORDER BY s.event_type, s.hour""".stripMargin,
+
     // mirror of CoreQueries.q65ApproxAgg: same salted portable hash
     // (p56's device), same 1% predicate, exact-BIGINT quantities, same
     // scaled estimates and permyriad error columns

@@ -676,6 +676,48 @@ object CoreQueries {
     * (cast per row), so estimate arithmetic is integer-exact in both
     * engines.
     */
+  /** q68: calendar-spine gap filling with LOCF — the time-series
+    * regularization every warehouse/IoT pipeline runs before charting
+    * or modeling (the reference's monthly trend tables assume a dense
+    * month axis; a 100 TB event lake guarantees nothing of the sort):
+    * the (event_type, hour) metric series joins against a generated
+    * dense hour spine, missing cells fill with 0 counts, and the gauge
+    * column carries the last observed value forward (`last(...,
+    * ignoreNulls)` ≡ DuckDB `last_value(... IGNORE NULLS)`, framed
+    * rows-unbounded-preceding..current — leading cells before the
+    * first observation stay NULL, the honest answer).
+    *
+    * Values aggregate as Σ floor(value·100) — IEEE multiply+floor is
+    * deterministic in both engines, so the gauge is exact BIGINT.
+    *
+    * 100 TB posture: ONE map-side aggregate reduces the raw events to
+    * the (type, hour) grain; the spine is |types| × |hours| — bounded
+    * by the TIME RANGE, independent of corpus size (the q11/q12
+    * aggregate-then-window discipline); the bounds row broadcasts, the
+    * spine join and the LOCF window run on grain rows only.
+    */
+  def q68GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        floor(col("value") * 100).cast("long").as("v100"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_events"), sum(col("v100")).as("sum_v100"))
+    val bounds = hourly.agg(min(col("hour")).as("min_h"), max(col("hour")).as("max_h"))
+    val spine = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(min_h, max_h, interval 1 hour)")).as("hour"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_v100"))
+      .withColumn("locf_v100", last(col("sum_v100"), ignoreNulls = true).over(w))
+      .orderBy("event_type", "hour")
+  }
+
   def q65ApproxAgg(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash
     val li = Tables.lineitem(spark, dir)

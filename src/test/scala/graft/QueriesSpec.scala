@@ -1156,6 +1156,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q68 gap fill: dense spine, real gaps zero-filled, LOCF never null after first obs") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.CoreQueries.q68GapFill(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    val nHours = byType.values.head.length
+    // dense spine: every type carries the identical full hour axis
+    byType.values.foreach(g => assert(g.length === nHours))
+    assert(rows.exists(_.getLong(2) === 0L), "no gap rows — spine not denser than data")
+    byType.values.foreach { g =>
+      var seen = false
+      g.sortBy(_.getTimestamp(1).getTime).foreach { r =>
+        val hasObs = !r.isNullAt(3)
+        if (hasObs) {
+          seen = true
+          assert(r.getLong(4) === r.getLong(3), s"LOCF must equal the fresh observation in $r")
+        }
+        if (seen) assert(!r.isNullAt(4), s"LOCF null after first observation in $r")
+        else assert(r.isNullAt(4), s"LOCF before any observation must stay null in $r")
+        if (!hasObs) assert(r.getLong(2) === 0L)
+      }
+    }
+    // grain totals must cover every raw event
+    assert(rows.map(_.getLong(2)).sum === Tables.events(spark, dir).count())
+  }
+
   test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
     val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
     val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
