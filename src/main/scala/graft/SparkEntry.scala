@@ -44,6 +44,7 @@ object SparkEntry {
     "q48_self_dim_join"   -> (EventLog.q48SelfDimJoin _),
     "q49_hll_sketch"      -> (Sketches.q49HllSketch _),
     "q61_sliding_distinct" -> (Sketches.q61SlidingDistinct _),
+    "q69_incr_rollup"     -> (Sketches.q69IncrRollup _),
     "q66_kmv_overlap"     -> (Sketches.q66KmvOverlap _),
     "q52_traces"          -> (EventLog.q52Traces _),
     "q55_conformance"     -> (EventLog.q55Conformance _),

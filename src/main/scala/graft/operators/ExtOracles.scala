@@ -167,6 +167,78 @@ object ExtOracles {
       |ORDER BY day""".stripMargin
   }
 
+  // exact mirror of Sketches.q69IncrRollup: same arrival split, same
+  // per-side partial state, same add/max merge, and the SAME estimate
+  // chain generated twice from one template (merged + full-rebuild)
+  private val q69Sql: String = {
+    import graft.functions.PortableHash._
+    import graft.operators.Dedup.IncrementalBatchMod
+    val m = HllBuckets; val pb1 = HllPatternBits + 1
+    val two53 = 1L << pb1
+    def estCtes(tag: String, src: String): String =
+      s"""z$tag AS (
+        |  SELECT event_type, day,
+        |         CAST(SUM(CAST(1 AS BIGINT) << CAST($pb1 - mx AS INT)) AS BIGINT) AS zp,
+        |         COUNT(*) AS nb
+        |  FROM $src GROUP BY 1, 2
+        |), e$tag AS (
+        |  SELECT event_type, day, zp + ($m - nb) * $two53 AS zint, $m - nb AS zeros FROM z$tag
+        |), s$tag AS (
+        |  SELECT event_type, day, zeros,
+        |         CAST($HllAlpha AS DOUBLE) * CAST(${m.toDouble * m} AS DOUBLE)
+        |           * CAST(${two53.toDouble} AS DOUBLE) / CAST(zint AS DOUBLE) AS est_raw
+        |  FROM e$tag
+        |), f$tag AS (
+        |  SELECT event_type, day,
+        |         ROUND(CASE WHEN zeros > 0 AND est_raw <= CAST(${2.5 * m} AS DOUBLE)
+        |                    THEN CAST(${m.toDouble} AS DOUBLE)
+        |                         * ln(CAST(${m.toDouble} AS DOUBLE) / CAST(zeros AS DOUBLE))
+        |                    ELSE est_raw END, 4) AS est
+        |  FROM s$tag
+        |)""".stripMargin
+    s"""WITH ev AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(floor(value * 100) AS BIGINT) AS v100,
+      |         (event_id % $IncrementalBatchMod = 0) AS is_delta,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events
+      |), rr AS (
+      |  SELECT *, h % $m AS bucket,
+      |         CASE WHEN h // $m = 0 THEN $pb1
+      |              ELSE $pb1 - length(bin(h // $m)) END AS rho
+      |  FROM ev
+      |), parts AS (
+      |  SELECT is_delta, event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(v100) AS BIGINT) AS sv
+      |  FROM rr GROUP BY 1, 2, 3
+      |), mergedagg AS (
+      |  SELECT event_type, day, CAST(SUM(n) AS BIGINT) AS n_events,
+      |         CAST(SUM(sv) AS BIGINT) AS sum_v100
+      |  FROM parts GROUP BY 1, 2
+      |), regs AS (
+      |  SELECT is_delta, event_type, day, bucket, MAX(rho) AS mx
+      |  FROM rr GROUP BY 1, 2, 3, 4
+      |), mreg AS (
+      |  SELECT event_type, day, bucket, MAX(mx) AS mx FROM regs GROUP BY 1, 2, 3
+      |), freg AS (
+      |  SELECT event_type, day, bucket, MAX(rho) AS mx FROM rr GROUP BY 1, 2, 3
+      |), fullagg AS (
+      |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_full,
+      |         CAST(SUM(v100) AS BIGINT) AS sum_full
+      |  FROM rr GROUP BY 1, 2
+      |), ${estCtes("m", "mreg")}, ${estCtes("f", "freg")}
+      |SELECT ma.event_type, CAST(ma.day AS TIMESTAMP) AS day,
+      |       ma.n_events, ma.sum_v100,
+      |       fm.est AS est_users, ff.est AS est_users_full,
+      |       (ma.n_events = fa.n_full AND ma.sum_v100 = fa.sum_full
+      |        AND fm.est = ff.est) AS maintenance_exact
+      |FROM mergedagg ma
+      |JOIN fm ON fm.event_type = ma.event_type AND fm.day = ma.day
+      |JOIN fullagg fa ON fa.event_type = ma.event_type AND fa.day = ma.day
+      |JOIN ff ON ff.event_type = ma.event_type AND ff.day = ma.day
+      |ORDER BY ma.event_type, ma.day""".stripMargin
+  }
+
   // exact mirror of Multimodal.m33FrameSample: frame byte ranges and
   // integer features recomputed by slicing the payload's hex string
   // (DuckDB 1.0 cannot slice blobs directly)
@@ -743,6 +815,7 @@ object ExtOracles {
     "q48_self_dim_join" -> q48Sql,
     "q49_hll_sketch"    -> q49Sql,
     "q61_sliding_distinct" -> q61Sql,
+    "q69_incr_rollup" -> q69Sql,
     "q50_snapshot_ages" -> q50Sql,
     "q63_fte_utilization" -> q63Sql,
     "q64_backlog_forecast" -> q64Sql,

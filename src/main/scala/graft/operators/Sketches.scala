@@ -104,6 +104,90 @@ object Sketches {
   /** q61 sliding-window width in days. */
   val SlideDays = 7
 
+  /** (keys…, bucket, mx) HLL registers → (keys…, <out>) estimate — ONE
+    * Z/correction chain (q49's arithmetic) shared by q69's merged and
+    * full-rebuild paths so the two estimates cannot drift by
+    * construction drift, only by actual register differences. */
+  private def hllEstimateFromRegisters(bm: DataFrame, keys: Seq[String],
+      out: String): DataFrame = {
+    val pb1 = HllPatternBits + 1
+    val two53 = 1L << pb1
+    val m2 = HllBuckets.toDouble * HllBuckets
+    bm.groupBy(keys.map(col): _*)
+      .agg(sum(expr(s"shiftleft(cast(1 as bigint), cast($pb1 - mx as int))")).as("zp"),
+        count(lit(1)).as("nb"))
+      .withColumn("zint", col("zp") + (lit(HllBuckets.toLong) - col("nb")) * lit(two53))
+      .withColumn("zeros", lit(HllBuckets.toLong) - col("nb"))
+      .withColumn("est_raw",
+        lit(HllAlpha) * lit(m2) * lit(two53.toDouble) / col("zint").cast("double"))
+      .withColumn(out, round(
+        when(col("zeros") > 0 && col("est_raw") <= 2.5 * HllBuckets,
+          lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("est_raw")), 4))
+      .select(keys.map(col) :+ col(out): _*)
+  }
+
+  /** q69: incremental materialized-rollup MAINTENANCE (incremental view
+    * maintenance — the warehouse nightly job that keeps a rollup fresh
+    * WITHOUT re-scanning history): the standing corpus's per-(type, day)
+    * aggregate state and the arriving batch's partial state (d27's
+    * `% 5` arrival rule — one definition) MERGE by the mergeable-state
+    * algebra — counts/sums ADD, HLL distinct-user registers take the
+    * register-wise MAX (q49's family; the reason the sketch is the
+    * production distinct: exact COUNT(DISTINCT) is not incrementally
+    * maintainable without keeping every value). The output carries the
+    * full-rebuild reference columns and a `maintenance_exact` witness:
+    * merged counts/sums equal the rebuild by arithmetic, and the merged
+    * ESTIMATE equals the rebuild estimate BIT-FOR-BIT because register
+    * max is associative — the algebraic fact that makes incremental
+    * sketch maintenance sound, here pinned per output row.
+    *
+    * 100 TB posture: at production scale the standing side is the
+    * STORED rollup (keys × 256 register rows — no corpus scan; here
+    * both sides derive from the table because the lake is the only
+    * input), the delta is one linear scan of the increment, and the
+    * merge touches state rows only. The full-rebuild columns are the
+    * eval harness (q49/q51's pattern) — production drops them and
+    * never re-reads history.
+    */
+  def q69IncrRollup(spark: SparkSession, dir: String): DataFrame = {
+    val pb1 = HllPatternBits + 1
+    val keys = Seq("event_type", "day")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("v100"),
+        (pmod(col("event_id"), lit(Dedup.IncrementalBatchMod.toLong)) === 0)
+          .as("is_delta"),
+        ph(col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(HllBuckets.toLong)))
+      .withColumn("w", expr(s"h div $HllBuckets"))
+      .withColumn("rho", when(col("w") === 0, lit(pb1))
+        .otherwise(lit(pb1) - length(bin(col("w")))))
+    // per-side partial state: what the stored MV holds / what the batch adds
+    val parts = ev.groupBy((col("is_delta") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv"))
+    val regs = ev.groupBy((col("is_delta") +: keys.map(col)) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("mx"))
+    // the MERGE: counts add, registers max
+    val mergedAgg = parts.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n_events"), sum(col("sv")).as("sum_v100"))
+    val estM = hllEstimateFromRegisters(
+      regs.groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("mx")).as("mx")),
+      keys, "est_users")
+    // the full-rebuild reference (what IVM avoids)
+    val fullAgg = ev.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_full"), sum(col("v100")).as("sum_full"))
+    val estF = hllEstimateFromRegisters(
+      ev.groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("rho")).as("mx")),
+      keys, "est_users_full")
+    mergedAgg.join(estM, keys).join(fullAgg, keys).join(estF, keys)
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("n_events"), col("sum_v100"), col("est_users"), col("est_users_full"),
+        (col("n_events") === col("n_full") && col("sum_v100") === col("sum_full") &&
+          col("est_users") === col("est_users_full")).as("maintenance_exact"))
+      .orderBy("event_type", "day")
+  }
+
   /** q61: sliding-window distinct counting over mergeable daily HLL
     * sketches — trailing-7-day active users per day, the rolling-reach
     * query every activity dashboard runs. An exact version re-touches

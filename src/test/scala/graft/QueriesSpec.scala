@@ -1182,6 +1182,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === Tables.events(spark, dir).count())
   }
 
+  test("q69 incremental rollup: merge equals rebuild on every row, totals cover events") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Sketches.q69IncrRollup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(6), s"merge != rebuild in $r")
+      assert(r.getDouble(4) === r.getDouble(5), s"estimate drift in $r")
+      assert(r.getDouble(4) > 0)
+    }
+    assert(rows.map(_.getLong(2)).sum === Tables.events(spark, dir).count())
+  }
+
   test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
     val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
     val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
