@@ -132,6 +132,7 @@ object SparkEntry {
     "st43_stream_heavy_hitters" -> (graft.streaming.Streams.st43StreamHeavyHitters _),
     "st44_stream_drift"   -> (graft.streaming.Streams.st44StreamDrift _),
     "st45_stream_bloom"   -> (graft.streaming.Streams.st45StreamBloom _),
+    "st46_stream_rollup"  -> (graft.streaming.Streams.st46StreamRollup _),
     "p60_vocab_build"     -> (Pipeline.p60VocabBuild _),
     "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),

@@ -816,6 +816,9 @@ object ExtOracles {
     "q49_hll_sketch"    -> q49Sql,
     "q61_sliding_distinct" -> q61Sql,
     "q69_incr_rollup" -> q69Sql,
+    // st46's drained cell state IS q69's merged state (shared projection
+    // + report definitions) — one oracle, the st43/st44/st45 device
+    "st46_stream_rollup" -> q69Sql,
     "q50_snapshot_ages" -> q50Sql,
     "q63_fte_utilization" -> q63Sql,
     "q64_backlog_forecast" -> q64Sql,

@@ -108,15 +108,11 @@ object Sketches {
     * Z/correction chain (q49's arithmetic) shared by q69's merged and
     * full-rebuild paths so the two estimates cannot drift by
     * construction drift, only by actual register differences. */
-  private def hllEstimateFromRegisters(bm: DataFrame, keys: Seq[String],
-      out: String): DataFrame = {
-    val pb1 = HllPatternBits + 1
-    val two53 = 1L << pb1
+  /** zp/nb register-fold columns → the corrected HLL estimate column. */
+  private def withEstimate(df: DataFrame, out: String): DataFrame = {
+    val two53 = 1L << (HllPatternBits + 1)
     val m2 = HllBuckets.toDouble * HllBuckets
-    bm.groupBy(keys.map(col): _*)
-      .agg(sum(expr(s"shiftleft(cast(1 as bigint), cast($pb1 - mx as int))")).as("zp"),
-        count(lit(1)).as("nb"))
-      .withColumn("zint", col("zp") + (lit(HllBuckets.toLong) - col("nb")) * lit(two53))
+    df.withColumn("zint", col("zp") + (lit(HllBuckets.toLong) - col("nb")) * lit(two53))
       .withColumn("zeros", lit(HllBuckets.toLong) - col("nb"))
       .withColumn("est_raw",
         lit(HllAlpha) * lit(m2) * lit(two53.toDouble) / col("zint").cast("double"))
@@ -124,6 +120,16 @@ object Sketches {
         when(col("zeros") > 0 && col("est_raw") <= 2.5 * HllBuckets,
           lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
           .otherwise(col("est_raw")), 4))
+  }
+
+  private def hllEstimateFromRegisters(bm: DataFrame, keys: Seq[String],
+      out: String): DataFrame = {
+    val pb1 = HllPatternBits + 1
+    withEstimate(
+      bm.groupBy(keys.map(col): _*)
+        .agg(sum(expr(s"shiftleft(cast(1 as bigint), cast($pb1 - mx as int))")).as("zp"),
+          count(lit(1)).as("nb")),
+      out)
       .select(keys.map(col) :+ col(out): _*)
   }
 
@@ -151,10 +157,27 @@ object Sketches {
     * never re-reads history.
     */
   def q69IncrRollup(spark: SparkSession, dir: String): DataFrame = {
-    val pb1 = HllPatternBits + 1
     val keys = Seq("event_type", "day")
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"),
+    val ev = q69Projection(Tables.events(spark, dir))
+    // per-side partial state at the (key, bucket) grain: what the stored
+    // MV holds / what the batch adds (counts ride the bucket grain —
+    // their key-grain sum is the same exact integer)
+    val sideState = ev
+      .groupBy((col("is_delta") +: keys.map(col)) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv"),
+        max(col("rho")).as("mx"))
+    // the MERGE: counts add, registers max
+    val state = sideState.groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"), max(col("mx")).as("mx"))
+    q69Report(state, ev)
+  }
+
+  /** The shared (type, day, bucket)-grain event projection — ONE
+    * definition for q69's batch merge and st46's streaming state, so
+    * the continuous leg cannot drift from the batch algebra. */
+  private[graft] def q69Projection(events: DataFrame): DataFrame = {
+    val pb1 = HllPatternBits + 1
+    events.select(col("event_type"), to_date(col("ts")).as("day"),
         floor(col("value") * 100).cast("long").as("v100"),
         (pmod(col("event_id"), lit(Dedup.IncrementalBatchMod.toLong)) === 0)
           .as("is_delta"),
@@ -163,24 +186,31 @@ object Sketches {
       .withColumn("w", expr(s"h div $HllBuckets"))
       .withColumn("rho", when(col("w") === 0, lit(pb1))
         .otherwise(lit(pb1) - length(bin(col("w")))))
-    // per-side partial state: what the stored MV holds / what the batch adds
-    val parts = ev.groupBy((col("is_delta") +: keys.map(col)): _*)
-      .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv"))
-    val regs = ev.groupBy((col("is_delta") +: keys.map(col)) :+ col("bucket"): _*)
-      .agg(max(col("rho")).as("mx"))
-    // the MERGE: counts add, registers max
-    val mergedAgg = parts.groupBy(keys.map(col): _*)
-      .agg(sum(col("n")).as("n_events"), sum(col("sv")).as("sum_v100"))
-    val estM = hllEstimateFromRegisters(
-      regs.groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("mx")).as("mx")),
-      keys, "est_users")
-    // the full-rebuild reference (what IVM avoids)
-    val fullAgg = ev.groupBy(keys.map(col): _*)
+  }
+
+  /** The shared report tail: merged (key, bucket) state → key-grain
+    * counts/sums + HLL estimate, joined against the full-rebuild
+    * reference with the per-row `maintenance_exact` witness. */
+  private[graft] def q69Report(state: DataFrame, fullEv: DataFrame): DataFrame = {
+    val pb1 = HllPatternBits + 1
+    val keys = Seq("event_type", "day")
+    // ONE aggregation over the state carries the algebraic totals AND
+    // the register fold together — the state (a drained memory-sink
+    // table in st46) is read exactly once, and the merged report is a
+    // single pass over grain rows
+    val merged = withEstimate(
+      state.groupBy(keys.map(col): _*)
+        .agg(sum(col("n")).as("n_events"), sum(col("sv")).as("sum_v100"),
+          sum(expr(s"shiftleft(cast(1 as bigint), cast($pb1 - mx as int))")).as("zp"),
+          count(lit(1)).as("nb")),
+      "est_users")
+      .select(keys.map(col) ++ Seq(col("n_events"), col("sum_v100"), col("est_users")): _*)
+    val fullAgg = fullEv.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_full"), sum(col("v100")).as("sum_full"))
     val estF = hllEstimateFromRegisters(
-      ev.groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("rho")).as("mx")),
+      fullEv.groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("rho")).as("mx")),
       keys, "est_users_full")
-    mergedAgg.join(estM, keys).join(fullAgg, keys).join(estF, keys)
+    merged.join(fullAgg, keys).join(estF, keys)
       .select(col("event_type"), col("day").cast("timestamp").as("day"),
         col("n_events"), col("sum_v100"), col("est_users"), col("est_users_full"),
         (col("n_events") === col("n_full") && col("sum_v100") === col("sum_full") &&

@@ -569,6 +569,31 @@ object Streams {
     Dedup.bloomReport(d, isNew, batchPos, cells)
   }
 
+  /** st46: streaming rollup maintenance — q69 continuous (the IVM
+    * nightly merge replaced by an always-on aggregation): every arriving
+    * event upserts the (type, day, bucket) cell state — count/sum ADD,
+    * HLL register MAX, both order-independent, so streaming aggregation
+    * state is the ROLLUP GRAIN × 256 registers REGARDLESS of stream
+    * volume (st43/st45's constant-state family; never per-event). The
+    * projection ([[graft.operators.Sketches.q69Projection]]) and the
+    * report tail ([[graft.operators.Sketches.q69Report]] — key-grain
+    * counts, register estimate, full-rebuild reference, per-row
+    * `maintenance_exact` witness) are the batch operator's own
+    * definitions, so the continuous report equals q69's row-for-row
+    * (spec-pinned; oracle = q69's SQL verbatim, the st43/st44/st45
+    * device).
+    */
+  def st46StreamRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val stream = Sketches.q69Projection(eventsStream(spark, dir))
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv"),
+        max(col("rho")).as("mx"))
+    val state = runToTable(spark, stream, "complete", "st46")
+    Sketches.q69Report(state,
+      Sketches.q69Projection(graft.Tables.events(spark, dir)))
+  }
+
   /** st44: streaming drift monitor — t39 continuous: arriving docs
     * (d27's `% 5` rule) accumulate (dimension, value) counts in
     * streaming aggregation state — the state is the CATEGORICAL GRID

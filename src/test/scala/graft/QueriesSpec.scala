@@ -1194,6 +1194,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === Tables.events(spark, dir).count())
   }
 
+  test("st46 streaming rollup report equals q69's batch report row-for-row") {
+    val stream = graft.streaming.Streams.st46StreamRollup(spark, dir).collect().toSeq
+    val batch = graft.operators.Sketches.q69IncrRollup(spark, dir).collect().toSeq
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+    assert(stream.map(key) === batch.map(key))
+  }
+
   test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
     val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
     val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
