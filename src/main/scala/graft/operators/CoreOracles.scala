@@ -430,22 +430,18 @@ object CoreOracles {
         |                              || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
         |           % 100 AS u
         |  FROM lineitem
-        |), ex AS (
+        |), ag AS (
         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |         CAST(SUM(qty) AS BIGINT) AS sum_qty
+        |         CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |         CAST(SUM(CASE WHEN u = 0 THEN 1 ELSE 0 END) * 100 AS BIGINT) AS est_rows,
+        |         CAST(SUM(CASE WHEN u = 0 THEN qty ELSE 0 END) * 100 AS BIGINT) AS est_qty
         |  FROM li GROUP BY l_returnflag
-        |), est AS (
-        |  SELECT l_returnflag, CAST(COUNT(*) * 100 AS BIGINT) AS est_rows,
-        |         CAST(SUM(qty) * 100 AS BIGINT) AS est_qty
-        |  FROM li WHERE u = 0 GROUP BY l_returnflag
         |)
-        |SELECT ex.l_returnflag, ex.n_rows,
-        |       COALESCE(est.est_rows, 0) AS est_rows,
-        |       abs(COALESCE(est.est_rows, 0) - ex.n_rows) * 10000 // ex.n_rows AS err_rows_pm,
-        |       ex.sum_qty,
-        |       COALESCE(est.est_qty, 0) AS est_qty,
-        |       abs(COALESCE(est.est_qty, 0) - ex.sum_qty) * 10000 // ex.sum_qty AS err_qty_pm
-        |FROM ex LEFT JOIN est ON ex.l_returnflag = est.l_returnflag
-        |ORDER BY ex.l_returnflag""".stripMargin
+        |SELECT l_returnflag, n_rows, est_rows,
+        |       abs(est_rows - n_rows) * 10000 // n_rows AS err_rows_pm,
+        |       sum_qty, est_qty,
+        |       abs(est_qty - sum_qty) * 10000 // sum_qty AS err_qty_pm
+        |FROM ag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

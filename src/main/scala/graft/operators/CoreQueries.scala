@@ -724,21 +724,18 @@ object CoreQueries {
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
         (PortableHash.ph(concat(lit("q65:"), col("l_orderkey"),
           lit(":"), col("l_linenumber"))) % 100).as("u"))
-    val exact = li.groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
-    val est = li.filter(col("u") === 0)
-      .groupBy("l_returnflag")
-      .agg((count(lit(1)) * 100).as("est_rows"),
-        (sum(col("qty")) * 100).as("est_qty"))
-    exact.join(est, Seq("l_returnflag"), "left")
-      .select(col("l_returnflag"), col("n_rows"),
-        coalesce(col("est_rows"), lit(0L)).as("est_rows"),
-        expr("abs(coalesce(est_rows, 0) - n_rows) * 10000 DIV n_rows")
-          .as("err_rows_pm"),
-        col("sum_qty"),
-        coalesce(col("est_qty"), lit(0L)).as("est_qty"),
-        expr("abs(coalesce(est_qty, 0) - sum_qty) * 10000 DIV sum_qty")
-          .as("err_qty_pm"))
+    // exact and estimate ride ONE aggregation over ONE scan — the
+    // sample contributes via conditional sums, so there is no second
+    // scan and no join (in production only the estimate branch exists
+    // and the filter prunes at the scan)
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        (sum(when(col("u") === 0, 1L).otherwise(0L)) * 100).as("est_rows"),
+        (sum(when(col("u") === 0, col("qty")).otherwise(0L)) * 100).as("est_qty"))
+      .select(col("l_returnflag"), col("n_rows"), col("est_rows"),
+        expr("abs(est_rows - n_rows) * 10000 DIV n_rows").as("err_rows_pm"),
+        col("sum_qty"), col("est_qty"),
+        expr("abs(est_qty - sum_qty) * 10000 DIV sum_qty").as("err_qty_pm"))
       .orderBy("l_returnflag")
   }
 }
