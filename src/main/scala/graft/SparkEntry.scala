@@ -120,6 +120,7 @@ object SparkEntry {
     "q59_scd_history"     -> (CoreQueries.q59ScdHistory _),
     "q65_approx_agg"      -> (CoreQueries.q65ApproxAgg _),
     "q68_gap_fill"        -> (CoreQueries.q68GapFill _),
+    "q70_constraint_audit" -> (CoreQueries.q70ConstraintAudit _),
     "q60_cube"            -> (CoreQueries.q60Cube _),
     "m32_multimodal"      -> (Multimodal.m32Multimodal _),
     "m33_frame_sample"    -> (Multimodal.m33FrameSample _),

@@ -420,6 +420,41 @@ object CoreOracles {
         |  ON s.event_type = h.event_type AND s.hour = h.hour
         |ORDER BY s.event_type, s.hour""".stripMargin,
 
+    // mirror of CoreQueries.q70ConstraintAudit: one conditional-agg pass
+    // per table + one anti-join RI count, same permyriad arithmetic
+    "q70_constraint_audit" ->
+      """WITH oagg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cust,
+        |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price
+        |  FROM orders
+        |), orph AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |), li AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_li FROM lineitem
+        |), rows0 AS (
+        |  SELECT 'orders_orderkey_unique' AS check_name,
+        |         (n - n_keys) * 10000 // n AS observed_pm FROM oagg
+        |  UNION ALL
+        |  SELECT 'orders_custkey_complete', n_null_cust * 10000 // n FROM oagg
+        |  UNION ALL
+        |  SELECT 'orders_status_accepted', n_bad_status * 10000 // n FROM oagg
+        |  UNION ALL
+        |  SELECT 'orders_price_positive', n_bad_price * 10000 // n FROM oagg
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_referential', n_orphan * 10000 // n_li
+        |  FROM orph, li
+        |)
+        |SELECT check_name, CAST(observed_pm AS BIGINT) AS observed_pm,
+        |       CAST(0 AS BIGINT) AS threshold_pm,
+        |       (observed_pm <= 0) AS passed
+        |FROM rows0
+        |ORDER BY check_name""".stripMargin,
+
     // mirror of CoreQueries.q65ApproxAgg: same salted portable hash
     // (p56's device), same 1% predicate, exact-BIGINT quantities, same
     // scaled estimates and permyriad error columns

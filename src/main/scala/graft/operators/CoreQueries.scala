@@ -658,6 +658,64 @@ object CoreQueries {
       .orderBy("user_id", "version")
   }
 
+  /** q70: declarative data-quality constraint audit — the Deequ / dbt-
+    * test shape (Schelter et al., VLDB'18 "Automating Large-Scale Data
+    * Quality Verification"): a constraint suite over the fact tables
+    * evaluated as ONE conditional-aggregation pass per table plus one
+    * linear anti-join for referential integrity, reported as
+    * (constraint, observed permyriad, threshold permyriad, passed).
+    * Every pipeline this engine feeds (training-data builds, the
+    * reference's published tables) gates on exactly this audit.
+    *
+    * Constraints: o_orderkey uniqueness; o_custkey completeness;
+    * o_orderstatus accepted values; o_totalprice positive range;
+    * lineitem→orders referential integrity (orphan rate). Thresholds
+    * are permyriad bars so the report is exact-integer.
+    *
+    * 100 TB posture: row-level constraints fold into one map-side-
+    * combined aggregation per table (no per-constraint scans — the
+    * Deequ trick); uniqueness rides the same pass as count+distinct;
+    * the RI check is ONE left-anti equi-join (shuffle on the key, the
+    * join the warehouse already bucket-lays-out via q39). Nothing is
+    * quadratic; the report grain is |constraints|.
+    */
+  def q70ConstraintAudit(spark: SparkSession, dir: String): DataFrame =
+    q70ConstraintCore(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** Core over any (orders, lineitem) frames — extracted so the spec can
+    * drive corrupted data (duplicate keys, nulls, bad enums, orphans)
+    * through the production plan and see every failure arm fire. */
+  private[graft] def q70ConstraintCore(o: DataFrame, liDf: DataFrame): DataFrame = {
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("n_bad_status"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_bad_price"))
+    val orphans = liDf
+      .join(o.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    val li = liDf.agg(count(lit(1)).as("n_li"))
+    val m = oAgg.crossJoin(broadcast(orphans)).crossJoin(broadcast(li))
+    def row(name: String, observed: org.apache.spark.sql.Column,
+        threshold: Long): DataFrame =
+      m.select(lit(name).as("check_name"), observed.cast("long").as("observed_pm"),
+        lit(threshold).as("threshold_pm"),
+        (observed.cast("long") <= threshold).as("passed"))
+    row("orders_orderkey_unique", expr("(n - n_keys) * 10000 DIV n"), 0L)
+      .unionByName(row("orders_custkey_complete",
+        expr("n_null_cust * 10000 DIV n"), 0L))
+      .unionByName(row("orders_status_accepted",
+        expr("n_bad_status * 10000 DIV n"), 0L))
+      .unionByName(row("orders_price_positive",
+        expr("n_bad_price * 10000 DIV n"), 0L))
+      .unionByName(row("lineitem_orderkey_referential",
+        expr("n_orphan * 10000 DIV n_li"), 0L))
+      .orderBy("check_name")
+  }
+
   /** q65: approximate aggregation over a deterministic hash sample —
     * the interactive-analytics shape at 100 TB (BlinkDB / AQP, Agarwal
     * et al. EuroSys'13): aggregate a p = 1% sample, scale estimates by

@@ -1203,6 +1203,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(stream.map(key) === batch.map(key))
   }
 
+  test("q70 constraint audit passes on clean data and every arm fires on corrupted data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val clean = graft.operators.CoreQueries.q70ConstraintAudit(spark, dir).collect()
+    assert(clean.length === 5)
+    clean.foreach(r => assert(r.getBoolean(3), s"clean data failed $r"))
+    // corrupted frames: duplicate key, null custkey, bad status, negative
+    // price, and a lineitem orphan — every constraint must fail
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+    val liSchema = StructType(Seq(StructField("l_orderkey", LongType)))
+    val badO = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, "O", 5.0), Row(1L, 11L, "F", 6.0),
+      Row(2L, null, "X", -3.0)), 2), oSchema)
+    val badLi = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(99L)), 1), liSchema)
+    val bad = graft.operators.CoreQueries.q70ConstraintCore(badO, badLi).collect()
+    bad.foreach { r =>
+      assert(!r.getBoolean(3), s"corrupted data passed ${r.getString(0)}")
+      assert(r.getLong(1) > 0 && r.getLong(1) <= 10000)
+    }
+  }
+
   test("q66 KMV overlap: sketch bounds, estimator coherence, exact columns consistent") {
     val r = graft.operators.Sketches.q66KmvOverlap(spark, dir).head
     val (k, nKu, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
