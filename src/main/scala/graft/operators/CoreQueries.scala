@@ -699,20 +699,22 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orphan"))
     val li = liDf.agg(count(lit(1)).as("n_li"))
     val m = oAgg.crossJoin(broadcast(orphans)).crossJoin(broadcast(li))
-    def row(name: String, observed: org.apache.spark.sql.Column,
-        threshold: Long): DataFrame =
-      m.select(lit(name).as("check_name"), observed.cast("long").as("observed_pm"),
-        lit(threshold).as("threshold_pm"),
-        (observed.cast("long") <= threshold).as("passed"))
-    row("orders_orderkey_unique", expr("(n - n_keys) * 10000 DIV n"), 0L)
-      .unionByName(row("orders_custkey_complete",
-        expr("n_null_cust * 10000 DIV n"), 0L))
-      .unionByName(row("orders_status_accepted",
-        expr("n_bad_status * 10000 DIV n"), 0L))
-      .unionByName(row("orders_price_positive",
-        expr("n_bad_price * 10000 DIV n"), 0L))
-      .unionByName(row("lineitem_orderkey_referential",
-        expr("n_orphan * 10000 DIV n_li"), 0L))
+    // ONE evaluation of the metrics row, fanned into the report rows by
+    // a single explode — a 5-way union of selects over `m` would plan
+    // five copies of the whole aggregation tree (15 aggregate jobs)
+    def entry(name: String, observed: String): Column =
+      struct(lit(name).as("check_name"),
+        expr(observed).cast("long").as("observed_pm"),
+        lit(0L).as("threshold_pm"),
+        (expr(observed).cast("long") <= 0L).as("passed"))
+    m.select(explode(array(
+        entry("orders_orderkey_unique", "(n - n_keys) * 10000 DIV n"),
+        entry("orders_custkey_complete", "n_null_cust * 10000 DIV n"),
+        entry("orders_status_accepted", "n_bad_status * 10000 DIV n"),
+        entry("orders_price_positive", "n_bad_price * 10000 DIV n"),
+        entry("lineitem_orderkey_referential", "n_orphan * 10000 DIV n_li")))
+        .as("c"))
+      .select("c.*")
       .orderBy("check_name")
   }
 
