@@ -756,8 +756,14 @@ object CoreQueries {
     * aggregate-then-window discipline); the bounds row broadcasts, the
     * spine join and the LOCF window run on grain rows only.
     */
-  def q68GapFill(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
+  def q68GapFill(spark: SparkSession, dir: String): DataFrame =
+    q68GapFillCore(Tables.events(spark, dir))
+
+  /** Core over any (event_type, ts, value) frame — extracted so the
+    * spec can drive constructed sparse series through the production
+    * plan (leading gaps, all-null stretches, single-hour types). */
+  private[graft] def q68GapFillCore(events: DataFrame): DataFrame = {
+    val hourly = events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
         floor(col("value") * 100).cast("long").as("v100"))
       .groupBy("event_type", "hour")

