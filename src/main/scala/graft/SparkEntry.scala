@@ -83,12 +83,14 @@ object SparkEntry {
     "s34_sq_ann"          -> (Similarity.s34SqAnn _),
     "s35_filtered_ann"    -> (Similarity.s35FilteredAnn _),
     "s36_hash_vectors"    -> (Similarity.s36HashVectors _),
+    "s37_rrf_fusion"      -> (Similarity.s37RrfFusion _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),
     "t38_langid_eval"     -> (TextAnalysis.t38LangidEval _),
     "t39_drift"           -> (TextAnalysis.t39Drift _),
     "t40_entropy"         -> (TextAnalysis.t40Entropy _),
+    "t41_bm25"            -> (TextAnalysis.t41Bm25 _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),

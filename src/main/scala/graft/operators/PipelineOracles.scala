@@ -786,9 +786,12 @@ object PipelineOracles {
   // the dot restated relationally on the (doc, bucket) grain (exact
   // BIGINT — component values are exact in both engines), the same
   // zero-norm exclusion and s26 rank tail
-  private val s36Sql: String = {
+  /** The s36 rank chain ending in `$rName(query_id, neighbor_id,
+    * cos_sim, rnk)` — shared by s36 (top-5) and s37 (fusion leg at
+    * depth [[Similarity.RrfDepth]]), mirroring the shared Scala core. */
+  private def s36ChainCtes(rName: String): String = {
     import graft.functions.PortableHash.HashVecDim
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, ${phSql("w")} AS h FROM (
       |    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
       |    FROM documents)
@@ -812,15 +815,18 @@ object PipelineOracles {
       |  FROM nrm q JOIN nrm c ON c.doc_id <> q.doc_id
       |       LEFT JOIN dots d ON d.query_id = q.doc_id AND d.neighbor_id = c.doc_id
       |  WHERE q.doc_id < 10
-      |), r AS (
+      |), $rName AS (
       |  SELECT query_id, neighbor_id, cos_sim,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |                                 ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS INT) AS rnk
       |  FROM p
-      |)
+      |)""".stripMargin
+  }
+
+  private val s36Sql: String =
+    s"""WITH ${s36ChainCtes("r")}
       |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
-  }
 
   private val s27Sql: String = {
     val bucket = (0 until 8).map { p =>
@@ -1814,6 +1820,86 @@ object PipelineOracles {
       |FROM r WHERE rnk <= ${TextAnalysis.KeywordsPerDoc}
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // t41 mirror — same integral-log idf rewrite and 10L-cleared
+  // saturation rational; ROUND(...,6) before ranking so ties break on
+  // neighbor_id identically (the t40 float device)
+  /** The t41 rank chain ending in `$rName(query_id, neighbor_id,
+    * n_terms_hit, score, rnk)` — shared by t41 and s37's lexical leg,
+    * mirroring the shared Scala core. */
+  private def t41ChainCtes(rName: String): String =
+    s"""tok AS (
+      |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+      |), lens AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id
+      |), dfx AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(len) AS BIGINT) AS total_len FROM lens
+      |), qt AS (
+      |  SELECT doc_id AS query_id, token FROM tf WHERE doc_id < 10
+      |), terms AS (
+      |  SELECT qt.query_id, t.doc_id,
+      |         (ln(CAST(2*s.n_docs - 2*d.df + 1 AS DOUBLE)) - ln(CAST(2*d.df + 1 AS DOUBLE)))
+      |         * CAST(t.tf * 22 * s.total_len AS DOUBLE)
+      |         / CAST(t.tf * 10 * s.total_len + 3 * s.total_len + 9 * l.len * s.n_docs AS DOUBLE)
+      |           AS term_score
+      |  FROM tf t
+      |  JOIN qt ON qt.token = t.token AND t.doc_id <> qt.query_id
+      |  JOIN dfx d ON d.token = t.token
+      |  JOIN lens l ON l.doc_id = t.doc_id
+      |  CROSS JOIN stats s
+      |), sc AS (
+      |  SELECT query_id, doc_id AS neighbor_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+      |         ROUND(SUM(term_score), 6) AS score
+      |  FROM terms GROUP BY query_id, doc_id
+      |), $rName AS (
+      |  SELECT query_id, neighbor_id, n_terms_hit, score,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM sc
+      |)""".stripMargin
+
+  private val t41Sql: String =
+    s"""WITH ${t41ChainCtes("r")}
+      |SELECT query_id, rnk, neighbor_id, n_terms_hit, score
+      |FROM r WHERE rnk <= ${TextAnalysis.Bm25TopK}
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // s37 mirror — both shared chains at depth RrfDepth, quantized
+  // integer RRF (10^6 // (k + rank)), full-outer fusion, the same
+  // null-cosine exclusion on the vector leg
+  private val s37Sql: String = {
+    import Similarity.{RrfDepth, RrfK, RrfTopK}
+    s"""WITH ${s36ChainCtes("vr0")}, ${t41ChainCtes("lr0")}, vr AS (
+      |  SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS vec_rnk
+      |  FROM vr0 WHERE rnk <= $RrfDepth AND cos_sim IS NOT NULL
+      |), lr AS (
+      |  SELECT query_id, neighbor_id, rnk AS bm25_rnk
+      |  FROM lr0 WHERE rnk <= $RrfDepth
+      |), fused AS (
+      |  SELECT COALESCE(vr.query_id, lr.query_id) AS query_id,
+      |         COALESCE(vr.neighbor_id, lr.neighbor_id) AS neighbor_id,
+      |         vr.vec_rnk, lr.bm25_rnk,
+      |         COALESCE(1000000 // ($RrfK + vr.vec_rnk), 0)
+      |         + COALESCE(1000000 // ($RrfK + lr.bm25_rnk), 0) AS rrf_score
+      |  FROM vr FULL OUTER JOIN lr
+      |    ON vr.query_id = lr.query_id AND vr.neighbor_id = lr.neighbor_id
+      |), fr AS (
+      |  SELECT query_id, neighbor_id, vec_rnk, bm25_rnk, rrf_score,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM fused
+      |)
+      |SELECT query_id, rnk, neighbor_id, vec_rnk, bm25_rnk, rrf_score
+      |FROM fr WHERE rnk <= $RrfTopK
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // p67 mirror — d21's exact rule + d22's pair CTE restricted to exact
   // survivors + d26's recursive reachability, audited per source. Sums
   // cast to BIGINT (DuckDB SUM(int) is HUGEINT — the r7 dtype lesson).
@@ -2047,6 +2133,8 @@ object PipelineOracles {
     "d36_sig_jaccard"  -> d36Sql,
     "p60_vocab_build"  -> p60Sql,
     "t35_keywords"     -> t35Sql,
+    "t41_bm25"         -> t41Sql,
+    "s37_rrf_fusion"   -> s37Sql,
     "d29_repeated_spans" -> d29Sql,
     "d30_span_score"   -> d30Sql,
     "d33_winnow"       -> d33Sql,

@@ -628,10 +628,18 @@ object Similarity {
     * projections, but PushPredicateThroughNonJoin has no such guard —
     * observed in the executed plan).
     */
-  def s36HashVectors(spark: SparkSession, dir: String): DataFrame = {
+  def s36HashVectors(spark: SparkSession, dir: String): DataFrame =
+    s36HashVecCore(spark, Tables.documents(spark, dir), 5)
+
+  /** Rank core at any depth over any (doc_id, text) frame — s36 reads
+    * the top-5; s37 fuses the same ranking at depth
+    * [[Similarity.RrfDepth]] (ONE definition, the t41/withPredLang
+    * sharing discipline). */
+  private[graft] def s36HashVecCore(spark: SparkSession, documents: DataFrame,
+      depth: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.documents(spark, dir)
+    val e = documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(col("doc_id"), expr("graft_hash_vec(words)").as("v"))
       .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
@@ -645,8 +653,57 @@ object Similarity {
       .select(col("q.doc_id").as("query_id"),
         col("c.doc_id").as("neighbor_id"), col("cos_sim"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= depth)
       .select("query_id", "neighbor_id", "rnk", "cos_sim")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s37 fusion constants: both retrieval legs rank to [[RrfDepth]],
+    * fuse with the standard RRF constant k = [[RrfK]] (Cormack &
+    * Clarke SIGIR'09 use 60), report the top [[RrfTopK]]. */
+  val RrfDepth = 10
+  val RrfK = 60
+  val RrfTopK = 5
+
+  /** s37: hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher SIGIR'09) of the corpus's two retrieval signals: t41's
+    * BM25 lexical ranking and s36's feature-hashed vector ranking, for
+    * the same bounded query set. RRF(d) = Σ_lists 1/(k + rank_d); a
+    * doc absent from a list contributes 0. The score is QUANTIZED to
+    * exact integers — 10⁶ DIV (k + rank) per leg — so both engines
+    * fuse and tie-break (neighbor_id) bit-identically: no floats
+    * anywhere in the fusion (the t35 integer-relevance device).
+    *
+    * Each leg is the SHARED rank core of its standalone operator
+    * (t41Bm25Core / s36HashVecCore at depth [[RrfDepth]]) — the fusion
+    * cannot drift from the operators it fuses. Null-cosine (zero-norm)
+    * vector rows are excluded from the vector leg: a rank among nulls
+    * carries no signal.
+    *
+    * 100 TB posture: both legs are bounded-query-set rankings (≤
+    * |Q|·depth rows each); the fusion full-outer join and window run on
+    * that tiny grain — the corpus-sized work is entirely inside the two
+    * legs, each already scale-shaped (t41 probes query-term postings;
+    * s36 streams the corpus past a broadcast query set once).
+    */
+  def s37RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val vec = s36HashVecCore(spark, docs, RrfDepth)
+      .filter(col("cos_sim").isNotNull)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rnk").cast("long").as("vec_rnk"))
+    val lex = TextAnalysis.t41Bm25Core(docs, RrfDepth)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("bm25_rnk"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    vec.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000 DIV ($RrfK + vec_rnk)"), lit(0L)) +
+        coalesce(expr(s"1000000 DIV ($RrfK + bm25_rnk)"), lit(0L)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= RrfTopK)
+      .select("query_id", "rnk", "neighbor_id", "vec_rnk", "bm25_rnk", "rrf_score")
       .orderBy("query_id", "rnk")
   }
 }

@@ -621,4 +621,76 @@ object TextAnalysis {
         (col("char_entropy") < lit(LowEntropyBar)).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** t41 result depth per query. */
+  val Bm25TopK = 10
+
+  /** t41: BM25 lexical retrieval (Robertson & Walker, the Okapi BM25
+    * ranking function; k1 = 6/5, b = 3/4 as exact rationals) — the
+    * standard keyword-search baseline every retrieval/RAG stack ships
+    * next to its vector index. The bounded query set is the s26/s36
+    * harness (doc_id < 10, "more-like-this": the query's distinct
+    * tokens form the term bag; query-side tf is ignored, the standard
+    * reading for bag queries), scored against every other document.
+    *
+    * Cross-engine floats, the t40 device: idf = ln(N − df + ½) −
+    * ln(df + ½) is rewritten over INTEGRAL log arguments as
+    * ln(2N − 2df + 1) − ln(2df + 1), and the saturation term
+    * tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl)) is cleared of
+    * fractions by 10·L (L = total corpus tokens, avgdl = L/N):
+    * 22·tf·L / (10·tf·L + 3·L + 9·len·N) — both sides exact int64
+    * (headroom: tf·L < 4·10¹⁷; a 100 TB corpus computes the ratio in
+    * doubles directly — exactness here serves the oracle gate). The
+    * per-pair score rounds to 6dp before ranking so rank ties break on
+    * neighbor_id identically in both engines.
+    *
+    * 100 TB posture: the inverted-index probe shape — ONE corpus
+    * explode feeds the (doc, token) tf aggregate, whose doc_id exchange
+    * also serves the doc-length window (t35's single-exchange trick);
+    * df aggregates that same grain to vocabulary size; the query-term ×
+    * df table is tiny and BROADCAST, so candidate generation touches
+    * only the postings of query terms (|terms(Q)| · df rows, never
+    * N·|Q|); corpus stats ride a broadcast 1-row cross join. No
+    * corpus-sized build side anywhere.
+    */
+  def t41Bm25(spark: SparkSession, dir: String): DataFrame =
+    t41Bm25Core(Tables.documents(spark, dir), Bm25TopK)
+
+  /** Rule core over any (doc_id, text) frame — property tests drive
+    * random corpora through the production plan; s37 fuses the same
+    * ranking at its own depth. */
+  private[graft] def t41Bm25Core(documents: DataFrame, depth: Int): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+    val tf = tok.repartition(col("doc_id"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("len", sum(col("tf")).over(Window.partitionBy("doc_id")))
+    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("token"))
+    // query-term df table: broadcast the tiny term bag INTO the
+    // vocab-sized df relation, then broadcast the tiny result outward
+    val qtd = dfx.join(broadcast(qterms), Seq("token"))
+    val stats = documents.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(split(coalesce(col("text"), lit("")), " "))).cast("long")
+        .as("total_len"))
+    val terms = tf.join(broadcast(qtd), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        expr("(ln(CAST(2*n_docs - 2*df + 1 AS DOUBLE)) - ln(CAST(2*df + 1 AS DOUBLE)))" +
+          " * CAST(tf * 22 * total_len AS DOUBLE)" +
+          " / CAST(tf * 10 * total_len + 3 * total_len + 9 * len * n_docs AS DOUBLE)"))
+    val scored = terms.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), round(sum(col("term_score")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("n_terms_hit"), col("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= depth)
+      .select("query_id", "rnk", "neighbor_id", "n_terms_hit", "score")
+      .orderBy("query_id", "rnk")
+  }
 }

@@ -799,4 +799,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"scalar combine must broadcast, not cartesian:\n$p")
   }
+
+  test("t41 BM25 probes query-term postings via broadcast; corpus never builds") {
+    val df = operators.TextAnalysis.t41Bm25(spark, dir)
+    val p = planString(df)
+    // candidate generation = postings of query terms only: the tiny
+    // query-term × df table broadcasts into the tf relation; a
+    // sort-merge join here would shuffle the whole (doc, token) grain
+    // by token
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast postings probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+    // corpus stats ride a broadcast 1-row loop join, never a cartesian
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("s37 fusion: corpus-sized work stays in the legs; fusion join is tiny") {
+    val df = operators.Similarity.s37RrfFusion(spark, dir)
+    val p = planString(df)
+    // the lexical leg's postings probe broadcasts (t41's pin) and the
+    // vector leg's query set broadcasts (s36's pin)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast postings probe:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ query-set leg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the only sort-merge join permitted is the full-outer fusion of the
+    // two ≤|Q|·depth rank lists — a bounded grain by construction
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"corpus-sized sort-merge join leaked into a leg:\n$p")
+  }
 }

@@ -1285,6 +1285,69 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t41 BM25 matches an in-memory reference on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).toSeq)
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (id, w) -> g.size.toLong } }.toMap
+    val len = docs.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val nDocs = docs.length.toLong
+    val totLen = len.values.sum
+    def pairScore(qws: Set[String], did: Long): Option[(Long, Double)] = {
+      val hits = qws.filter(w => tf.contains((did, w)))
+      if (hits.isEmpty) None else Some((hits.size.toLong, hits.toSeq.map { w =>
+        val df = dfm(w); val t = tf((did, w))
+        (math.log((2 * nDocs - 2 * df + 1).toDouble) - math.log((2 * df + 1).toDouble)) *
+          (t * 22 * totLen).toDouble /
+          (t * 10 * totLen + 3 * totLen + 9 * len(did) * nDocs).toDouble
+      }.sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.filter(_._1 < 10).flatMap { case (qid, qws) =>
+      val cands = docs.iterator.map(_._1).filter(_ != qid)
+        .flatMap(d => pairScore(qws.toSet, d).map { case (nh, s) => (d, nh, r6(s)) })
+        .toSeq.sortBy { case (d, _, s) => (-s, d) }
+        .take(graft.operators.TextAnalysis.Bm25TopK)
+      cands.zipWithIndex.map { case ((d, nh, s), i) =>
+        (qid, (i + 1).toLong, d, nh, s) }
+    }.toSet
+    val got = graft.operators.TextAnalysis.t41Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === expected)
+  }
+
+  test("s37 RRF fusion is consistent with its two shared rank legs") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+    val vec = Similarity.s36HashVecCore(spark, docs, Similarity.RrfDepth)
+      .filter(org.apache.spark.sql.functions.col("cos_sim").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    val lex = TextAnalysis.t41Bm25Core(docs, Similarity.RrfDepth).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val fusedKeys = vec.keySet ++ lex.keySet
+    val expected = fusedKeys.groupBy(_._1).flatMap { case (q, ks) =>
+      val scored = ks.toSeq.map { k =>
+        val s = vec.get(k).map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L) +
+          lex.get(k).map(r => 1000000L / (Similarity.RrfK + r)).getOrElse(0L)
+        (k._2, vec.get(k), lex.get(k), s)
+      }.sortBy { case (d, _, _, s) => (-s, d) }.take(Similarity.RrfTopK)
+      scored.zipWithIndex.map { case ((d, vr, lr, s), i) =>
+        (q, (i + 1).toLong, d, vr, lr, s) }
+    }.toSet
+    val got = Similarity.s37RrfFusion(spark, dir).collect()
+      .map { r =>
+        def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), r.getLong(1), r.getLong(2), optL(3), optL(4), r.getLong(5))
+      }.toSet
+    assert(got === expected)
+    // every fused row carries at least one leg rank
+    got.foreach { case (_, _, _, vr, lr, _) => assert(vr.isDefined || lr.isDefined) }
+  }
+
   test("t40 entropy: bounds, ttr range, exact dups score identically") {
     val t = graft.operators.TextAnalysis.t40Entropy(spark, dir).collect()
     t.foreach { r =>
