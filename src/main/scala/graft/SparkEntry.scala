@@ -91,6 +91,7 @@ object SparkEntry {
     "t39_drift"           -> (TextAnalysis.t39Drift _),
     "t40_entropy"         -> (TextAnalysis.t40Entropy _),
     "t41_bm25"            -> (TextAnalysis.t41Bm25 _),
+    "p69_dsir_select"     -> (Pipeline.p69DsirSelect _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),

@@ -736,4 +736,75 @@ object Pipeline {
           .as("n_after_near"))
       .orderBy("source")
   }
+
+  /** p69 hashed-feature domain. DSIR's reference implementation uses
+    * 10⁴ hashed n-gram buckets; 1024 keeps both bucket tables
+    * broadcast-tiny at any corpus scale while the statistics stay dense
+    * on the test corpora. */
+  val DsirBuckets = 1024L
+
+  /** p69: DSIR data selection — importance resampling via hashed n-gram
+    * features (Xie et al. 2023, arXiv:2302.03169, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its features are under the TARGET
+    * distribution than under the raw-corpus distribution, and keep the
+    * docs that look target-like. The target here is the held-out eval
+    * benchmark set (t32's `doc_id % 13 == 0` rule — ONE benchmark
+    * definition across the contamination screen and the selector).
+    * Features are hashed word unigrams + bigrams into
+    * [[DsirBuckets]] buckets (the paper's hashed n-gram device); bucket
+    * distributions are add-one smoothed; a doc's log importance ratio is
+    * λ_d = Σ_f c_f·(ln(t_f+1) − ln(r_f+1) + ln(R+B) − ln(T+B)) — every
+    * ln argument INTEGRAL (the t40 float device), the per-feature term
+    * associative, λ rounded to 6dp. Selection is the deterministic
+    * threshold λ ≥ 0 (features more likely under the target than under
+    * raw) — the paper's Gumbel-top-k sampling replaced by its
+    * reproducible, growth-stable limit (a doc's verdict never changes
+    * as the corpus grows, the p56 discipline).
+    *
+    * 100 TB posture: ONE corpus scan — unigram and bigram features ride
+    * a single explode (arrays_zip with the shifted token array, the t36
+    * bigram device, then a 2-wide array explode); the only data-sized
+    * shuffle is the partial-aggregated (doc, feature) grain; both the
+    * per-bucket table (≤B rows) and the totals row BROADCAST back onto
+    * that grain; the per-doc rollup re-uses the doc_id-prefixed
+    * aggregation. Nothing corpus-sized ever builds or sorts globally.
+    */
+  def p69DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    p69DsirCore(Tables.documents(spark, dir))
+
+  /** Rule core over any (doc_id, text) frame — property tests drive
+    * constructed target/raw corpora through the production plan. */
+  private[graft] def p69DsirCore(documents: DataFrame): DataFrame = {
+    val B = DsirBuckets
+    val feats = documents
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .withColumn("nx", expr(
+        "concat(slice(ws, 2, size(ws) - 1), array(CAST(NULL AS STRING)))"))
+      .select(col("doc_id"), explode(arrays_zip(col("ws"), col("nx"))).as("z"))
+      .select(col("doc_id"), explode(array(
+        pmod(ph(col("z.ws")), lit(B)),
+        when(col("z.nx").isNotNull,
+          pmod(ph(concat(col("z.ws"), lit(" "), col("z.nx"))), lit(B)))))
+        .as("f"))
+      .filter(col("f").isNotNull)
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      .withColumn("is_target", col("doc_id") % 13 === 0)
+    val bt = feats.groupBy("f").agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_f"),
+      sum(when(!col("is_target"), col("c")).otherwise(0L)).as("r_f"))
+    val tot = bt.agg(sum(col("t_f")).as("t_tot"), sum(col("r_f")).as("r_tot"))
+    feats.filter(!col("is_target"))
+      .join(broadcast(bt), Seq("f"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c").cast("double") *
+          expr(s"ln(CAST(t_f + 1 AS DOUBLE)) - ln(CAST(r_f + 1 AS DOUBLE))" +
+               s" + ln(CAST(r_tot + $B AS DOUBLE)) - ln(CAST(t_tot + $B AS DOUBLE))")), 6)
+          .as("log_ratio"))
+      .select(col("doc_id"), col("n_feats"), col("log_ratio"),
+        (col("log_ratio") >= 0).cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
 }

@@ -1900,6 +1900,44 @@ object PipelineOracles {
       |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // p69 mirror — same hashed unigram+bigram buckets, add-one smoothing,
+  // and the associative per-feature log term (all ln args integral)
+  private val p69Sql: String = {
+    val B = Pipeline.DsirBuckets
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents
+      |), feat AS (
+      |  SELECT doc_id, unnest(ws) AS feat FROM w
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+      |           g -> ws[g] || ' ' || ws[g + 1])) AS feat
+      |  FROM w
+      |), feats AS (
+      |  SELECT doc_id, ${phSql("feat")} % $B AS f, COUNT(*) AS c
+      |  FROM feat GROUP BY 1, 2
+      |), bt AS (
+      |  SELECT f,
+      |         CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN c ELSE 0 END) AS BIGINT) AS t_f,
+      |         CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN c ELSE 0 END) AS BIGINT) AS r_f
+      |  FROM feats GROUP BY f
+      |), tot AS (
+      |  SELECT CAST(SUM(t_f) AS BIGINT) AS t_tot, CAST(SUM(r_f) AS BIGINT) AS r_tot
+      |  FROM bt
+      |), lam AS (
+      |  SELECT fe.doc_id, CAST(SUM(fe.c) AS BIGINT) AS n_feats,
+      |         ROUND(SUM(CAST(fe.c AS DOUBLE)
+      |           * (ln(CAST(bt.t_f + 1 AS DOUBLE)) - ln(CAST(bt.r_f + 1 AS DOUBLE))
+      |              + ln(CAST(tt.r_tot + $B AS DOUBLE)) - ln(CAST(tt.t_tot + $B AS DOUBLE)))), 6)
+      |           AS log_ratio
+      |  FROM feats fe JOIN bt USING (f) CROSS JOIN tot tt
+      |  WHERE fe.doc_id % 13 <> 0
+      |  GROUP BY fe.doc_id
+      |)
+      |SELECT doc_id, n_feats, log_ratio,
+      |       CAST(log_ratio >= 0 AS INT) AS selected
+      |FROM lam ORDER BY doc_id""".stripMargin
+  }
+
   // p67 mirror — d21's exact rule + d22's pair CTE restricted to exact
   // survivors + d26's recursive reachability, audited per source. Sums
   // cast to BIGINT (DuckDB SUM(int) is HUGEINT — the r7 dtype lesson).
@@ -2135,6 +2173,7 @@ object PipelineOracles {
     "t35_keywords"     -> t35Sql,
     "t41_bm25"         -> t41Sql,
     "s37_rrf_fusion"   -> s37Sql,
+    "p69_dsir_select"  -> p69Sql,
     "d29_repeated_spans" -> d29Sql,
     "d30_span_score"   -> d30Sql,
     "d33_winnow"       -> d33Sql,

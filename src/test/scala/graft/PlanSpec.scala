@@ -826,4 +826,14 @@ class PlanSpec extends AnyFunSuite {
     val smj = "SortMergeJoin".r.findAllIn(p).size
     assert(smj <= 1, s"corpus-sized sort-merge join leaked into a leg:\n$p")
   }
+
+  test("p69 DSIR: bucket tables broadcast onto the feature grain; no shuffle joins") {
+    val p = planString(operators.Pipeline.p69DsirSelect(spark, dir))
+    // the ≤B-row bucket table and the 1-row totals must broadcast; a
+    // sort-merge join would re-shuffle the whole (doc, feature) grain
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bucket join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast totals:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
 }

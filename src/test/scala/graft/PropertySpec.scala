@@ -1006,4 +1006,50 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("p69 DSIR selection matches the in-memory importance reference") {
+    val B = operators.Pipeline.DsirBuckets
+    def phRef(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def featsOf(t: String): Seq[Long] = {
+      val ws = t.split(" ", -1).toSeq
+      ws.map(w => phRef(w) % B) ++
+        ws.sliding(2).filter(_.size == 2).map(p => phRef(p(0) + " " + p(1)) % B)
+    }
+    // ids 0..19 make both target docs (0, 13) and raw docs reachable
+    samples(corpusGen, 20).filter(_.exists(_._1 % 13 != 0)).foreach { docs =>
+      val fc = docs.flatMap { case (id, t) => featsOf(t).map(f => (id, f)) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val tF = fc.toSeq.collect { case ((id, f), c) if id % 13 == 0 => f -> c }
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+      val rF = fc.toSeq.collect { case ((id, f), c) if id % 13 != 0 => f -> c }
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+      val (tTot, rTot) = (tF.values.sum, rF.values.sum)
+      val want = fc.keys.filter(_._1 % 13 != 0).groupBy(_._1).map { case (id, ks) =>
+        val lam = ks.toSeq.map { case k @ (_, f) =>
+          fc(k) * (math.log((tF.getOrElse(f, 0L) + 1).toDouble) -
+            math.log((rF.getOrElse(f, 0L) + 1).toDouble) +
+            math.log((rTot + B).toDouble) - math.log((tTot + B).toDouble))
+        }.sum
+        id -> ((ks.toSeq.map(fc).sum, lam))
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val got = operators.Pipeline.p69DsirCore(spark.createDataFrame(
+          spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3),
+          schema)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+        .toMap
+      assert(got.keySet === want.keySet)
+      for ((id, (nf, lam)) <- want) {
+        val (gn, gl, gs) = got(id)
+        assert(gn === nf, s"n_feats for doc $id")
+        assert(math.abs(gl - lam) < 1e-6, s"log_ratio for doc $id: got $gl want $lam")
+        assert(gs === (if (gl >= 0) 1 else 0), s"selected flag for doc $id")
+      }
+    }
+  }
 }
