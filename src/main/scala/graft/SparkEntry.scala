@@ -141,6 +141,7 @@ object SparkEntry {
     "p61_chunk_overlap"   -> (Pipeline.p61ChunkOverlap _),
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),
     "q43_partition_prune" -> (graft.sources.Sources.q43PartitionPrune _),
+    "q71_zorder_layout"   -> (graft.sources.Sources.q71ZorderLayout _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),
     "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _),
     "q57_reconciliation"  -> (graft.sources.Sources.q57Reconciliation _),
@@ -285,6 +286,35 @@ object SparkEntry {
         """SELECT r_name, n_name
           |FROM nation JOIN region ON n_regionkey = r_regionkey
           |ORDER BY r_name, n_name""".stripMargin,
+      // q71: the Spark side writes the Z-ordered layout and reports from
+      // the re-read; the oracle restates the same Morton arithmetic over
+      // the original parquet (the q39/q43 end-state pattern). The zkey
+      // expression text comes from ONE generator shared with the plan.
+      "q71_zorder_layout" -> {
+        import graft.sources.Sources.{ZBits, ZBuckets, zkeyExpr}
+        s"""WITH o AS (
+          |  SELECT o_orderkey, o_custkey,
+          |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+          |  FROM orders
+          |), st AS (
+          |  SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+          |         MIN(days) AS dmin, MAX(days) AS dmax FROM o
+          |), keyed AS (
+          |  SELECT o.*, st.cmin, st.cmax, st.dmin, st.dmax,
+          |         (o_custkey - cmin) * ${1L << ZBits} // (cmax - cmin + 1) AS xs,
+          |         (days - dmin) * ${1L << ZBits} // (dmax - dmin + 1) AS ys
+          |  FROM o CROSS JOIN st
+          |), z AS (
+          |  SELECT *, ${zkeyExpr("//")} AS zkey FROM keyed
+          |), b AS (
+          |  SELECT *, zkey // ${(1L << (2 * ZBits)) / ZBuckets} AS zbucket FROM z
+          |)
+          |SELECT zbucket, COUNT(*) AS n_rows,
+          |       (MAX(o_custkey) - MIN(o_custkey) + 1) * 10000 // (MIN(cmax) - MIN(cmin) + 1) AS cust_span_pm,
+          |       (MAX(days) - MIN(days) + 1) * 10000 // (MIN(dmax) - MIN(dmin) + 1) AS date_span_pm
+          |FROM b GROUP BY zbucket
+          |ORDER BY zbucket""".stripMargin
+      },
       // q67: the Spark side writes the two-schema footprints and reads
       // them merged; the oracle restates the end state from the
       // original parquet with the same date split (q39/q43 pattern)

@@ -288,4 +288,75 @@ object Sources {
           floor(col("value") / lit(100.0)).cast("long"))).as("sum_band"))
       .orderBy("event_type")
   }
+
+  /** q71 Z-order geometry: each dimension quantizes to [[ZBits]] bits;
+    * the layout uses [[ZBuckets]] = 64 directories = the top 6
+    * interleaved bits (3 from each dimension). */
+  val ZBits = 8
+  val ZBuckets = 64
+
+  /** The Morton-interleave arithmetic as SQL text over columns `xs`/`ys`
+    * (already quantized to [0, 2^[[ZBits]])) — ONE generator for the
+    * Spark expression and the DuckDB oracle; only the infix integer-div
+    * operator differs (`DIV` vs `//`). */
+  def zkeyExpr(div: String): String =
+    (0 until ZBits).map { i =>
+      s"((xs $div ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((ys $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** q71: Z-order (Morton) multi-dimensional layout clustering — the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` shape, the third leg of the
+    * layout story next to q39 (bucketing) and q43 (date partitioning):
+    * orders laid out so that BOTH a customer-keyed and a date-windowed
+    * scan prune well. Each dimension min-max-quantizes to 8 bits
+    * (integer arithmetic off a broadcast stats row), bits interleave
+    * into a 16-bit Morton key, and the write path is p59's device —
+    * repartition by the 64-directory bucket + sortWithinPartitions on
+    * the full key (each directory gets one internally-ordered file).
+    * The report re-reads the layout and proves the clustering: per
+    * bucket, the span of EACH dimension in permyriad of its global
+    * range — every bucket covers ≈1/8 of the customer range AND ≈1/8 of
+    * the date range simultaneously (a single-dim sort gives 1/64 on one
+    * dimension and ~10000 pm on the other; Z-order trades to √-balance
+    * so min/max file statistics prune on either predicate).
+    *
+    * 100 TB posture: one stats pass (broadcast 1-row), one projection,
+    * one repartition-by-bucket exchange for the write — no global sort
+    * (a total Z-order sort would range-partition; the bucket directory
+    * form is what lakehouse OPTIMIZE jobs actually emit). The report
+    * side is a partial-aggregated rollup to the 64-bucket grain.
+    */
+  def q71ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir(s"graft_zorder_${counter.incrementAndGet()}_")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("days"))
+    val stats = o.agg(
+      min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+      min("days").as("dmin"), max("days").as("dmax"))
+    o.crossJoin(broadcast(stats))
+      .withColumn("xs", expr(s"(o_custkey - cmin) * ${1L << ZBits} DIV (cmax - cmin + 1)"))
+      .withColumn("ys", expr(s"(days - dmin) * ${1L << ZBits} DIV (dmax - dmin + 1)"))
+      .withColumn("zkey", expr(zkeyExpr("DIV")))
+      .withColumn("zbucket", expr(s"zkey DIV ${(1L << (2 * ZBits)) / ZBuckets}"))
+      .select("o_orderkey", "o_custkey", "days", "zkey", "zbucket")
+      .repartition(col("zbucket"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    val re = spark.read.parquet(out)
+    val st2 = re.agg(
+      min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+      min("days").as("dmin"), max("days").as("dmax"))
+    re.groupBy(col("zbucket").cast("long").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_custkey").as("bc_min"), max("o_custkey").as("bc_max"),
+        min("days").as("bd_min"), max("days").as("bd_max"))
+      .crossJoin(broadcast(st2))
+      .select(col("zbucket"), col("n_rows"),
+        expr("(bc_max - bc_min + 1) * 10000 DIV (cmax - cmin + 1)").as("cust_span_pm"),
+        expr("(bd_max - bd_min + 1) * 10000 DIV (dmax - dmin + 1)").as("date_span_pm"))
+      .orderBy("zbucket")
+  }
 }

@@ -827,6 +827,17 @@ class PlanSpec extends AnyFunSuite {
     assert(smj <= 1, s"corpus-sized sort-merge join leaked into a leg:\n$p")
   }
 
+  test("q71 Z-order: stats broadcast; no global sort of the data rows") {
+    val df = graft.sources.Sources.q71ZorderLayout(spark, dir)
+    val p = planString(df)
+    // both the quantization stats and the report's global-range row must
+    // broadcast; the write path is repartition-by-bucket, never a
+    // range-partitioned total sort
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast stats:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("p69 DSIR: bucket tables broadcast onto the feature grain; no shuffle joins") {
     val p = planString(operators.Pipeline.p69DsirSelect(spark, dir))
     // the ≤B-row bucket table and the 1-row totals must broadcast; a

@@ -1348,6 +1348,20 @@ class QueriesSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, vr, lr, _) => assert(vr.isDefined || lr.isDefined) }
   }
 
+  test("q71 Z-order buckets bound BOTH dimension spans simultaneously") {
+    import graft.sources.Sources
+    val rows = Sources.q71ZorderLayout(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Sources.ZBuckets)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.orders(spark, dir).count(), "layout dropped/duplicated rows")
+    rows.foreach { r =>
+      // top-3-bits-per-dim buckets: each dim's span ≤ 1/8 of its global
+      // range + one quantization cell (10000/8 + 10000/256 ≈ 1290)
+      assert(r.getLong(2) <= 1500, s"customer span too wide in $r")
+      assert(r.getLong(3) <= 1500, s"date span too wide in $r")
+    }
+  }
+
   test("t40 entropy: bounds, ttr range, exact dups score identically") {
     val t = graft.operators.TextAnalysis.t40Entropy(spark, dir).collect()
     t.foreach { r =>
