@@ -92,6 +92,7 @@ object SparkEntry {
     "t40_entropy"         -> (TextAnalysis.t40Entropy _),
     "t41_bm25"            -> (TextAnalysis.t41Bm25 _),
     "p69_dsir_select"     -> (Pipeline.p69DsirSelect _),
+    "q72_anomaly_mad"     -> (CoreQueries.q72AnomalyMad _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),

@@ -477,6 +477,29 @@ object CoreOracles {
         |       sum_qty, est_qty,
         |       abs(est_qty - sum_qty) * 10000 // sum_qty AS err_qty_pm
         |FROM ag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // q72 mirror — same doubled-median integer device (quantile_cont ≡
+    // percentile interpolation, carried ×2 as exact int64) and the
+    // cleared Hampel threshold 20000·dev2 > 44478·mad4
+    "q72_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, CAST(quantile_cont(n_events, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM daily GROUP BY event_type
+        |), dev AS (
+        |  SELECT d.*, m.med2, abs(d.n_events * 2 - m.med2) AS dev2
+        |  FROM daily d JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_type, strftime(d.event_date, '%Y-%m-%d') AS event_date,
+        |       d.n_events, d.med2, d.dev2, a.mad4,
+        |       CAST(d.dev2 * 20000 > a.mad4 * 44478 AS INT) AS anomaly
+        |FROM dev d JOIN mad a USING (event_type)
+        |ORDER BY event_type, event_date""".stripMargin
   )
 }

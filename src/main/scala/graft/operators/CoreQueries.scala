@@ -804,4 +804,48 @@ object CoreQueries {
         expr("abs(est_qty - sum_qty) * 10000 DIV sum_qty").as("err_qty_pm"))
       .orderBy("l_returnflag")
   }
+
+  /** q72: robust anomaly detection on the daily event-volume series —
+    * the median/MAD outlier monitor (Hampel's rule: flag
+    * |x − median| > 3·1.4826·MAD, the robust z-score every pipeline
+    * health dashboard runs where mean/stddev would let one spike mask
+    * itself). Completes the monitoring family: t39 watches
+    * DISTRIBUTION drift, q70 audits ROW-LEVEL constraints, q72 flags
+    * VOLUME anomalies per (event_type, day).
+    *
+    * Exactness device: medians of integers are half-integers — carried
+    * DOUBLED as exact int64 (2·median = a+b, the interpolation sum;
+    * same for the deviation median), and Hampel's 4.4478·MAD threshold
+    * clears to pure integer arithmetic: |x−med| > 4.4478·MAD ⟺
+    * 20000·dev2 > 44478·mad4, dev2 = |2x − med2|. No floats anywhere,
+    * both engines agree bit-for-bit (percentile ≡ quantile_cont on the
+    * q10 precedent, doubled to integers here).
+    *
+    * 100 TB posture: ONE events scan partial-aggregates to the
+    * (type, day) grain — the only data-sized shuffle; the two median
+    * passes and the broadcast joins back run on that tiny bounded grain
+    * (|types|·|days| rows regardless of corpus size).
+    */
+  def q72AnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    q72AnomalyCore(Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("event_date")))
+
+  /** Rule core over any (event_type, event_date) frame — property tests
+    * drive constructed spiked series through the production plan. */
+  private[graft] def q72AnomalyCore(events: DataFrame): DataFrame = {
+    val daily = events.groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy("event_type")
+      .agg((expr("percentile(n_events, 0.5)") * 2).cast("long").as("med2"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(col("n_events") * 2 - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"),
+        date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("n_events"), col("med2"), col("dev2"), col("mad4"),
+        (col("dev2") * 20000 > col("mad4") * 44478).cast("int").as("anomaly"))
+      .orderBy("event_type", "event_date")
+  }
 }

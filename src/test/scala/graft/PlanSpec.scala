@@ -838,6 +838,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q72 MAD monitor: median tables broadcast back onto the daily grain") {
+    val p = planString(operators.CoreQueries.q72AnomalyMad(spark, dir))
+    // the per-type median/MAD relations are |types| rows — they must
+    // broadcast back onto the (type, day) grain, never shuffle-join it
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast median join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("p69 DSIR: bucket tables broadcast onto the feature grain; no shuffle joins") {
     val p = planString(operators.Pipeline.p69DsirSelect(spark, dir))
     // the ≤B-row bucket table and the 1-row totals must broadcast; a

@@ -1007,6 +1007,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q72 MAD anomalies match the in-memory Hampel reference on spiked series") {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    // mostly-flat daily volumes with occasional spikes/droughts so both
+    // flag arms fire; ≥3 days per type so the MAD is meaningful
+    val seriesGen: Gen[List[(String, Int, Int)]] = Gen.listOf(for {
+      tp <- Gen.oneOf("view", "click")
+      day <- Gen.choose(1, 20)
+      n <- Gen.frequency(8 -> Gen.choose(95, 105), 2 -> Gen.oneOf(1, 500, 1000))
+    } yield (tp, day, n)).map(_.groupBy(t => (t._1, t._2))
+      .map { case ((tp, d), xs) => (tp, d, xs.head._3) }.toList)
+    var anomaliesSeen = 0L
+    samples(seriesGen, 15).filter(_.map(_._1).distinct.nonEmpty).foreach { series =>
+      val rows = series.flatMap { case (tp, d, n) =>
+        Seq.fill(n)(Row(tp, java.sql.Date.valueOf(f"2024-01-$d%02d"))) }
+      if (rows.nonEmpty) {
+        val schema = StructType(Seq(
+          StructField("event_type", StringType), StructField("event_date", DateType)))
+        val got = operators.CoreQueries.q72AnomalyCore(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 3), schema)).collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))))
+          .toMap
+        val want = series.groupBy(_._1).flatMap { case (tp, xs) =>
+          val counts = xs.map { case (_, d, n) => d -> n.toLong }.toMap
+          val m2 = med2(counts.values.toSeq)
+          val devs = counts.map { case (d, n) => d -> math.abs(2 * n - m2) }
+          val m4 = med2(devs.values.toSeq)
+          counts.map { case (d, n) =>
+            (tp, f"2024-01-$d%02d") ->
+              ((n, m2, devs(d), m4, if (devs(d) * 20000 > m4 * 44478) 1 else 0)) }
+        }
+        assert(got === want)
+        anomaliesSeen += want.values.count(_._5 == 1)
+      }
+    }
+    assert(anomaliesSeen > 0, "generator never produced an anomaly — test is vacuous")
+  }
+
   test("p69 DSIR selection matches the in-memory importance reference") {
     val B = operators.Pipeline.DsirBuckets
     def phRef(s: String): Long = {
