@@ -32,6 +32,13 @@ object PortableHash {
   /** m35 payload chunk count (lives here so [[TextHash.chunkFpsData]]
     * and the operator share one definition). */
   val ChunkdupC = 16
+
+  /** p69 hashed-feature domain (lives here so [[TextHash.featHashesData]]
+    * and the operator share one definition). DSIR's reference
+    * implementation uses 10⁴ buckets; 1024 keeps both bucket tables
+    * broadcast-tiny at any corpus scale while the statistics stay dense
+    * on the test corpora. */
+  val DsirBuckets = 1024L
   val NumBands   = 4
   val RowsPerBand = 4
 

@@ -156,6 +156,33 @@ object TextHash {
     new GenericArrayData(out.toArray)
   }
 
+  /** p69's hashed DSIR feature buckets: every unigram then every bigram,
+    * occurrences preserved (the selector counts them); bucket =
+    * ph % [[PortableHash.DsirBuckets]]. Byte-level space-join, so a
+    * bigram's bucket equals ph(w_i || ' ' || w_{i+1}) % B on the oracle
+    * side. ONE pass per document — replaces the arrays_zip + double
+    * explode formulation whose string intermediates shuffled and whose
+    * interpreted md5/conv chain dominated the sf1 runtime.
+    */
+  def featHashesData(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val B = PortableHash.DsirBuckets
+    val out = new Array[Long](if (n == 0) 0 else 2 * n - 1)
+    var i = 0
+    while (i < n) {
+      out(i) = ph(words.getUTF8String(i).getBytes) % B
+      i += 1
+    }
+    i = 0
+    while (i + 1 < n) {
+      val s = UTF8String.concat(words.getUTF8String(i), Space,
+        words.getUTF8String(i + 1))
+      out(n + i) = ph(s.getBytes) % B
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Portable hashes of EVERY w-token window, stride 1, positions
     * preserved (NOT distinct — span detection counts occurrences, so a
     * passage repeated within one document must appear twice). Same
@@ -452,6 +479,20 @@ case class ShingleHashes3(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.shingleHashes3Data(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): ShingleHashes3 = copy(child = c)
+}
+
+/** feat_hashes(array<string>) → array<bigint>: p69's hashed DSIR
+  * feature buckets (unigrams then bigrams, occurrences preserved) —
+  * see [[TextHash.featHashesData]].
+  */
+case class FeatHashes(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_feat_hashes"
+  override def staticMethod: String = "featHashesData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.featHashesData(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): FeatHashes = copy(child = c)
 }
 
 /** chunk_fps(binary) → array<bigint>: m35's per-payload chunk

@@ -517,6 +517,8 @@ object GraftFunctions {
       "graft_entropy_stats", exprs => EntropyStats(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash_vec", exprs => HashVec(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_feat_hashes", exprs => FeatHashes(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

@@ -737,11 +737,9 @@ object Pipeline {
       .orderBy("source")
   }
 
-  /** p69 hashed-feature domain. DSIR's reference implementation uses
-    * 10⁴ hashed n-gram buckets; 1024 keeps both bucket tables
-    * broadcast-tiny at any corpus scale while the statistics stay dense
-    * on the test corpora. */
-  val DsirBuckets = 1024L
+  /** p69 hashed-feature domain — one definition with the codegen'd
+    * kernel (see [[graft.functions.PortableHash.DsirBuckets]]). */
+  val DsirBuckets: Long = graft.functions.PortableHash.DsirBuckets
 
   /** p69: DSIR data selection — importance resampling via hashed n-gram
     * features (Xie et al. 2023, arXiv:2302.03169, "Data Selection for
@@ -776,18 +774,16 @@ object Pipeline {
   /** Rule core over any (doc_id, text) frame — property tests drive
     * constructed target/raw corpora through the production plan. */
   private[graft] def p69DsirCore(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val B = DsirBuckets
+    // all 2n−1 feature buckets fold inside the codegen'd kernel — ONE
+    // pass per doc, fixed-width longs into the explode (the first cut's
+    // arrays_zip + double explode shuffled string intermediates and
+    // measured 6.8 s at sf1; the kernel form runs the same md5s in a
+    // primitive loop)
     val feats = documents
-      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("ws"))
-      .withColumn("nx", expr(
-        "concat(slice(ws, 2, size(ws) - 1), array(CAST(NULL AS STRING)))"))
-      .select(col("doc_id"), explode(arrays_zip(col("ws"), col("nx"))).as("z"))
-      .select(col("doc_id"), explode(array(
-        pmod(ph(col("z.ws")), lit(B)),
-        when(col("z.nx").isNotNull,
-          pmod(ph(concat(col("z.ws"), lit(" "), col("z.nx"))), lit(B)))))
-        .as("f"))
-      .filter(col("f").isNotNull)
+      .select(col("doc_id"), explode(expr(
+        "graft_feat_hashes(split(coalesce(text, ''), ' '))")).as("f"))
       .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
       .withColumn("is_target", col("doc_id") % 13 === 0)
     val bt = feats.groupBy("f").agg(

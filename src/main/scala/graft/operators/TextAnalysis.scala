@@ -660,13 +660,26 @@ object TextAnalysis {
     * random corpora through the production plan; s37 fuses the same
     * ranking at its own depth. */
   private[graft] def t41Bm25Core(documents: DataFrame, depth: Int): DataFrame = {
+    // the explicit isNotNull mirrors the constraint the probe-side
+    // doc_id <> query_id filter infers and pushes down — without it the
+    // two tf consumers sit over scans with DIFFERENT pushed filters and
+    // ReuseExchange cannot collapse them (the corpus would explode and
+    // shuffle twice; measured 4.0× vs 2.6× at sf1)
     val tok = documents
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
     val tf = tok.repartition(col("doc_id"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .withColumn("len", sum(col("tf")).over(Window.partitionBy("doc_id")))
-    val dfx = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // sum(len >= 1 ? 1 : 0) IS count(*) here (len ≥ 1 always), phrased
+    // so this branch still references the window column: with count(*)
+    // Catalyst prunes the Window node out of this subtree, the two tf
+    // subtrees stop being canonically identical, and ReuseExchange can
+    // no longer collapse them (t35's device, one level up). Degrades
+    // gracefully (correct, one extra scan) if a future optimizer folds it.
+    val dfx = tf.groupBy("token")
+      .agg(sum(when(col("len") >= 1L, 1L).otherwise(0L)).as("df"))
     val qterms = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("token"))
     // query-term df table: broadcast the tiny term bag INTO the

@@ -811,6 +811,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
     // corpus stats ride a broadcast 1-row loop join, never a cartesian
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the tf exchange feeds BOTH the probe and the df branch — the full
+    // corpus explodes and shuffles once (t35's contract); scans beyond
+    // the shared one are the doc_id<10 query-term scan and the stats
+    // scan, both cheap
+    assert(p.contains("ReusedExchange"), s"tf exchange not reused:\n$p")
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans <= 3, s"expected ≤3 corpus scans, got $scans:\n$p")
   }
 
   test("s37 fusion: corpus-sized work stays in the legs; fusion join is tiny") {
