@@ -93,6 +93,7 @@ object SparkEntry {
     "t41_bm25"            -> (TextAnalysis.t41Bm25 _),
     "p69_dsir_select"     -> (Pipeline.p69DsirSelect _),
     "q72_anomaly_mad"     -> (CoreQueries.q72AnomalyMad _),
+    "st47_stream_anomaly" -> (graft.streaming.Streams.st47StreamAnomaly _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),
@@ -287,6 +288,9 @@ object SparkEntry {
         """SELECT r_name, n_name
           |FROM nation JOIN region ON n_regionkey = r_regionkey
           |ORDER BY r_name, n_name""".stripMargin,
+      // st47 emits q72's report exactly (shared daily grain + report
+      // tail definitions) — one oracle, the st44/st45 device
+      "st47_stream_anomaly" -> CoreOracles.sql("q72_anomaly_mad"),
       // q71: the Spark side writes the Z-ordered layout and reports from
       // the re-read; the oracle restates the same Morton arithmetic over
       // the original parquet (the q39/q43 end-state pattern). The zkey

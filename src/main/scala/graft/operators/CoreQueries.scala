@@ -832,9 +832,15 @@ object CoreQueries {
 
   /** Rule core over any (event_type, event_date) frame — property tests
     * drive constructed spiked series through the production plan. */
-  private[graft] def q72AnomalyCore(events: DataFrame): DataFrame = {
-    val daily = events.groupBy("event_type", "event_date")
-      .agg(count(lit(1)).as("n_events"))
+  private[graft] def q72AnomalyCore(events: DataFrame): DataFrame =
+    q72Tail(events.groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n_events")))
+
+  /** q72's report tail over the (event_type, event_date, n_events)
+    * grain — shared with st47 (the streaming monitor), so the
+    * continuously maintained report cannot drift from the batch rule
+    * (the t39/st44 discipline). */
+  private[graft] def q72Tail(daily: DataFrame): DataFrame = {
     val med = daily.groupBy("event_type")
       .agg((expr("percentile(n_events, 0.5)") * 2).cast("long").as("med2"))
     val dev = daily.join(broadcast(med), Seq("event_type"))

@@ -630,4 +630,29 @@ object Streams {
           coalesce(col("old_n"), lit(0L)).as("old_n"),
           coalesce(col("new_n"), lit(0L)).as("new_n")))
   }
+
+  /** st47: streaming volume-anomaly monitor — q72 continuous: arriving
+    * events accumulate per-(event_type, day) counts in streaming
+    * aggregation state — the state is the DAILY GRID (|types|·|days|
+    * rows, bounded like st44's categorical grid and st43's sketch
+    * cells, never per-event) — and the drained counts run through
+    * q72's own median/MAD report tail
+    * ([[graft.operators.CoreQueries.q72Tail]] — one definition, so the
+    * continuous report equals the batch monitor row-for-row,
+    * spec-pinned). The production shape: the monitor follows the
+    * ingest stream and re-grades the day grid each trigger; the grid
+    * stays tiny no matter the event volume.
+    */
+  def st47StreamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("event_date"))
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n_events"))
+    // q72's tail self-joins the daily grain (median + MAD passes) and a
+    // memory-sink table cannot appear twice in one plan (the st46
+    // conflicting-references analyzer bug); localCheckpoint the
+    // |types|·|days| grid — tiny by construction — to a fresh relation
+    val daily = runToTable(spark, stream, "complete", "st47").localCheckpoint()
+    graft.operators.CoreQueries.q72Tail(daily)
+  }
 }

@@ -477,6 +477,12 @@ class QueriesSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("media_bytes") === 0L))
   }
 
+  test("st47 streaming anomaly report equals q72's batch report row-for-row") {
+    val got = graft.streaming.Streams.st47StreamAnomaly(spark, dir).collect()
+    val want = graft.operators.CoreQueries.q72AnomalyMad(spark, dir).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("st44 streaming drift report equals t39's batch report row-for-row") {
     val got = graft.streaming.Streams.st44StreamDrift(spark, dir).collect()
     val want = graft.operators.TextAnalysis.t39Drift(spark, dir).collect()
