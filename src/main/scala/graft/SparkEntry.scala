@@ -91,8 +91,10 @@ object SparkEntry {
     "t39_drift"           -> (TextAnalysis.t39Drift _),
     "t40_entropy"         -> (TextAnalysis.t40Entropy _),
     "t41_bm25"            -> (TextAnalysis.t41Bm25 _),
+    "t42_blocklist"       -> (TextAnalysis.t42Blocklist _),
     "p69_dsir_select"     -> (Pipeline.p69DsirSelect _),
     "q72_anomaly_mad"     -> (CoreQueries.q72AnomalyMad _),
+    "q73_attribution"     -> (CoreQueries.q73Attribution _),
     "st47_stream_anomaly" -> (graft.streaming.Streams.st47StreamAnomaly _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),

@@ -500,6 +500,45 @@ object CoreOracles {
         |       d.n_events, d.med2, d.dev2, a.mad4,
         |       CAST(d.dev2 * 20000 > a.mad4 * 44478 AS INT) AS anomaly
         |FROM dev d JOIN mad a USING (event_type)
-        |ORDER BY event_type, event_date""".stripMargin
+        |ORDER BY event_type, event_date""".stripMargin,
+    // q73 mirror — same 7-day window join, (ts, event_id) tie-breaks,
+    // integer permyriad credits, explicit __NONE__ accounting row
+    "q73_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), p AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS p_ts FROM ev
+        |  WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS touch_type, ts AS t_ts, event_id AS touch_id
+        |  FROM ev WHERE event_type IN ('view', 'click', 'signup')
+        |), j AS (
+        |  SELECT p.conv_id, t.touch_type, t.t_ts, t.touch_id
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+        |), c AS (
+        |  SELECT touch_type,
+        |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id
+        |                ORDER BY t_ts, touch_id) = 1 THEN 10000 ELSE 0 END AS first_pm,
+        |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id
+        |                ORDER BY t_ts DESC, touch_id DESC) = 1 THEN 10000 ELSE 0 END AS last_pm,
+        |         10000 // COUNT(*) OVER (PARTITION BY conv_id) AS linear_pm
+        |  FROM j
+        |), agg AS (
+        |  SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |         CAST(SUM(first_pm) AS BIGINT) AS credit_first_pm,
+        |         CAST(SUM(last_pm) AS BIGINT) AS credit_last_pm,
+        |         CAST(SUM(linear_pm) AS BIGINT) AS credit_linear_pm
+        |  FROM c GROUP BY touch_type
+        |), none AS (
+        |  SELECT '__NONE__' AS touch_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |         CAST(COUNT(*) * 10000 AS BIGINT) AS credit_first_pm,
+        |         CAST(COUNT(*) * 10000 AS BIGINT) AS credit_last_pm,
+        |         CAST(COUNT(*) * 10000 AS BIGINT) AS credit_linear_pm
+        |  FROM p WHERE conv_id NOT IN (SELECT conv_id FROM j)
+        |)
+        |SELECT * FROM agg UNION ALL SELECT * FROM none
+        |ORDER BY touch_type""".stripMargin
   )
 }

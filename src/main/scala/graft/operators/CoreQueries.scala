@@ -805,6 +805,61 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q73: multi-touch conversion attribution — the marketing-analytics
+    * report assigning each purchase's credit to the touches (view /
+    * click / signup events of the same user) in its preceding 7-day
+    * window, under the three standard models at once: FIRST-touch,
+    * LAST-touch, and LINEAR (equal split). Credits are integer
+    * permyriad — linear = 10000 DIV n per touch (floor; exact both
+    * engines), first/last = 10000 to the boundary touch with ties
+    * broken on (ts, event_id). Purchases with no touch in window are
+    * reported as an explicit `__NONE__` row (never silently dropped —
+    * attribution reports must account for every conversion).
+    *
+    * 100 TB posture: ONE user-keyed equi-join with the time-range
+    * predicate (st37's attribution shape — never a theta-only join);
+    * the per-conversion window runs over each purchase's bounded
+    * 7-day touch set; the report is a partial-aggregated rollup to the
+    * ≤|touch types|+1 grain. The unattributed row is a broadcast
+    * left-anti of the tiny conversion set.
+    */
+  def q73Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("p_ts"))
+    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("t_ts"), col("event_id").as("touch_id"))
+    val joined = p.join(t, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    // ONE ordered window pass: the last touch is rn == n (so no second
+    // descending sort over the same exchange), and the unordered count
+    // rides the same conv_id partitioning
+    val wAsc = Window.partitionBy("conv_id").orderBy(col("t_ts"), col("touch_id"))
+    val credited = joined
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .select(col("touch_type"),
+        when(col("rn_a") === 1, 10000L).otherwise(0L).as("first_pm"),
+        when(col("rn_a") === col("n"), 10000L).otherwise(0L).as("last_pm"),
+        expr("10000 DIV n").as("linear_pm"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("first_pm")).as("credit_first_pm"),
+        sum(col("last_pm")).as("credit_last_pm"),
+        sum(col("linear_pm")).as("credit_linear_pm"))
+    val unattributed = p.join(
+        joined.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+      .agg(count(lit(1)).as("n_convs"))
+      .select(lit("__NONE__").as("touch_type"),
+        col("n_convs").as("n_touches"),
+        (col("n_convs") * 10000).as("credit_first_pm"),
+        (col("n_convs") * 10000).as("credit_last_pm"),
+        (col("n_convs") * 10000).as("credit_linear_pm"))
+    credited.unionByName(unattributed).orderBy("touch_type")
+  }
+
   /** q72: robust anomaly detection on the daily event-volume series —
     * the median/MAD outlier monitor (Hampel's rule: flag
     * |x − median| > 3·1.4826·MAD, the robust z-score every pipeline

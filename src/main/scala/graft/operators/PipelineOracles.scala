@@ -1900,6 +1900,24 @@ object PipelineOracles {
       |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // t42 mirror — same literal blocklist (one definition), existence
+  // probe via list_has_any
+  private val t42Sql: String = {
+    val list = TextAnalysis.Blocklist.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+      |  SELECT source, string_split(COALESCE(text, ''), ' ') AS words FROM documents
+      |), f AS (
+      |  SELECT source, CAST(list_has_any(words, [$list]) AS INT) AS flagged,
+      |         len(words) AS nw
+      |  FROM d
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+      |       CAST(SUM(flagged) AS BIGINT) * 10000 // CAST(COUNT(*) AS BIGINT) AS flagged_pm,
+      |       CAST(SUM(CASE WHEN flagged = 1 THEN nw ELSE 0 END) AS BIGINT) AS tokens_lost
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // p69 mirror — same hashed unigram+bigram buckets, add-one smoothing,
   // and the associative per-feature log term (all ln args integral)
   private val p69Sql: String = {
@@ -2174,6 +2192,7 @@ object PipelineOracles {
     "t41_bm25"         -> t41Sql,
     "s37_rrf_fusion"   -> s37Sql,
     "p69_dsir_select"  -> p69Sql,
+    "t42_blocklist"    -> t42Sql,
     "d29_repeated_spans" -> d29Sql,
     "d30_span_score"   -> d30Sql,
     "d33_winnow"       -> d33Sql,

@@ -622,6 +622,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t42's blocklist. A real deployment loads thousands of terms from a
+    * file (C4 uses the "List of Dirty, Naughty, Obscene..." list); the
+    * synthetic corpus carries no profanity, so the stand-in list is
+    * drawn from its own vocabulary — the screening machinery (existence
+    * probe + per-source removal report) is the operator. Kept as ONE
+    * definition for the Spark plan, the oracle, and the spec. */
+  val Blocklist: Seq[String] = Seq("dup", "contraband", "redacted")
+
+  /** t42: blocklist document screen — the C4 §2.2 "bad words" filter
+    * (Raffel et al., arXiv:1910.10683: drop any page containing a term
+    * from a blocklist), the first removal gate most corpus pipelines
+    * run before quality scoring. A document is flagged iff ANY token is
+    * blocklisted — an existence probe, so the plan is a codegen'd
+    * `arrays_overlap` against the literal array, NOT a per-token lambda
+    * filter (the t38 interpreted-HOF lesson) and NOT a join (the list
+    * is part of the plan, the broadcast degenerate case). Report: per
+    * source, documents flagged, share permyriad, and tokens lost to the
+    * removal — the numbers a corpus build publishes for the gate.
+    *
+    * 100 TB posture: pure projection + one map-side-combined aggregate
+    * on source; zero joins, zero windows, embarrassingly parallel.
+    */
+  def t42Blocklist(spark: SparkSession, dir: String): DataFrame = {
+    val listCol = array(Blocklist.map(lit): _*)
+    Tables.documents(spark, dir)
+      .withColumn("words", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("flagged", arrays_overlap(col("words"), listCol).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flagged").cast("long")).as("n_flagged"),
+        sum(when(col("flagged") === 1, size(col("words")).cast("long"))
+          .otherwise(0L)).as("tokens_lost"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        expr("n_flagged * 10000 DIV n_docs").as("flagged_pm"),
+        col("tokens_lost"))
+      .orderBy("source")
+  }
+
   /** t41 result depth per query. */
   val Bm25TopK = 10
 

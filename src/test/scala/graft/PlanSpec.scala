@@ -845,6 +845,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q73 attribution joins on user equality; never a theta-only product") {
+    val p = planString(operators.CoreQueries.q73Attribution(spark, dir))
+    // the 7-day range rides as a post-join filter on a user_id equi-join
+    // (st37's shape) — a theta-only join would cross every purchase with
+    // every touch
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-only join in:\n$p")
+  }
+
   test("q72 MAD monitor: median tables broadcast back onto the daily grain") {
     val p = planString(operators.CoreQueries.q72AnomalyMad(spark, dir))
     // the per-type median/MAD relations are |types| rows — they must

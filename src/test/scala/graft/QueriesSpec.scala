@@ -1354,6 +1354,35 @@ class QueriesSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, vr, lr, _) => assert(vr.isDefined || lr.isDefined) }
   }
 
+  test("t42 blocklist gate fires and bounds hold") {
+    val rows = graft.operators.TextAnalysis.t42Blocklist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"flagged > docs in $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000, s"share out of range in $r")
+      assert(r.getLong(2) == 0 || r.getLong(4) >= r.getLong(2),
+        s"flagged docs must lose ≥1 token each in $r")
+    }
+    // the corpus-derived blocklist term must actually fire somewhere —
+    // a gate that never flags is vacuous
+    assert(rows.map(_.getLong(2)).sum > 0, "flag arm never fired")
+  }
+
+  test("q73 attribution conserves credit across all three models") {
+    val rows = graft.operators.CoreQueries.q73Attribution(spark, dir).collect()
+    val byType = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(byType.contains("__NONE__"), "unattributed accounting row missing")
+    val attributed = byType.filterKeys(_ != "__NONE__").values
+    val nConvs = attributed.map(_._2).sum / 10000
+    // first and last each assign exactly 10000 per attributed conversion
+    assert(attributed.map(_._2).sum === nConvs * 10000)
+    assert(attributed.map(_._3).sum === nConvs * 10000)
+    // linear floors per touch, so it can only round DOWN from full credit
+    val linear = attributed.map(_._4).sum
+    assert(linear <= nConvs * 10000 && linear > (nConvs * 10000 * 9) / 10)
+  }
+
   test("q71 Z-order buckets bound BOTH dimension spans simultaneously") {
     import graft.sources.Sources
     val rows = Sources.q71ZorderLayout(spark, dir).collect()
