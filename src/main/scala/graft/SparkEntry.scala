@@ -84,6 +84,7 @@ object SparkEntry {
     "s35_filtered_ann"    -> (Similarity.s35FilteredAnn _),
     "s36_hash_vectors"    -> (Similarity.s36HashVectors _),
     "s37_rrf_fusion"      -> (Similarity.s37RrfFusion _),
+    "s38_mmr"             -> (Similarity.s38Mmr _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),

@@ -828,6 +828,69 @@ object PipelineOracles {
       |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  // s38 mirror — same s26 ranking at pool depth, ppm scaling, and the
+  // K greedy steps unrolled as generated CTEs (selu_i accumulates the
+  // selection; each step inner-joins the max-sim penalty and picks the
+  // integer-MMR argmax with the cand_id tie-break)
+  private val s38Sql: String = {
+    import Similarity.{MmrPool, MmrK, MmrLambdaNum}
+    val lam = MmrLambdaNum; val lamC = 10 - MmrLambdaNum
+    val steps = (2 to MmrK).map { i =>
+      s"""sel$i AS (
+        |  SELECT query_id, cand_id, $i AS step, rel_ppm, pen_ppm FROM (
+        |    SELECT c.query_id, c.cand_id, c.rel_ppm, p.pen_ppm,
+        |           ROW_NUMBER() OVER (PARTITION BY c.query_id
+        |             ORDER BY c.rel_ppm * $lam - p.pen_ppm * $lamC DESC, c.cand_id) AS rk
+        |    FROM cand c
+        |    JOIN (SELECT s.query_id, s.ca AS cand_id, MAX(s.sim_ppm) AS pen_ppm
+        |          FROM sims s JOIN selu${i - 1} t
+        |            ON s.query_id = t.query_id AND s.cb = t.cand_id
+        |          GROUP BY 1, 2) p
+        |      ON p.query_id = c.query_id AND p.cand_id = c.cand_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} t2
+        |                      WHERE t2.query_id = c.query_id AND t2.cand_id = c.cand_id)
+        |  ) WHERE rk = 1
+        |), selu$i AS (
+        |  SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i
+        |)""".stripMargin
+    }.mkString(", ")
+    s"""$vecCte, p0 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ROUND(${dotSql("q", "c")} / (q.norm * c.norm), 6) AS cos_sim
+      |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10
+      |), r0 AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      |  FROM p0
+      |), cand AS (
+      |  SELECT query_id, neighbor_id AS cand_id,
+      |         CAST(FLOOR(cos_sim * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+      |  FROM r0 WHERE rnk <= $MmrPool
+      |), sims AS (
+      |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+      |         CAST(FLOOR(ROUND(${dotSql("va", "vb")} / (va.norm * vb.norm), 6)
+      |              * 1000000 + 0.5) AS BIGINT) AS sim_ppm
+      |  FROM cand a
+      |  JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      |  JOIN n va ON va.vec_id = a.cand_id
+      |  JOIN n vb ON vb.vec_id = b.cand_id
+      |), sel1 AS (
+      |  SELECT query_id, cand_id, 1 AS step, rel_ppm, CAST(0 AS BIGINT) AS pen_ppm
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                    ORDER BY rel_ppm DESC, cand_id) AS rk FROM cand)
+      |  WHERE rk = 1
+      |), selu1 AS (
+      |  SELECT * FROM sel1
+      |), $steps
+      |SELECT query_id, CAST(step AS BIGINT) AS step, cand_id AS neighbor_id,
+      |       rel_ppm, pen_ppm,
+      |       rel_ppm * $lam - pen_ppm * $lamC AS mmr_score
+      |FROM selu$MmrK
+      |ORDER BY query_id, step""".stripMargin
+  }
+
   private val s27Sql: String = {
     val bucket = (0 until 8).map { p =>
       val planeDot = s"list_sum(list_transform(generate_series(1, 64), " +
@@ -2191,6 +2254,7 @@ object PipelineOracles {
     "t35_keywords"     -> t35Sql,
     "t41_bm25"         -> t41Sql,
     "s37_rrf_fusion"   -> s37Sql,
+    "s38_mmr"          -> s38Sql,
     "p69_dsir_select"  -> p69Sql,
     "t42_blocklist"    -> t42Sql,
     "d29_repeated_spans" -> d29Sql,

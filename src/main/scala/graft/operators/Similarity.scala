@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -31,7 +31,12 @@ object Similarity {
   private val cosExpr = "graft_dot(q.v, c.v)"
 
   /** s26: brute-force cosine top-k for the query set (vec_id < 10). */
-  def s26AnnTopk(spark: SparkSession, dir: String): DataFrame = {
+  def s26AnnTopk(spark: SparkSession, dir: String): DataFrame =
+    s26Core(spark, dir, 5)
+
+  /** Rank core at any depth — s26 reads the top-5; s38 draws its MMR
+    * candidate pool from the same ranking (one definition). */
+  private[graft] def s26Core(spark: SparkSession, dir: String, depth: Int): DataFrame = {
     val e = vecs(spark, dir)
     // broadcast the BOUNDED query set and stream the corpus past it —
     // without the hint Spark may build on the corpus side, which cannot
@@ -44,7 +49,7 @@ object Similarity {
       .withColumn("cos_sim", round(expr(cosExpr) / (col("q.norm") * col("c.norm")), 6))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"), col("cos_sim"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= depth)
       .select("query_id", "neighbor_id", "rnk", "cos_sim")
       .orderBy("query_id", "rnk")
   }
@@ -686,6 +691,89 @@ object Similarity {
     * legs, each already scale-shaped (t41 probes query-term postings;
     * s36 streams the corpus past a broadcast query set once).
     */
+  /** s38 MMR geometry: candidate pool depth, picks, and the relevance
+    * weight λ = [[MmrLambdaNum]]/10 (so scores stay pure integers:
+    * mmr = 7·rel_ppm − 3·pen_ppm). */
+  val MmrPool = 10
+  val MmrK = 5
+  val MmrLambdaNum = 7
+
+  /** s38: Maximal Marginal Relevance diversity re-ranking (Carbonell &
+    * Goldstein SIGIR'98) — the retrieval post-processor every RAG stack
+    * runs so the k passages handed to the model aren't five copies of
+    * the same paragraph: greedily pick argmax λ·rel(c) −
+    * (1−λ)·max_{s∈S} sim(c, s) from the top-[[MmrPool]] candidate pool
+    * ([[s26Core]] — one ranking definition with s26) until
+    * [[MmrK]] are selected. All arithmetic is integer ppm (cosines are
+    * 6dp-rounded then ×10⁶ floor-scaled; λ = 7/10 clears to
+    * 7·rel − 3·pen), so both engines select and tie-break (cand_id)
+    * bit-identically.
+    *
+    * 100 TB posture: the corpus-sized work is exactly s26's one
+    * broadcast-query scan producing the pool; the pool (≤|Q|·10 rows),
+    * its vectors (semi-join probe of the corpus), and the pairwise sim
+    * grid (≤|Q|·90 rows) localCheckpoint — the K greedy steps then
+    * join ONLY those in-memory relations (the p66 iterate-on-the-
+    * checkpoint device; without it each unrolled step re-derives the
+    * corpus ranking, doubling the plan per step). Greedy MMR is
+    * inherently sequential in K; K is a small constant, the per-step
+    * work is |pool|-bounded, and nothing driver-side touches data.
+    */
+  def s38Mmr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val ppm = (c: Column) => floor(c * 1000000d + 0.5d).cast("long")
+    val cands = s26Core(spark, dir, MmrPool)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        ppm(col("cos_sim")).as("rel_ppm"))
+      .localCheckpoint()
+    val e = vecs(spark, dir)
+    val cv = e.join(broadcast(cands.select("cand_id").distinct()),
+        col("vec_id") === col("cand_id"))
+      .select(col("cand_id"), col("v"), col("norm"))
+      .localCheckpoint()
+    val cva = cv.select(col("cand_id").as("ca"), col("v").as("va"), col("norm").as("na"))
+    val cvb = cv.select(col("cand_id").as("cb"), col("v").as("vb"), col("norm").as("nb"))
+    val sims = cands.as("a")
+      .join(cands.select(col("query_id"), col("cand_id").as("cb")).as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.cand_id") =!= col("cb"))
+      .select(col("a.query_id").as("query_id"), col("a.cand_id").as("ca"), col("cb"))
+      .join(broadcast(cva), Seq("ca"))
+      .join(broadcast(cvb), Seq("cb"))
+      .withColumn("sim_ppm",
+        ppm(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6)))
+      .select("query_id", "ca", "cb", "sim_ppm")
+      .localCheckpoint()
+    val w = (o: Column) => Window.partitionBy("query_id").orderBy(o, col("cand_id"))
+    var selected = cands
+      .withColumn("rk", row_number().over(w(col("rel_ppm").desc)))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
+        col("rel_ppm"), lit(0L).as("pen_ppm"))
+    for (i <- 2 to MmrK) {
+      val rem = cands.join(selected.select("query_id", "cand_id"),
+        Seq("query_id", "cand_id"), "left_anti")
+      val pen = sims
+        .join(selected.select(col("query_id"), col("cand_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca").as("cand_id"))
+        .agg(max(col("sim_ppm")).as("pen_ppm"))
+      selected = selected.unionByName(rem
+        .join(pen, Seq("query_id", "cand_id"))
+        .withColumn("mmr",
+          col("rel_ppm") * MmrLambdaNum - col("pen_ppm") * (10 - MmrLambdaNum))
+        .withColumn("rk", row_number().over(w(col("mmr").desc)))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cand_id"), lit(i).as("step"),
+          col("rel_ppm"), col("pen_ppm")))
+    }
+    selected.select(col("query_id"), col("step").cast("long").as("step"),
+        col("cand_id").as("neighbor_id"), col("rel_ppm"), col("pen_ppm"),
+        (col("rel_ppm") * MmrLambdaNum - col("pen_ppm") * (10 - MmrLambdaNum))
+          .as("mmr_score"))
+      .orderBy("query_id", "step")
+  }
+
   def s37RrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)

@@ -845,6 +845,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("s38 MMR greedy steps iterate over checkpointed pools, never the corpus") {
+    val df = operators.Similarity.s38Mmr(spark, dir)
+    val p = planString(df)
+    // the corpus-sized work (s26 ranking, vector fetch, sim grid) ran
+    // once into localCheckpoints; the K unrolled greedy steps must join
+    // only those in-memory relations — a parquet scan here means a step
+    // re-derived the corpus (the p66 contract)
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans == 0, s"expected 0 corpus scans after the pool checkpoints, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q73 attribution joins on user equality; never a theta-only product") {
     val p = planString(operators.CoreQueries.q73Attribution(spark, dir))
     // the 7-day range rides as a post-join filter on a user_id equi-join

@@ -1397,6 +1397,47 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s38 MMR selection matches an in-memory greedy reference") {
+    import graft.operators.Similarity
+    val cands = Similarity.s26Core(spark, dir, Similarity.MmrPool).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(3) * 1000000d + 0.5d).toLong))
+    val candIds = cands.map(_._2).toSet
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .filter(r => candIds(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def simPpm(a: Long, b: Long): Long = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val c = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      val r6 = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r6 * 1000000d + 0.5d).toLong
+    }
+    val expected = cands.groupBy(_._1).flatMap { case (q, pool) =>
+      val rel = pool.map(c => c._2 -> c._3).toMap
+      var selected = Vector.empty[(Long, Long)] // (cand, pen)
+      for (step <- 1 to Similarity.MmrK) {
+        val remaining = rel.keys.filterNot(c => selected.exists(_._1 == c))
+        val pick = remaining.map { c =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => simPpm(c, s._1)).max
+          (c, pen, rel(c) * 7 - pen * 3)
+        }.minBy { case (c, _, m) => (-m, c) }
+        selected :+= ((pick._1, pick._2))
+      }
+      selected.zipWithIndex.map { case ((c, pen), i) =>
+        (q, (i + 1).toLong, c, rel(c), pen, rel(c) * 7 - pen * 3) }
+    }.toSet
+    val got = Similarity.s38Mmr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+  }
+
   test("t40 entropy: bounds, ttr range, exact dups score identically") {
     val t = graft.operators.TextAnalysis.t40Entropy(spark, dir).collect()
     t.foreach { r =>
