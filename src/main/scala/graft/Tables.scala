@@ -57,7 +57,13 @@ object Tables {
   private[graft] def ensureNanosShim(s: SparkSession): Unit = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (s.conf.get("spark.sql.session.timeZone", "") != "UTC")
+    // getOption, not get(key, ""): Spark 4.1 VALIDATES the supplied
+    // default against the conf entry, and '' is not a resolvable
+    // timezone — on a fresh default session (no timeZone set anywhere)
+    // the old form threw INVALID_CONF_VALUE before the shim could set
+    // UTC. Caught by the package-boundary smoke, which runs without
+    // run.sh's -Dspark.sql.session.timeZone=UTC property.
+    if (!s.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
       s.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
