@@ -98,6 +98,7 @@ object SparkEntry {
     "q73_attribution"     -> (CoreQueries.q73Attribution _),
     "st47_stream_anomaly" -> (graft.streaming.Streams.st47StreamAnomaly _),
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
+    "m37_pair_align"      -> (Multimodal.m37PairAlign _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),
     "t28_langid"          -> (TextAnalysis.t28Langid _),

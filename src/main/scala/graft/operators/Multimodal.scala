@@ -260,4 +260,54 @@ object Multimodal {
         min(col("doc_id")).as("witness_id"))
       .orderBy("source", "status")
   }
+
+  /** m37: cross-modal pair ALIGNMENT filtering — the LAION/DataComp
+    * curation gate (Schuhmann arXiv:2210.08402 §3.1, Gadre
+    * arXiv:2304.14108: keep an (image, caption) pair only if the
+    * embedding similarity clears a bar; LAION-5B used CLIP ≥ 0.28,
+    * which removed ~90% of crawled pairs). Here the pair is (media
+    * embedding, caption text): the media side is the `embeddings` row
+    * with vec_id = doc_id, the caption side vectorizes with s36's
+    * hashing-trick kernel — the CLIP encoders are the stand-in (this
+    * sandbox has no model weights, the m32 discipline); the pairing
+    * join, exact scoring, threshold gate, and per-source removal
+    * report are the real operator.
+    *
+    * Exactness: both sides are integer grids — caption components are
+    * `graft_hash_vec`'s exact signed counts, media components quantize
+    * to floor(x·10⁶) (s30/s34's device) — so dot and both norms² are
+    * EXACT integer-valued doubles (≤ 10¹⁵ < 2⁵³) and
+    * round(dot/(√nt·√nv), 6) is bit-identical cross-engine.
+    *
+    * 100 TB posture: ONE doc_id = vec_id equi-join of the two corpus
+    * tables (co-partitionable; production buckets both by sample id —
+    * q39's layout makes it exchange-free), kernel + quantization as
+    * per-row projections, report = one map-side-combined aggregate.
+    * The alignment bar is 0 here (hash-caption × random-media cosines
+    * center on 0; a deployment calibrates the bar to its encoder —
+    * LAION's 0.28).
+    */
+  def m37PairAlign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cap = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("graft_hash_vec(split(coalesce(text, ''), ' '))").as("tv"))
+    val med = Similarity.quantize(Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("doc_id"),
+        transform(col("q"), x => x.cast("double")).as("mv"))
+    cap.join(med, Seq("doc_id"))
+      .withColumn("cos_sim", round(expr(
+        "graft_dot(tv, mv) / nullif(sqrt(graft_dot(tv, tv)) * sqrt(graft_dot(mv, mv)), 0D)"),
+        6))
+      .withColumn("aligned", (col("cos_sim") >= 0d).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("aligned").cast("long")).as("n_aligned"),
+        round(min(col("cos_sim")), 6).as("min_cos"),
+        round(max(col("cos_sim")), 6).as("max_cos"))
+      .select(col("source"), col("n_pairs"), col("n_aligned"),
+        expr("n_aligned * 10000 DIV n_pairs").as("aligned_pm"),
+        col("min_cos"), col("max_cos"))
+      .orderBy("source")
+  }
 }

@@ -1933,6 +1933,51 @@ object PipelineOracles {
       |FROM r WHERE rnk <= ${TextAnalysis.Bm25TopK}
       |ORDER BY query_id, rnk""".stripMargin
 
+  // m37 mirror — caption side restates graft_hash_vec relationally on
+  // the (doc, bucket) grain (s36's device), media side the same
+  // floor(x·10⁶) grid as Similarity.quantize; dot and norms² are exact
+  // integers so the rounded cosine is bit-identical
+  private val m37Sql: String = {
+    import graft.functions.PortableHash.HashVecDim
+    s"""WITH toks AS (
+      |  SELECT doc_id, ${phSql("w")} AS h FROM (
+      |    SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+      |    FROM documents)
+      |), hv AS (
+      |  SELECT doc_id, h % $HashVecDim AS b,
+      |         CAST(SUM(CASE WHEN (h // $HashVecDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2
+      |), nt AS (
+      |  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS nt2 FROM hv GROUP BY doc_id
+      |), med AS (
+      |  SELECT vec_id AS doc_id,
+      |         list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), nm AS (
+      |  SELECT doc_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nv2
+      |  FROM med
+      |), dots AS (
+      |  SELECT hv.doc_id, CAST(SUM(hv.c * nm.q[hv.b + 1]) AS BIGINT) AS dot
+      |  FROM hv JOIN nm ON nm.doc_id = hv.doc_id
+      |  GROUP BY hv.doc_id
+      |), scored AS (
+      |  SELECT d.doc_id, d.source,
+      |         ROUND(CAST(COALESCE(dt.dot, 0) AS DOUBLE)
+      |               / NULLIF(sqrt(CAST(nt.nt2 AS DOUBLE)) * sqrt(CAST(nm.nv2 AS DOUBLE)), 0), 6)
+      |           AS cos_sim
+      |  FROM documents d
+      |  JOIN nm ON nm.doc_id = d.doc_id
+      |  JOIN nt ON nt.doc_id = d.doc_id
+      |  LEFT JOIN dots dt ON dt.doc_id = d.doc_id
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       CAST(SUM(CASE WHEN cos_sim >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+      |       CAST(SUM(CASE WHEN cos_sim >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+      |         // CAST(COUNT(*) AS BIGINT) AS aligned_pm,
+      |       ROUND(MIN(cos_sim), 6) AS min_cos, ROUND(MAX(cos_sim), 6) AS max_cos
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // s37 mirror — both shared chains at depth RrfDepth, quantized
   // integer RRF (10^6 // (k + rank)), full-outer fusion, the same
   // null-cosine exclusion on the vector leg
@@ -2255,6 +2300,7 @@ object PipelineOracles {
     "t41_bm25"         -> t41Sql,
     "s37_rrf_fusion"   -> s37Sql,
     "s38_mmr"          -> s38Sql,
+    "m37_pair_align"   -> m37Sql,
     "p69_dsir_select"  -> p69Sql,
     "t42_blocklist"    -> t42Sql,
     "d29_repeated_spans" -> d29Sql,

@@ -857,6 +857,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("m37 pair alignment is one id equi-join; scoring stays in codegen") {
+    val df = operators.Multimodal.m37PairAlign(spark, dir)
+    val p = planString(df)
+    // the caption and media tables pair on doc_id = vec_id — an
+    // equi-join production co-buckets; never a nested-loop product
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join in:\n$p")
+    assert(p.contains("*("), s"no codegen span:\n$p")
+  }
+
   test("q73 attribution joins on user equality; never a theta-only product") {
     val p = planString(operators.CoreQueries.q73Attribution(spark, dir))
     // the 7-day range rides as a post-join filter on a user_id equi-join
