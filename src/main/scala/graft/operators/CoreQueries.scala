@@ -823,8 +823,13 @@ object CoreQueries {
     * ≤|touch types|+1 grain. The unattributed row is a broadcast
     * left-anti of the tiny conversion set.
     */
-  def q73Attribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def q73Attribution(spark: SparkSession, dir: String): DataFrame =
+    q73AttributionCore(Tables.events(spark, dir))
+
+  /** Rule core over any (event_id, user_id, event_type, ts) frame —
+    * property tests drive random touch/conversion layouts through the
+    * production plan. */
+  private[graft] def q73AttributionCore(ev: DataFrame): DataFrame = {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("p_ts"))
     val t = ev.filter(col("event_type").isin("view", "click", "signup"))

@@ -1007,6 +1007,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q73 attribution matches the in-memory credit reference on random layouts") {
+    val DayUs = 86400L * 1000000L
+    // few users, timestamps straddling the 7-day window boundary, all
+    // four event types — so empty windows, single-touch and multi-touch
+    // conversions, and exact-boundary touches all occur
+    val evGen: Gen[List[(Long, Long, String, Long)]] = Gen.listOf(for {
+      id <- Gen.choose(0L, 499L)
+      uid <- Gen.choose(0L, 4L)
+      tp <- Gen.oneOf("purchase", "view", "click", "signup")
+      us <- Gen.choose(0L, 20L).map(_ * (DayUs / 2))
+    } yield (id, uid, tp, us)).map(_.groupBy(_._1).map(_._2.head).toList)
+    samples(evGen, 20).filter(_.exists(_._3 == "purchase")).foreach { evs =>
+      val rows = evs.map { case (id, uid, tp, us) =>
+        Row(id, uid, tp, new java.sql.Timestamp(us / 1000L)) }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("ts", TimestampType)))
+      val got = operators.CoreQueries.q73AttributionCore(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3), schema)).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // in-memory reference
+      val purchases = evs.filter(_._3 == "purchase")
+      val touches = evs.filter(e => Set("view", "click", "signup")(e._3))
+      val credits = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+        .withDefaultValue((0L, 0L, 0L, 0L))
+      var unattributed = 0L
+      purchases.foreach { case (_, uid, _, pus) =>
+        val w = touches.filter(t => t._2 == uid && t._4 < pus &&
+          t._4 >= pus - 7 * DayUs).sortBy(t => (t._4, t._1))
+        if (w.isEmpty) unattributed += 1
+        else {
+          val n = w.size
+          w.zipWithIndex.foreach { case ((tid, _, tp, _), i) =>
+            val (c, f, l, lin) = credits(tp)
+            credits(tp) = (c + 1,
+              f + (if (i == 0) 10000L else 0L),
+              l + (if (i == n - 1) 10000L else 0L),
+              lin + 10000L / n)
+          }
+        }
+      }
+      val want = credits.toMap +
+        ("__NONE__" -> ((unattributed, unattributed * 10000,
+          unattributed * 10000, unattributed * 10000)))
+      assert(got === want)
+    }
+  }
+
   test("q72 MAD anomalies match the in-memory Hampel reference on spiked series") {
     def med2(xs: Seq[Long]): Long = {
       val s = xs.sorted; val n = s.length
