@@ -148,6 +148,7 @@ object SparkEntry {
     "t35_keywords"        -> (TextAnalysis.t35Keywords _),
     "q43_partition_prune" -> (graft.sources.Sources.q43PartitionPrune _),
     "q71_zorder_layout"   -> (graft.sources.Sources.q71ZorderLayout _),
+    "q74_corrupt_ingest"  -> (graft.sources.Sources.q74CorruptIngest _),
     "q37_csv_roundtrip"   -> (graft.sources.Sources.q37CsvRoundtrip _),
     "q38_jdbc_roundtrip"  -> (graft.sources.Sources.q38JdbcRoundtrip _),
     "q57_reconciliation"  -> (graft.sources.Sources.q57Reconciliation _),
@@ -295,6 +296,20 @@ object SparkEntry {
       // st47 emits q72's report exactly (shared daily grain + report
       // tail definitions) — one oracle, the st44/st45 device
       "st47_stream_anomaly" -> CoreOracles.sql("q72_anomaly_mad"),
+      // q74: the Spark side genuinely corrupts, writes, and re-parses
+      // the JSON feed; the oracle restates the quarantine split from
+      // parquet via the same deterministic mod-13 rule (q57's device)
+      "q74_corrupt_ingest" ->
+        """WITH s AS (
+          |  SELECT CASE WHEN event_id % 13 = 0 THEN 'quarantined' ELSE 'clean' END AS status,
+          |         CASE WHEN event_id % 13 = 0 THEN '__QUARANTINE__' ELSE event_type END AS event_type,
+          |         CASE WHEN event_id % 13 = 0 THEN 0 ELSE value END AS value
+          |  FROM events
+          |)
+          |SELECT status, event_type, COUNT(*) AS n_records,
+          |       ROUND(SUM(value), 2) AS sum_value
+          |FROM s GROUP BY status, event_type
+          |ORDER BY status, event_type""".stripMargin,
       // q71: the Spark side writes the Z-ordered layout and reports from
       // the re-read; the oracle restates the same Morton arithmetic over
       // the original parquet (the q39/q43 end-state pattern). The zkey

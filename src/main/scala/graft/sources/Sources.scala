@@ -289,6 +289,55 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** q74: corrupt-record QUARANTINE ingest — the PERMISSIVE-mode lake
+    * ingestion pattern every production pipeline runs on untrusted
+    * feeds: malformed records must neither kill the job (FAILFAST) nor
+    * vanish silently (DROPMALFORMED); they land in a
+    * `_corrupt_record` quarantine column and the batch report counts
+    * them next to the clean rows. The feed is the events table
+    * rendered as JSON lines, with every `event_id ≡ 0 (mod 13)` record
+    * DETERMINISTICALLY truncated to half length — a prefix of a JSON
+    * object is always unbalanced, so exactly that subset is malformed
+    * and the DuckDB oracle can restate the report from parquet alone
+    * (q57's deterministic-divergence device). Timestamps ride as epoch
+    * micros so the JSON round-trip is format-independent.
+    *
+    * 100 TB posture: render + write one pass; the PERMISSIVE read is a
+    * schema-projected scan (corrupt capture is per-row, no shuffle);
+    * the report is one map-side-combined aggregate. Structural I/O
+    * family (q37/q40): the Spark side genuinely writes and re-parses
+    * the feed.
+    */
+  def q74CorruptIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir(s"graft_corrupt_${counter.incrementAndGet()}_")
+    val json = Tables.events(spark, dir)
+      .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))).as("value"),
+        col("event_id"))
+      .select(when(col("event_id") % 13 === 0,
+          substring(col("value"), lit(1), (length(col("value")) / 2).cast("int")))
+        .otherwise(col("value")).as("value"))
+    json.write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts_us", LongType),
+      StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .select(
+        when(col("_corrupt_record").isNotNull, "quarantined")
+          .otherwise("clean").as("status"),
+        coalesce(col("event_type"), lit("__QUARANTINE__")).as("event_type"),
+        col("value"))
+      .groupBy("status", "event_type")
+      .agg(count(lit(1)).as("n_records"),
+        round(sum(coalesce(col("value"), lit(0d))), 2).as("sum_value"))
+      .orderBy("status", "event_type")
+  }
+
   /** q71 Z-order geometry: each dimension quantizes to [[ZBits]] bits;
     * the layout uses [[ZBuckets]] = 64 directories = the top 6
     * interleaved bits (3 from each dimension). */

@@ -1383,6 +1383,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(linear <= nConvs * 10000 && linear > (nConvs * 10000 * 9) / 10)
   }
 
+  test("q74 quarantine accounts for every record; corrupt set is exactly mod-13") {
+    val rows = graft.sources.Sources.q74CorruptIngest(spark, dir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, dir)
+    assert(total === ev.count(), "ingest dropped or duplicated records")
+    val quarantined = rows.filter(_.getString(0) == "quarantined")
+    assert(quarantined.length === 1 &&
+      quarantined.head.getString(1) === "__QUARANTINE__")
+    import org.apache.spark.sql.functions.col
+    assert(quarantined.head.getLong(2) ===
+      ev.filter(col("event_id") % 13 === 0).count(),
+      "quarantine set is not exactly the corrupted subset")
+  }
+
   test("q71 Z-order buckets bound BOTH dimension spans simultaneously") {
     import graft.sources.Sources
     val rows = Sources.q71ZorderLayout(spark, dir).collect()
