@@ -10,7 +10,7 @@ import sys, json
 # structural exclusions (BASELINE.md): layout writes, conf-scoped bloom
 # mechanism, streaming machinery
 EXCLUDE = {"q39_bucketed_join", "q43_partition_prune", "q58_bloom_prefilter",
-           "q67_schema_evolution", "q71_zorder_layout"} | {
+           "q67_schema_evolution", "q71_zorder_layout", "q74_corrupt_ingest"} | {
     f"st{n}_" for n in range(33, 48)}
 
 def is_excluded(k):
