@@ -743,6 +743,9 @@ object Similarity {
       .withColumn("sim_ppm",
         ppm(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6)))
       .select("query_id", "ca", "cb", "sim_ppm")
+      // checkpointed like the pool: an A/B pass re-deriving this grid
+      // per greedy step measured 8.2 s vs 6.2 s — the K consumers beat
+      // one materialization job
       .localCheckpoint()
     val w = (o: Column) => Window.partitionBy("query_id").orderBy(o, col("cand_id"))
     var selected = cands
