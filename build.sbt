@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output inherits raw stdout instead of routing through
+// sbt's logger: the logger prefixes every line with "[info] ", which makes
+// Bench's one-line JSON unparseable for anything expecting a bare JSON
+// line on stdout (every BENCH_r*.json recorded parsed:null because of it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

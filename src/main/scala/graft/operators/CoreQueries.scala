@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Checkpoints.Ops
 
 /** Core relational/temporal operators q01–q20 (SURVEY.md §2).
   *
@@ -591,7 +592,7 @@ object CoreQueries {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
     overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try q58Plan(spark, dir).localCheckpoint()
+    try q58Plan(spark, dir).graftCheckpoint()
     finally prev.foreach { case (k, vo) =>
       vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }.orderBy("o_orderstatus")

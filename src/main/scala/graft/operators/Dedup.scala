@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.PortableHash._
+import graft.Checkpoints.Ops
 
 /** Deduplication operators d21–d25 (SURVEY.md §2) over the `documents`
   * and `embeddings` tables — the LLM-training-data pipeline surface.
@@ -142,12 +143,12 @@ object Dedup {
     // upstream candidate-generation lineage (shingle + band join)
     val edges = edgesRaw.select(col("u"), col("v"))
       .unionByName(edgesRaw.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .graftCheckpoint()
     // init lab(u) = min(u, neighbors): the first propagation round folded
     // into the aggregation that materializes the node set
     var lab = edges.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("node"), least(col("u"), col("mn")).as("lab"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var iter = 0
     var converged = false
     def round(probe: Boolean): Unit = {
@@ -161,7 +162,7 @@ object Dedup {
       val next = cand.as("c").join(lab.as("j"), col("c.clab") === col("j.node"), "left")
         .select(col("c.node").as("node"),
           least(col("c.clab"), coalesce(col("j.lab"), col("c.clab"))).as("lab"))
-        .localCheckpoint()
+        .graftCheckpoint()
       if (probe)
         converged = next.as("n")
           .join(lab.as("o"), col("n.node") === col("o.node"))

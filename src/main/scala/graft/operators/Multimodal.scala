@@ -302,7 +302,10 @@ object Multimodal {
       .withColumn("aligned", (col("cos_sim") >= 0d).cast("int"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("aligned").cast("long")).as("n_aligned"),
+        // coalesce: a group whose every cos_sim is NULL (all captions
+        // zero-norm) sums to NULL in Spark, while the oracle's CASE sum
+        // yields 0 — pin the degenerate group to 0 (ADVICE r8).
+        coalesce(sum(col("aligned").cast("long")), lit(0L)).as("n_aligned"),
         round(min(col("cos_sim")), 6).as("min_cos"),
         round(max(col("cos_sim")), 6).as("max_cos"))
       .select(col("source"), col("n_pairs"), col("n_aligned"),

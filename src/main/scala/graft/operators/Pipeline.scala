@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PortableHash.ph
+import graft.Checkpoints.Ops
 
 /** p55: the end-to-end training-data cleaning pipeline — the composition
   * the individual t/d operators exist FOR, as one declarative plan:
@@ -573,7 +574,7 @@ object Pipeline {
       // exchange reuse and re-scanned the corpus (measured: 2 scans).
       // Memory-only lineage truncation — same trade as d26, documented
       // there; production swaps checkpoint() for failure-tolerant runs.
-      .localCheckpoint()
+      .graftCheckpoint()
     var syms = wc.withColumn("sym",
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
     val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -800,6 +801,14 @@ object Pipeline {
                s" + ln(CAST(r_tot + $B AS DOUBLE)) - ln(CAST(t_tot + $B AS DOUBLE))")), 6)
           .as("log_ratio"))
       .select(col("doc_id"), col("n_feats"), col("log_ratio"),
+        // The λ ≥ 0 gate reads the 6dp-ROUNDED sum, so a verdict can
+        // flip between engines/partitionings only if the unrounded
+        // nondeterministically-ordered double sum sits within one ulp
+        // of a 5e-7 rounding boundary AND that boundary is 0 — ~1e-16
+        // relative noise vs a 5e-7 quantum, ~1e-9 odds per doc
+        // (ADVICE r8: acknowledged repo-wide float device; the same
+        // exposure as t36/t40/t41's rounded scores, gating a binary
+        // selection here).
         (col("log_ratio") >= 0).cast("int").as("selected"))
       .orderBy("doc_id")
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Checkpoints.Ops
 
 /** Similarity-search operators s26–s27 (SURVEY.md §2): approximate
   * nearest neighbors over the `embeddings` table.
@@ -726,12 +727,12 @@ object Similarity {
     val cands = s26Core(spark, dir, MmrPool)
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
         ppm(col("cos_sim")).as("rel_ppm"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val e = vecs(spark, dir)
     val cv = e.join(broadcast(cands.select("cand_id").distinct()),
         col("vec_id") === col("cand_id"))
       .select(col("cand_id"), col("v"), col("norm"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val cva = cv.select(col("cand_id").as("ca"), col("v").as("va"), col("norm").as("na"))
     val cvb = cv.select(col("cand_id").as("cb"), col("v").as("vb"), col("norm").as("nb"))
     val sims = cands.as("a")
@@ -746,7 +747,7 @@ object Similarity {
       // checkpointed like the pool: an A/B pass re-deriving this grid
       // per greedy step measured 8.2 s vs 6.2 s — the K consumers beat
       // one materialization job
-      .localCheckpoint()
+      .graftCheckpoint()
     val w = (o: Column) => Window.partitionBy("query_id").orderBy(o, col("cand_id"))
     var selected = cands
       .withColumn("rk", row_number().over(w(col("rel_ppm").desc)))

@@ -682,14 +682,14 @@ object TextAnalysis {
     * per-pair score rounds to 6dp before ranking so rank ties break on
     * neighbor_id identically in both engines.
     *
-    * 100 TB posture: the inverted-index probe shape — ONE corpus
-    * explode feeds the (doc, token) tf aggregate, whose doc_id exchange
-    * also serves the doc-length window (t35's single-exchange trick);
-    * df aggregates that same grain to vocabulary size; the query-term ×
-    * df table is tiny and BROADCAST, so candidate generation touches
-    * only the postings of query terms (|terms(Q)| · df rows, never
-    * N·|Q|); corpus stats ride a broadcast 1-row cross join. No
-    * corpus-sized build side anywhere.
+    * 100 TB posture: the inverted-index probe shape, literal — the
+    * query term set broadcasts INTO the corpus explode as a map-side
+    * semi-join, so only postings of query terms ever reach an exchange
+    * (|terms(Q)| · df rows, never the corpus-wide (doc, token) grain);
+    * doc length is a per-row projection (size of the token array), df
+    * per query term aggregates the probe itself (exact — the probe
+    * keeps every posting of each query term), and corpus stats ride a
+    * broadcast 1-row cross join. No corpus-sized build side anywhere.
     */
   def t41Bm25(spark: SparkSession, dir: String): DataFrame =
     t41Bm25Core(Tables.documents(spark, dir), Bm25TopK)
@@ -698,36 +698,51 @@ object TextAnalysis {
     * random corpora through the production plan; s37 fuses the same
     * ranking at its own depth. */
   private[graft] def t41Bm25Core(documents: DataFrame, depth: Int): DataFrame = {
-    // the explicit isNotNull mirrors the constraint the probe-side
-    // doc_id <> query_id filter infers and pushes down — without it the
-    // two tf consumers sit over scans with DIFFERENT pushed filters and
-    // ReuseExchange cannot collapse them (the corpus would explode and
-    // shuffle twice; measured 4.0× vs 2.6× at sf1)
-    val tok = documents
-      .filter(col("doc_id").isNotNull)
+    val base = documents.filter(col("doc_id").isNotNull)
+    // query term bags from their OWN pushed-filter scan (doc_id < 10
+    // reaches the parquet row groups) — tiny, broadcast everywhere
+    val qterms = base.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(coalesce(col("text"), lit("")), " ")))
+          .as("token"))
+    val qtok = qterms.select("token").distinct()
+    // THE inverted-index probe, made literal (r9 — the r8 verdict's t41
+    // item): the corpus explode keeps ONLY postings of query terms via a
+    // broadcast semi-join that filters map-side BEFORE any exchange, so
+    // what shuffles is |postings of query terms| (~4% of token
+    // occurrences here), never the full (doc, token) tf relation. The
+    // prior shape built corpus-wide tf + a doc-length window and re-ran
+    // that aggregation once per consumer over a reused exchange —
+    // measured 2.3 s vs 0.9 s at sf1 for identical output. Doc length
+    // needs no window at all: it is size(split(text)), a per-row
+    // projection carried through the explode.
+    // tokenize once, THEN derive len and the explode from the array:
+    // `toks` is referenced twice, so CollapseProject's multi-reference
+    // guard keeps the split out of the per-token projection (inlined, the
+    // full text re-splits once per exploded row for the size() —
+    // measured 2× on this stage)
+    val tok = base
       .select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
-    val tf = tok.repartition(col("doc_id"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("len", sum(col("tf")).over(Window.partitionBy("doc_id")))
-    // sum(len >= 1 ? 1 : 0) IS count(*) here (len ≥ 1 always), phrased
-    // so this branch still references the window column: with count(*)
-    // Catalyst prunes the Window node out of this subtree, the two tf
-    // subtrees stop being canonically identical, and ReuseExchange can
-    // no longer collapse them (t35's device, one level up). Degrades
-    // gracefully (correct, one extra scan) if a future optimizer folds it.
-    val dfx = tf.groupBy("token")
-      .agg(sum(when(col("len") >= 1L, 1L).otherwise(0L)).as("df"))
-    val qterms = tf.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("token"))
-    // query-term df table: broadcast the tiny term bag INTO the
-    // vocab-sized df relation, then broadcast the tiny result outward
-    val qtd = dfx.join(broadcast(qterms), Seq("token"))
+        split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(col("toks")).as("token"))
+      .join(broadcast(qtok), Seq("token"), "left_semi")
+    val tf = tok.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    // df per query term is EXACT off the probe: the semi-join keeps every
+    // (doc, query-term) posting, so counting tf rows per token here
+    // equals the corpus-wide df restricted to query terms. Computed as a
+    // window over the probe itself — a second aggregation BRANCH over the
+    // tf subtree re-runs the corpus explode unless exchange reuse fires
+    // (canonical-identity-fragile; measured 2.9 s vs 1.5 s at sf1), while
+    // the window is one |postings|-sized exchange by construction.
+    val tfd = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("token")))
     val stats = documents.agg(
       count(lit(1)).cast("long").as("n_docs"),
       sum(size(split(coalesce(col("text"), lit("")), " "))).cast("long")
         .as("total_len"))
-    val terms = tf.join(broadcast(qtd), Seq("token"))
+    val terms = tfd.join(broadcast(qterms), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))
       .withColumn("term_score",

@@ -328,10 +328,19 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(out)
       .select(
+        // Every report column derives from corrupt STATUS, not from what
+        // the partial-results parser salvaged: with
+        // spark.sql.json.enablePartialResults (default since 3.4) a
+        // truncated record can surface event_type/value populated BESIDE
+        // _corrupt_record, which would split the quarantine group and
+        // leak salvaged values into sum_value (ADVICE r8).
         when(col("_corrupt_record").isNotNull, "quarantined")
           .otherwise("clean").as("status"),
-        coalesce(col("event_type"), lit("__QUARANTINE__")).as("event_type"),
-        col("value"))
+        when(col("_corrupt_record").isNotNull, lit("__QUARANTINE__"))
+          .otherwise(coalesce(col("event_type"), lit("__QUARANTINE__")))
+          .as("event_type"),
+        when(col("_corrupt_record").isNotNull, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
       .groupBy("status", "event_type")
       .agg(count(lit(1)).as("n_records"),
         round(sum(coalesce(col("value"), lit(0d))), 2).as("sum_value"))

@@ -8,6 +8,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Checkpoints.Ops
 
 /** Structured Streaming operators st33–st34 (SURVEY.md §2).
   *
@@ -652,7 +653,7 @@ object Streams {
     // memory-sink table cannot appear twice in one plan (the st46
     // conflicting-references analyzer bug); localCheckpoint the
     // |types|·|days| grid — tiny by construction — to a fresh relation
-    val daily = runToTable(spark, stream, "complete", "st47").localCheckpoint()
+    val daily = runToTable(spark, stream, "complete", "st47").graftCheckpoint()
     graft.operators.CoreQueries.q72Tail(daily)
   }
 }

@@ -803,21 +803,25 @@ class PlanSpec extends AnyFunSuite {
   test("t41 BM25 probes query-term postings via broadcast; corpus never builds") {
     val df = operators.TextAnalysis.t41Bm25(spark, dir)
     val p = planString(df)
-    // candidate generation = postings of query terms only: the tiny
-    // query-term × df table broadcasts into the tf relation; a
-    // sort-merge join here would shuffle the whole (doc, token) grain
-    // by token
+    // candidate generation = postings of query terms only: the query
+    // term set broadcasts INTO the corpus explode as a map-side
+    // LeftSemi filter BEFORE any exchange (r9 — the literal inverted-
+    // index probe); a sort-merge join anywhere here would shuffle a
+    // corpus-sized grain
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast postings probe:\n$p")
+    assert(p.contains("LeftSemi"), s"expected map-side query-term semi filter:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
     // corpus stats ride a broadcast 1-row loop join, never a cartesian
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
-    // the tf exchange feeds BOTH the probe and the df branch — the full
-    // corpus explodes and shuffles once (t35's contract); scans beyond
-    // the shared one are the doc_id<10 query-term scan and the stats
-    // scan, both cheap
-    assert(p.contains("ReusedExchange"), s"tf exchange not reused:\n$p")
+    // scans: ONE full-width corpus scan (the explode), the 1-row stats
+    // scan, and two doc_id<10 row-group-pruned query-bag scans; df rides
+    // a window over the probe itself, so no second corpus-tf branch
+    // exists to re-scan
     val scans = "Scan parquet".r.findAllMatchIn(p).length
-    assert(scans <= 3, s"expected ≤3 corpus scans, got $scans:\n$p")
+    assert(scans <= 4, s"expected ≤4 scans, got $scans:\n$p")
+    val pruned = "LessThan\\(doc_id,10\\)".r.findAllMatchIn(p).length
+    assert(scans - pruned <= 2,
+      s"expected ≤2 non-query-bag scans (corpus explode + stats):\n$p")
   }
 
   test("s37 fusion: corpus-sized work stays in the legs; fusion join is tiny") {

@@ -176,10 +176,44 @@ class PropertySpec extends AnyFunSuite {
       }
       val df = links.map { case (id, p) =>
         (id, Option(p).map(_.longValue)) }.toDF("id", "parent")
-      val got = Chains.resolveChains(df, depthHint = 4)
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val want = (0L until n.toLong).map(id => id -> ref(id)).toMap
-      assert(got === want, s"trial $trial mismatch")
+      // exercise BOTH strategies on the same forest: a small hint takes
+      // the one-hop path, a hint above the cutoff takes pointer doubling
+      Seq(4 -> "one-hop", 1000 -> "doubling").foreach { case (hint, label) =>
+        val got = Chains.resolveChains(df, maxIters = 40, depthHint = hint)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got === want, s"trial $trial mismatch ($label)")
+      }
+    }
+  }
+
+  test("graft.checkpoint.dir conf flips iterative checkpoints to reliable mode") {
+    import spark.implicits._
+    val df = (1L to 10L).toDF("id")
+    // default: localCheckpoint — nothing written anywhere
+    assert(Checkpoints.of(df).count() === 10L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_").toFile
+    try {
+      spark.conf.set(Checkpoints.DirConf, tmp.getAbsolutePath)
+      val out = Checkpoints.of(df)
+      assert(out.count() === 10L)
+      // reliable checkpoint() writes RDD partition files under the dir
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c => c +: walk(c))
+      assert(walk(tmp).exists(_.isFile),
+        "reliable checkpoint wrote nothing under spark.graft.checkpoint.dir")
+      // and the resolved chain result is unaffected by the mode
+      val links = Seq((1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(2L)))
+        .toDF("id", "parent")
+      val roots = graft.operators.Chains.resolveChains(links, depthHint = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(roots === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally {
+      spark.conf.unset(Checkpoints.DirConf)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(tmp)
     }
   }
 
