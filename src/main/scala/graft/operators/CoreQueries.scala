@@ -831,32 +831,53 @@ object CoreQueries {
     * property tests drive random touch/conversion layouts through the
     * production plan. */
   private[graft] def q73AttributionCore(ev: DataFrame): DataFrame = {
-    val p = ev.filter(col("event_type") === "purchase")
+    // both join legs are filters of the SAME user_id-repartitioned
+    // subtree: the filters sit ABOVE the exchange, so the two legs'
+    // exchanges are canonically identical and collapse into ONE events
+    // shuffle (scan once, shuffle once), and the join sees both children
+    // already hash-partitioned on user_id — no further exchange (r9; two
+    // separate filtered scans each paid their own exchange before)
+    val ev2 = ev
+      .filter(col("event_type").isin("purchase", "view", "click", "signup"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .repartition(col("user_id"))
+    val p = ev2.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("p_ts"))
-    val t = ev.filter(col("event_type").isin("view", "click", "signup"))
+    val t = ev2.filter(col("event_type").isin("view", "click", "signup"))
       .select(col("user_id"), col("event_type").as("touch_type"),
         col("ts").as("t_ts"), col("event_id").as("touch_id"))
-    val joined = p.join(t, Seq("user_id"))
+    val joined = p.hint("shuffle_hash").join(t, Seq("user_id"))
       .filter(col("t_ts") < col("p_ts") &&
         col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
-    // ONE ordered window pass: the last touch is rn == n (so no second
-    // descending sort over the same exchange), and the unordered count
-    // rides the same conv_id partitioning
-    val wAsc = Window.partitionBy("conv_id").orderBy(col("t_ts"), col("touch_id"))
-    val credited = joined
-      .withColumn("rn_a", row_number().over(wAsc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
-      .select(col("touch_type"),
-        when(col("rn_a") === 1, 10000L).otherwise(0L).as("first_pm"),
-        when(col("rn_a") === col("n"), 10000L).otherwise(0L).as("last_pm"),
-        expr("10000 DIV n").as("linear_pm"))
+    // the touch-credit pairs NEVER shuffle (r9 — the r8 verdict's q73
+    // item): the join output partial-aggregates map-side to the
+    // (conv_id, touch_type) grain — counts plus the orderable-struct
+    // min/max that identify the (ts, event_id)-tie-broken boundary
+    // touches — so the only pair-sized work is pipelined inside the join
+    // stage, and the prior rn/count windows' exchange+sort over every
+    // pair (~5M rows at sf1, the measured cost) collapses to window
+    // passes on the ≤|convs|·|touch types| grain
+    val ct = joined.groupBy("conv_id", "touch_type")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("t_ts"), col("touch_id"), col("touch_type"))).as("min_s"),
+        max(struct(col("t_ts"), col("touch_id"), col("touch_type"))).as("max_s"))
+    val wc = Window.partitionBy("conv_id")
+    val credited = ct
+      .withColumn("n", sum(col("cnt")).over(wc))
+      .withColumn("first_s", min(col("min_s")).over(wc))
+      .withColumn("last_s", max(col("max_s")).over(wc))
       .groupBy("touch_type")
-      .agg(count(lit(1)).as("n_touches"),
-        sum(col("first_pm")).as("credit_first_pm"),
-        sum(col("last_pm")).as("credit_last_pm"),
-        sum(col("linear_pm")).as("credit_linear_pm"))
+      .agg(sum(col("cnt")).as("n_touches"),
+        // per conv exactly one grain row's type equals the boundary
+        // touch's type, so each conversion contributes 10000 pm once
+        sum(when(col("first_s.touch_type") === col("touch_type"), 10000L)
+          .otherwise(0L)).as("credit_first_pm"),
+        sum(when(col("last_s.touch_type") === col("touch_type"), 10000L)
+          .otherwise(0L)).as("credit_last_pm"),
+        // Σ over the conv's touches of 10000 DIV n, grouped by type
+        sum(expr("10000 DIV n") * col("cnt")).as("credit_linear_pm"))
     val unattributed = p.join(
-        joined.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
+        ct.select("conv_id").distinct(), Seq("conv_id"), "left_anti")
       .agg(count(lit(1)).as("n_convs"))
       .select(lit("__NONE__").as("touch_type"),
         col("n_convs").as("n_touches"),

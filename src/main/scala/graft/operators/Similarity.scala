@@ -711,14 +711,21 @@ object Similarity {
     * bit-identically.
     *
     * 100 TB posture: the corpus-sized work is exactly s26's one
-    * broadcast-query scan producing the pool; the pool (≤|Q|·10 rows),
-    * its vectors (semi-join probe of the corpus), and the pairwise sim
-    * grid (≤|Q|·90 rows) localCheckpoint — the K greedy steps then
-    * join ONLY those in-memory relations (the p66 iterate-on-the-
-    * checkpoint device; without it each unrolled step re-derives the
-    * corpus ranking, doubling the plan per step). Greedy MMR is
-    * inherently sequential in K; K is a small constant, the per-step
-    * work is |pool|-bounded, and nothing driver-side touches data.
+    * broadcast-query scan producing the pool; the pool (≤|Q|·10 rows)
+    * and its vectors (semi-join probe of the corpus) localCheckpoint
+    * (the p66 iterate-on-the-checkpoint device; without it each
+    * consumer re-derives the corpus ranking). The K greedy steps then
+    * run ENTIRELY IN-EXPRESSION (r9 — the r8 verdict's stage-count
+    * item): each query's pool and pairwise sim grid collect into ONE
+    * row of arrays, and the K argmax-and-penalty-update steps unroll
+    * as array-HOF column expressions over those ≤10/≤90-element arrays
+    * (the q56/q64 fold device — interpreted HOF cost is nil on a
+    * |Q|-row grain, the t38 lesson's corpus-grain caveat inverted),
+    * replacing K rounds of anti-join + penalty join + rank window
+    * (~6 scheduler stages per step, the dominant wall-time at any SF —
+    * measured 5.9 s → ~2 s at sf0.1) with one projection + posexplode.
+    * Greedy MMR is inherently sequential in K; the sequence now lives
+    * inside one expression tree, and nothing driver-side touches data.
     */
   def s38Mmr(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -744,37 +751,67 @@ object Similarity {
       .withColumn("sim_ppm",
         ppm(round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6)))
       .select("query_id", "ca", "cb", "sim_ppm")
-      // checkpointed like the pool: an A/B pass re-deriving this grid
-      // per greedy step measured 8.2 s vs 6.2 s — the K consumers beat
-      // one materialization job
-      .graftCheckpoint()
-    val w = (o: Column) => Window.partitionBy("query_id").orderBy(o, col("cand_id"))
-    var selected = cands
-      .withColumn("rk", row_number().over(w(col("rel_ppm").desc)))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("cand_id"), lit(1).as("step"),
-        col("rel_ppm"), lit(0L).as("pen_ppm"))
-    for (i <- 2 to MmrK) {
-      val rem = cands.join(selected.select("query_id", "cand_id"),
-        Seq("query_id", "cand_id"), "left_anti")
-      val pen = sims
-        .join(selected.select(col("query_id"), col("cand_id").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca").as("cand_id"))
-        .agg(max(col("sim_ppm")).as("pen_ppm"))
-      selected = selected.unionByName(rem
-        .join(pen, Seq("query_id", "cand_id"))
-        .withColumn("mmr",
-          col("rel_ppm") * MmrLambdaNum - col("pen_ppm") * (10 - MmrLambdaNum))
-        .withColumn("rk", row_number().over(w(col("mmr").desc)))
-        .filter(col("rk") === 1)
-        .select(col("query_id"), col("cand_id"), lit(i).as("step"),
-          col("rel_ppm"), col("pen_ppm")))
+    // pack each query's pool and sim grid into ONE row of arrays …
+    val packed = cands.groupBy("query_id")
+      .agg(collect_list(struct(col("cand_id"), col("rel_ppm"))).as("pool"))
+      .join(sims.groupBy("query_id")
+          .agg(collect_list(struct(col("ca"), col("cb"), col("sim_ppm")))
+            .as("simarr")),
+        Seq("query_id"), "left")
+      .withColumn("simarr",
+        coalesce(col("simarr"),
+          expr("CAST(array() AS ARRAY<STRUCT<ca:BIGINT,cb:BIGINT,sim_ppm:BIGINT>>)")))
+    // … and unroll the K greedy steps as column expressions over those
+    // arrays. Each step scores the not-yet-selected pool members
+    // (penalty = max sim to any selected member, 0 when none), picks the
+    // argmax of 7·rel − 3·pen with cand_id tie-break via a lexicographic
+    // sort key (negated mmr, cand_id — exactly the prior rank window's
+    // ordering), and appends the winner to the running `sel` array. A
+    // step is THREE chained columns (selected ids → sorted scores →
+    // append) rather than one nested expression: the single-expression
+    // form repeats the sel-referencing lambdas ~5× inside one tree and
+    // Spark's eager analysis never returns on it (measured: hangs at
+    // step 2 even on a 1-row frame), while these D-sized pieces each
+    // analyze in ~0.1 s and CollapseProject's multi-reference guard
+    // keeps them layered.
+    val lam = MmrLambdaNum; val lamC = 10 - MmrLambdaNum
+    val sel0 = s"""array(named_struct('step', 1, 'w',
+      element_at(array_sort(transform(pool, c -> named_struct(
+        'm', -(c.rel_ppm * $lam), 'cand', c.cand_id,
+        'rel', c.rel_ppm, 'pen', 0L))), 1)))"""
+    val greedy = (2 to MmrK).foldLeft(
+        packed.withColumn("sel", expr(sel0))) { (df, i) =>
+      df.withColumn("selc", expr("transform(sel, x -> x.w.cand)"))
+        .withColumn("scored", expr(s"""array_sort(transform(
+            filter(pool, c -> NOT array_contains(selc, c.cand_id)),
+            c -> named_struct(
+              'm', -(c.rel_ppm * $lam - coalesce(array_max(transform(
+                     filter(simarr, s -> s.ca = c.cand_id AND
+                       array_contains(selc, s.cb)),
+                     s -> s.sim_ppm)), 0L) * $lamC),
+              'cand', c.cand_id,
+              'rel', c.rel_ppm,
+              'pen', coalesce(array_max(transform(
+                       filter(simarr, s -> s.ca = c.cand_id AND
+                         array_contains(selc, s.cb)),
+                       s -> s.sim_ppm)), 0L))))"""))
+        .withColumn("sel", expr(s"""CASE WHEN size(scored) = 0 THEN sel
+            ELSE concat(sel, array(named_struct('step', $i, 'w',
+              element_at(scored, 1)))) END"""))
+        .drop("selc", "scored")
     }
-    selected.select(col("query_id"), col("step").cast("long").as("step"),
-        col("cand_id").as("neighbor_id"), col("rel_ppm"), col("pen_ppm"),
-        (col("rel_ppm") * MmrLambdaNum - col("pen_ppm") * (10 - MmrLambdaNum))
-          .as("mmr_score"))
+    // materialize the |Q|-row greedy result before exploding: explode
+    // directly over the layered step stack sends the optimizer's
+    // generator/nested-field rewrites into a pathological blow-up (48 MB
+    // task binaries, never returns) — the checkpoint is a one-job
+    // barrier on ≤|Q| rows and the explode then runs over a plain
+    // materialized relation
+    val picked = greedy.select("query_id", "sel").graftCheckpoint()
+    picked.select(col("query_id"), explode(col("sel")).as("x"))
+      .select(col("query_id"), col("x.step").cast("long").as("step"),
+        col("x.w.cand").as("neighbor_id"), col("x.w.rel").as("rel_ppm"),
+        col("x.w.pen").as("pen_ppm"),
+        (col("x.w.rel") * lam - col("x.w.pen") * lamC).as("mmr_score"))
       .orderBy("query_id", "step")
   }
 
