@@ -55,6 +55,7 @@ object SparkEntry {
     "q54_merge_disambiguation" -> (Linking.q54MergeDisambiguation _),
     "p55_corpus_clean"    -> (Pipeline.p55CorpusClean _),
     "p56_stratified_split" -> (Pipeline.p56StratifiedSplit _),
+    "p71_leakage_safe_split" -> (Pipeline.p71LeakageSafeSplit _),
     "p57_source_mix"      -> (Pipeline.p57SourceMix _),
     "p58_seq_pack"        -> (Pipeline.p58SeqPack _),
     "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),

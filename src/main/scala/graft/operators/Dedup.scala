@@ -188,16 +188,25 @@ object Dedup {
     * same election rule as d21/p55). Docs with no near-dup candidate are
     * singletons by definition and are not materialized.
     */
+  /** Near-dup components over the d22 band-pair graph —
+    * (doc_id, cluster_id), non-singleton docs only. The ONE cluster
+    * definition shared by d26/d31 (survivor election) and p71
+    * (leakage-safe splitting). */
+  private[operators] def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashBandPairs(spark, dir)
+    connectedComponents(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+  }
+
   /** Near-dup cluster assignment over the d22 band-pair graph —
     * (doc_id, cluster_id, cluster_size). Shared by d26 (min-id
     * survivors) and d31 (quality-elected survivors). */
   private def clusterAssignments(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashBandPairs(spark, dir)
-    connectedComponents(
-        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    nearDupComponents(spark, dir)
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .select(col("node").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
   def d26DupClusters(spark: SparkSession, dir: String): DataFrame = {

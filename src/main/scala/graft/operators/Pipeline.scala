@@ -812,4 +812,49 @@ object Pipeline {
         (col("log_ratio") >= 0).cast("int").as("selected"))
       .orderBy("doc_id")
   }
+
+  /** p71: LEAKAGE-SAFE train/val/test split — p56's deterministic hash
+    * split made safe against near-duplicate contamination: a document
+    * and its near-copies MUST land in the same split, or the eval set
+    * scores the model on paraphrases of its own training data (the
+    * train/test leakage that Lee et al. arXiv:2107.06499 §6.2 measure —
+    * deduplicated training removes it precisely because near-dups
+    * straddle splits; the standard fix in every serious corpus build is
+    * to split by DUP-GROUP, the grouped-split discipline). The unit of
+    * assignment is therefore the d22/d26 near-dup CLUSTER
+    * ([[Dedup.nearDupComponents]] — one cluster definition with
+    * d26/d31): split = p56's salted-hash permille rule applied to the
+    * CLUSTER id; singletons (no near-dup candidate) are their own
+    * cluster. Output: per-doc (cluster_id, cluster_size, split),
+    * spec-pinned so no cluster ever spans two splits.
+    *
+    * Reproducibility note: assignment is a pure function of the cluster
+    * IDENTITY (its min member id), so re-runs and corpus growth never
+    * move an existing cluster — with the inherent caveat that a NEW
+    * document can merge two clusters, and the merged cluster follows
+    * the smaller min-id (leakage-safety forces the move; a split that
+    * refused it would leak).
+    *
+    * 100 TB posture: components are d26's log-round linear equi-joins;
+    * the doc ⋈ component join is linear with the component side bounded
+    * by the near-dup population; the size window is ONE cluster-keyed
+    * exchange; the split itself is a zero-shuffle hash projection
+    * (p56's discipline).
+    */
+  def p71LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Dedup.nearDupComponents(spark, dir)
+    Tables.documents(spark, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("u",
+        pmod(ph(concat_ws(":", lit("gsplit"), col("cluster_id"))), lit(1000L)))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        when(col("u") < DefaultTestPm, "test")
+          .when(col("u") < DefaultTestPm + DefaultValPm, "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
 }

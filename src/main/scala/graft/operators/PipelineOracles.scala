@@ -210,6 +210,36 @@ object PipelineOracles {
       |FROM lab
       |ORDER BY doc_id""".stripMargin
 
+  // mirror of Pipeline.p71LeakageSafeSplit: d26's reachability clusters
+  // (singletons = own doc_id via the left join) + p56's salted-hash
+  // permille rule applied to the CLUSTER id
+  private val p71Sql: String =
+    s"""WITH RECURSIVE $d22PairsCtes, edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach(node, r) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.node = e.u
+      |), lab AS (
+      |  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+      |), assign AS (
+      |  SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+      |), u AS (
+      |  SELECT doc_id, cluster_id,
+      |         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |         ${phSql("'gsplit:' || CAST(cluster_id AS VARCHAR)")} % 1000 AS u
+      |  FROM assign
+      |)
+      |SELECT doc_id, cluster_id, cluster_size,
+      |       CASE WHEN u < ${Pipeline.DefaultTestPm} THEN 'test'
+      |            WHEN u < ${Pipeline.DefaultTestPm + Pipeline.DefaultValPm} THEN 'val'
+      |            ELSE 'train' END AS split
+      |FROM u
+      |ORDER BY doc_id""".stripMargin
+
   // mirror of Dedup.d31QualitySurvivor: d26's reachability clusters +
   // t29's quality arithmetic, survivor = min doc_id among max-score
   // members (deterministic two-step election, never arg_max ties).
@@ -2319,6 +2349,7 @@ object PipelineOracles {
     "d27_incremental_dedup" -> d27Sql,
     "d37_bloom_admit"  -> d37Sql,
     "p56_stratified_split" -> p56Sql,
+    "p71_leakage_safe_split" -> p71Sql,
     "p57_source_mix"   -> p57Sql,
     "p64_temperature_mix" -> p64Sql,
     "p58_seq_pack"     -> p58Sql,

@@ -746,6 +746,47 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("p71 split never separates a near-dup cluster; rule = p56 hash of the CLUSTER id") {
+    val rows = graft.operators.Pipeline.p71LeakageSafeSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // covers every document exactly once
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // the leakage invariant: a cluster maps to exactly ONE split
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._4).distinct.length === 1,
+        s"cluster $cid spans splits ${members.map(_._4).distinct.toSeq}")
+      assert(members.forall(_._3 == members.length.toLong),
+        s"cluster $cid size column mismatch")
+    }
+    // cluster ids equal d26's for its members; singletons are their own id
+    val d26 = graft.operators.Dedup.d26DupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, cid, _, _) =>
+      assert(cid === d26.getOrElse(doc, doc), s"doc $doc cluster drifted from d26")
+    }
+    // split = the p56 salted-hash permille rule applied to the cluster id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ph(s: String): Long = {
+      md.reset()
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    import graft.operators.Pipeline.{DefaultTestPm, DefaultValPm}
+    rows.foreach { case (doc, cid, _, split) =>
+      val u = ph(s"gsplit:$cid") % 1000L
+      val want = if (u < DefaultTestPm) "test"
+        else if (u < DefaultTestPm + DefaultValPm) "val" else "train"
+      assert(split === want, s"doc $doc split rule mismatch (u=$u)")
+    }
+    // non-vacuous: at least one multi-doc cluster exists and train is
+    // the majority split on this corpus
+    assert(rows.exists(_._3 > 1L), "no multi-doc cluster — invariant untested")
+    assert(rows.count(_._4 == "train") > rows.length / 2)
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
