@@ -56,6 +56,7 @@ object SparkEntry {
     "p55_corpus_clean"    -> (Pipeline.p55CorpusClean _),
     "p56_stratified_split" -> (Pipeline.p56StratifiedSplit _),
     "p71_leakage_safe_split" -> (Pipeline.p71LeakageSafeSplit _),
+    "p72_snapshot_diff"   -> (Pipeline.p72SnapshotDiff _),
     "p57_source_mix"      -> (Pipeline.p57SourceMix _),
     "p58_seq_pack"        -> (Pipeline.p58SeqPack _),
     "q50_snapshot_ages"   -> (RangeJoin.q50SnapshotAges _),

@@ -857,4 +857,68 @@ object Pipeline {
           .otherwise("train").as("split"))
       .orderBy("doc_id")
   }
+
+  /** p72: corpus snapshot DIFF — the dataset-versioning operator every
+    * managed corpus ships (lakeFS/DVC diff, Delta DESCRIBE HISTORY's
+    * change accounting): two snapshots of the corpus compared by
+    * content hash into the added / removed / changed / unchanged
+    * taxonomy with a per-source churn report — the number a corpus
+    * release signs off on ("what moved since v1?"), and the input to
+    * t39's drift monitor (t39 asks "did the DISTRIBUTION move", p72
+    * asks "WHICH documents moved").
+    *
+    * The OLD snapshot is synthesized deterministically from the corpus
+    * (the q57/q74 divergence device, so the DuckDB oracle restates it
+    * exactly): every `doc_id ≡ 3 (mod 7)` is absent from OLD (appears
+    * ADDED in NEW), OLD additionally carries one ghost row per
+    * `doc_id ≡ 6 (mod 7)` under a key offset that exists in no real
+    * snapshot (appears REMOVED), and every OLD row with
+    * `doc_id ≡ 0 (mod 11)` carries its text half-truncated (appears
+    * CHANGED).
+    *
+    * 100 TB posture: a diff never compares text — both sides reduce to
+    * (doc_id, source, content_hash) in their scans (d21's md5 device;
+    * production reads these from the content-hash INDEX each snapshot
+    * already maintains for dedup), meet in ONE doc_id equi full-outer
+    * join (co-partitionable; q39's bucketing makes it exchange-free
+    * between snapshots of the same table), and the report is one
+    * map-side-combined aggregate to the |sources| grain.
+    */
+  def p72SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id"), col("source"),
+        md5(when(pmod(col("doc_id"), lit(11)) === 0,
+            substring(col("text"), lit(1), (length(col("text")) / 2).cast("int")))
+          .otherwise(col("text"))).as("h_old"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 6)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+          md5(col("text")).as("h_old")))
+    val newSnap = docs
+      .select(col("doc_id"), col("source").as("source_new"),
+        md5(col("text")).as("h_new"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source_new"), col("source")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"),
+        ((col("n_added") + col("n_removed")) * 10000L +
+          col("n_changed") * 10000L).as("churn_x"),
+        (col("n_added") + col("n_changed") + col("n_unchanged")).as("n_new"))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"),
+        expr("churn_x DIV n_new").as("churn_pm"))
+      .orderBy("source")
+  }
 }

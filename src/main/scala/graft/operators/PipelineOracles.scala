@@ -210,6 +210,44 @@ object PipelineOracles {
       |FROM lab
       |ORDER BY doc_id""".stripMargin
 
+  // mirror of Pipeline.p72SnapshotDiff: the deterministically
+  // synthesized OLD snapshot (mod-7 adds/removes, mod-11 truncation
+  // changes) full-outer-joined to the current table by doc_id,
+  // content-hash compare, per-source churn (SUMs cast BIGINT — the r8
+  // HUGEINT dtype-drift lesson)
+  private val p72Sql: String =
+    s"""WITH o AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 11 = 0
+      |                  THEN substr(text, 1, CAST(length(text) // 2 AS INT))
+      |                  ELSE text END) AS h_old
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, source, md5(text) AS h_old
+      |  FROM documents WHERE doc_id % 7 = 6
+      |), n AS (
+      |  SELECT doc_id, source AS source_new, md5(text) AS h_new FROM documents
+      |), j AS (
+      |  SELECT COALESCE(n.source_new, o.source) AS source,
+      |         CASE WHEN o.h_old IS NULL THEN 'added'
+      |              WHEN n.h_new IS NULL THEN 'removed'
+      |              WHEN o.h_old <> n.h_new THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |), g AS (
+      |  SELECT source,
+      |         CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |         CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |         CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |         CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |  FROM j GROUP BY source
+      |)
+      |SELECT source, n_added, n_removed, n_changed, n_unchanged,
+      |       CAST((n_added + n_removed + n_changed) * 10000
+      |            // (n_added + n_changed + n_unchanged) AS BIGINT) AS churn_pm
+      |FROM g
+      |ORDER BY source""".stripMargin
+
   // mirror of Pipeline.p71LeakageSafeSplit: d26's reachability clusters
   // (singletons = own doc_id via the left join) + p56's salted-hash
   // permille rule applied to the CLUSTER id
@@ -2350,6 +2388,7 @@ object PipelineOracles {
     "d37_bloom_admit"  -> d37Sql,
     "p56_stratified_split" -> p56Sql,
     "p71_leakage_safe_split" -> p71Sql,
+    "p72_snapshot_diff" -> p72Sql,
     "p57_source_mix"   -> p57Sql,
     "p64_temperature_mix" -> p64Sql,
     "p58_seq_pack"     -> p58Sql,

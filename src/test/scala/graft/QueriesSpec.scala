@@ -787,6 +787,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.count(_._4 == "train") > rows.length / 2)
   }
 
+  test("p72 diff taxonomy matches the synthesized snapshot rule per source") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Pipeline.p72SnapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (nAdd, nRem, nChg, nUnchg, churn) = rows(src)
+      val ids = ds.map(_._1)
+      val add = ids.count(_ % 7 == 3)
+      val rem = ids.count(_ % 7 == 6) // ghost old-only rows
+      val chg = ids.count(i => i % 7 != 3 && i % 11 == 0)
+      val unchg = ids.length - add - chg
+      assert(nAdd === add.toLong, s"$src added")
+      assert(nRem === rem.toLong, s"$src removed")
+      assert(nChg === chg.toLong, s"$src changed")
+      assert(nUnchg === unchg.toLong, s"$src unchanged")
+      val nNew = add + chg + unchg
+      assert(churn === (add + rem + chg).toLong * 10000L / nNew, s"$src churn")
+      // every arm of the taxonomy actually fires
+      assert(add > 0 && rem > 0 && chg > 0 && unchg > 0, s"$src vacuous arm")
+    }
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
