@@ -102,6 +102,7 @@ object SparkEntry {
     "m35_payload_chunkdup" -> (Multimodal.m35PayloadChunkdup _),
     "m37_pair_align"      -> (Multimodal.m37PairAlign _),
     "st40_stream_cluster_assign" -> (graft.streaming.Streams.st40StreamClusterAssign _),
+    "st48_stream_centroid_update" -> (graft.streaming.Streams.st48StreamCentroidUpdate _),
     "p63_token_budget"    -> (Pipeline.p63TokenBudget _),
     "t28_langid"          -> (TextAnalysis.t28Langid _),
     "t29_quality"         -> (TextAnalysis.t29Quality _),

@@ -619,6 +619,55 @@ object PipelineOracles {
     s"""$kmeansCtes
       |SELECT vec_id, cid, dist FROM asg ORDER BY vec_id""".stripMargin
 
+  // st48 mirror — kmeansChain trains on the standing corpus and assigns
+  // the arriving subset (st40's split); standing-side sufficient
+  // statistics re-assign the training frame against cv1, both sides
+  // merge per (cid, pos), and the updated centroid repeats s30's
+  // floor(sum/count) on the union of populations. SUMs cast BIGINT (the
+  // r8 HUGEINT lesson).
+  private val st48Sql: String =
+    s"""${kmeansChain("vec_id % 5 <> 0", "vec_id % 5 = 0")}, ds AS (
+      |  SELECT p.vec_id, c.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> (p.q[i] - c.cv[i]) * (p.q[i] - c.cv[i]))) AS BIGINT) AS d
+      |  FROM q p CROSS JOIN cv1 c
+      |), as0 AS (
+      |  SELECT vec_id, min(d * 100 + cid) AS k FROM ds GROUP BY vec_id
+      |), su0 AS (
+      |  SELECT CAST(a.k % 100 AS INT) AS cid, g.i AS pos,
+      |         CAST(SUM(p.q[g.i]) AS BIGINT) AS s0, CAST(COUNT(*) AS BIGINT) AS n0
+      |  FROM as0 a JOIN q p USING (vec_id)
+      |  CROSS JOIN generate_series(1, 64) AS g(i)
+      |  GROUP BY 1, 2
+      |), su1 AS (
+      |  SELECT a.cid, g.i AS pos,
+      |         CAST(SUM(p.q[g.i]) AS BIGINT) AS s1, CAST(COUNT(*) AS BIGINT) AS n1
+      |  FROM asg a JOIN qa p USING (vec_id)
+      |  CROSS JOIN generate_series(1, 64) AS g(i)
+      |  GROUP BY 1, 2
+      |), oldc AS (
+      |  SELECT cid, g.i AS pos, cv[g.i] AS old_i
+      |  FROM cv1 CROSS JOIN generate_series(1, 64) AS g(i)
+      |), mrg AS (
+      |  SELECT o.cid, o.pos, o.old_i,
+      |         COALESCE(su0.s0, 0) AS s0, COALESCE(su0.n0, 0) AS n0,
+      |         COALESCE(su1.s1, 0) AS s1, COALESCE(su1.n1, 0) AS n1
+      |  FROM oldc o
+      |  LEFT JOIN su0 ON o.cid = su0.cid AND o.pos = su0.pos
+      |  LEFT JOIN su1 ON o.cid = su1.cid AND o.pos = su1.pos
+      |), nw AS (
+      |  SELECT cid, old_i, n0, n1,
+      |         CASE WHEN n0 + n1 = 0 THEN old_i
+      |              ELSE CAST(floor(CAST(s0 + s1 AS DOUBLE) / (n0 + n1)) AS BIGINT)
+      |         END AS new_i
+      |  FROM mrg
+      |)
+      |SELECT cid, CAST(MAX(n0) AS BIGINT) AS n_standing,
+      |       CAST(MAX(n1) AS BIGINT) AS n_arrivals,
+      |       CAST(SUM((new_i - old_i) * (new_i - old_i)) AS BIGINT) AS shift2,
+      |       CAST(SUM(new_i) AS BIGINT) AS new_sum
+      |FROM nw GROUP BY cid ORDER BY cid""".stripMargin
+
   /** s32 mirror — the PQ chain restated: same floor(x·10⁶) grid, same
     * subvector slices, same min(d·100+cid) argmin, same floor(sum/n)
     * Lloyd update, same dense renumber; ADC is the relational form
@@ -2421,6 +2470,7 @@ object PipelineOracles {
     "st45_stream_bloom" -> d37Sql,
     "m35_payload_chunkdup" -> m35Sql,
     "st40_stream_cluster_assign" -> st40Sql,
+    "st48_stream_centroid_update" -> st48Sql,
     "st43_stream_heavy_hitters" -> st43Sql,
     "p66_bpe_merges"   -> p66Sql,
     "p68_bpe_encode"   -> p68Sql,

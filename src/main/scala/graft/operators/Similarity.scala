@@ -275,7 +275,7 @@ object Similarity {
   private[graft] def packCentroids(cents: DataFrame): DataFrame =
     cents.agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
 
-  private def assignStep(pts: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignStep(pts: DataFrame, cents: DataFrame): DataFrame = {
     val packed = packCentroids(cents)
     pts.crossJoin(broadcast(packed))
       .withColumn("key", expr("graft_kmeans_argmin(q, cents)"))

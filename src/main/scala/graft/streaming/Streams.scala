@@ -656,4 +656,93 @@ object Streams {
     val daily = runToTable(spark, stream, "complete", "st47").graftCheckpoint()
     graft.operators.CoreQueries.q72Tail(daily)
   }
+
+  /** Shared st48 tail: merge standing-side sufficient statistics with
+    * the arriving per-(cid, pos) cell sums into the updated centroids
+    * and the per-cluster maintenance report — ONE definition consumed
+    * by the streaming leg and the spec's batch mirror, so continuous
+    * and batch cannot drift (the st43/st44/st45 device).
+    */
+  private[graft] def st48Tail(standingQ: DataFrame, model: DataFrame,
+      arrivingCells: DataFrame): DataFrame = {
+    import graft.operators.Similarity
+    val su0 = Similarity.assignStep(standingQ, model)
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("v")).as("s0"), count(lit(1)).as("n0"))
+    val oldc = model
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "old_i")))
+    oldc
+      .join(su0, Seq("cid", "pos"), "left")
+      .join(arrivingCells, Seq("cid", "pos"), "left")
+      .select(col("cid"), col("old_i"),
+        coalesce(col("s0"), lit(0L)).as("s0"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("n1"), lit(0L)).as("n1"))
+      .withColumn("new_i",
+        when(col("n0") + col("n1") === 0L, col("old_i"))
+          // floor(sum/count) on the integer grid — updateStep's exact
+          // arithmetic (sums stay far under 2^53, the double divide is
+          // exact enough for the floor both engines take identically)
+          .otherwise(floor((col("s0") + col("s1")).cast("double") /
+            (col("n0") + col("n1"))).cast("long")))
+      .groupBy("cid")
+      .agg(max(col("n0")).as("n_standing"), max(col("n1")).as("n_arrivals"),
+        sum((col("new_i") - col("old_i")) * (col("new_i") - col("old_i")))
+          .as("shift2"),
+        sum(col("new_i")).as("new_sum"))
+      .orderBy("cid")
+  }
+
+  /** Arriving-side per-(cid, pos) cell sums as a BATCH frame — the
+    * spec's mirror of what the stream accumulates. */
+  private[graft] def st48CellsOf(arriving: DataFrame,
+      packed: DataFrame): DataFrame =
+    arriving.join(packed, lit(true), "inner")
+      .withColumn("key", expr("graft_kmeans_argmin(q, cents)"))
+      .select((col("key") % 100).cast("int").as("cid"), col("q"))
+      .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum(col("v")).as("s1"), count(lit(1)).as("n1"))
+
+  /** st48: streaming MINI-BATCH centroid maintenance (the web-scale
+    * k-means deployment shape, Sculley WWW'10 — s30 trains offline,
+    * st40 routes arrivals, st48 keeps the MODEL fresh as data streams
+    * in): arriving embeddings (d27's `% 5` rule) are assigned to the
+    * standing model inside the stream (st40's packed-broadcast
+    * codegen'd argmin — one assignment definition) and accumulate
+    * per-(cluster, dimension) sufficient statistics — sum and count —
+    * in streaming aggregation state. Cell-wise ADDITION is the merge,
+    * so state is K·64 = 1024 cells REGARDLESS of stream volume (the
+    * st43/st45/st46 constant-state family, never per-entity). The
+    * drained cells meet the standing-side statistics in [[st48Tail]]:
+    * updated centroid = floor((standing_sum + arriving_sum) /
+    * (standing_n + arriving_n)) per dimension — exactly s30's Lloyd
+    * update arithmetic over the union of both populations — reported
+    * per cluster as (n_standing, n_arrivals, shift² of the centroid
+    * move, component-sum witness), all exact int64 on s30's grid.
+    * Clusters with no members anywhere keep their centroid (shift 0).
+    *
+    * The report is a function of the static model + arrival SET only
+    * (cell sums are order-independent), so the complete-mode replay is
+    * deterministic and the DuckDB oracle restates it batch-side.
+    */
+  def st48StreamCentroidUpdate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    val standing = Similarity.quantize(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 5 =!= 0))
+    val model = Similarity.kmeansModel(standing)
+    val packed = broadcast(Similarity.packCentroids(model))
+    val arriving = Similarity.quantize(
+      embeddingsStream(spark, dir).filter(col("vec_id") % 5 === 0))
+    val cells = st48CellsOf(arriving, packed)
+    // the tail joins the drained cells beside model/standing subtrees —
+    // checkpoint the 1024-cell relation off the memory sink (the
+    // st46/st47 analyzer finding; tiny by construction)
+    val drained = runToTable(spark, cells, "complete", "st48").graftCheckpoint()
+    st48Tail(standing, model, drained)
+  }
 }

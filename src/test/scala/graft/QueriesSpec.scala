@@ -1217,6 +1217,35 @@ class QueriesSpec extends AnyFunSuite {
       batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("st48 streaming centroid update equals the batch mirror; invariants hold") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val stream = graft.streaming.Streams.st48StreamCentroidUpdate(spark, dir)
+      .collect().toSeq.map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // batch mirror through the SAME shared tail, arriving read as batch
+    val standing = Similarity.quantize(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 5 =!= 0))
+    val model = Similarity.kmeansModel(standing)
+    val packed = broadcast(Similarity.packCentroids(model))
+    val arriving = Similarity.quantize(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 5 === 0))
+    val batch = graft.streaming.Streams.st48Tail(standing, model,
+        graft.streaming.Streams.st48CellsOf(arriving, packed))
+      .collect().toSeq.map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(stream === batch, "continuous report drifted from the batch mirror")
+    // arrivals are conserved across clusters; a populated cluster that
+    // received arrivals generally moves (non-vacuous: some shift > 0)
+    val nArr = arriving.count()
+    assert(stream.map(_._3).sum === nArr * 1L, "arrival conservation")
+    assert(stream.exists(_._4 > 0L), "no centroid moved — vacuous update")
+    assert(stream.map(_._2).sum === standing.count(),
+      "standing membership conservation")
+  }
+
   test("q65 approx agg: exact totals cover the table, estimates scale by 1/p, errors coherent") {
     val rows = graft.operators.CoreQueries.q65ApproxAgg(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -11,7 +11,7 @@ import sys, json
 # mechanism, streaming machinery
 EXCLUDE = {"q39_bucketed_join", "q43_partition_prune", "q58_bloom_prefilter",
            "q67_schema_evolution", "q71_zorder_layout", "q74_corrupt_ingest"} | {
-    f"st{n}_" for n in range(33, 48)}
+    f"st{n}_" for n in range(33, 49)}
 
 def is_excluded(k):
     return k in EXCLUDE or any(k.startswith(p) for p in EXCLUDE)
