@@ -34,6 +34,7 @@ object SparkEntry {
     "q19_asof_join"       -> (CoreQueries.q19AsofJoin _),
     "q20_histogram"       -> (CoreQueries.q20Histogram _),
     "q35_funnel"          -> (CoreQueries.q35Funnel _),
+    "q75_window_funnel"   -> (EventLog.q75WindowFunnel _),
     "q36_cohort"          -> (CoreQueries.q36Cohort _),
     "q41_rollup"          -> (CoreQueries.q41Rollup _),
     "q42_moving_avg"      -> (CoreQueries.q42MovingAvg _),

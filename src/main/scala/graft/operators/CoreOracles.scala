@@ -271,6 +271,50 @@ object CoreOracles {
         |       COUNT(*) AS n_items, ROUND(AVG(delay_days), 4) AS avg_delay
         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // q75 mirror: the existential form of the window-funnel — a user
+    // reaches level k iff ANY (t, event_id)-lex-ordered chain of the
+    // first k steps exists with every step inside the window anchored
+    // at the chain's first event. The Spark side's greedy fold computes
+    // exactly this predicate (latest-start dominance); the oracle spells
+    // out the exists-joins.
+    "q75_window_funnel" -> {
+      val T = graft.operators.EventLog.FunnelWindowUs
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), u0 AS (
+        |  SELECT DISTINCT user_id FROM e
+        |), l1 AS (
+        |  SELECT DISTINCT user_id FROM e WHERE event_type = 'view'
+        |), l2 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+        |    AND b.t - a.t <= ${T}
+        |), l3 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |            JOIN e c ON b.user_id = c.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'click'
+        |    AND c.event_type = 'purchase'
+        |    AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+        |    AND (c.t > b.t OR (c.t = b.t AND c.event_id > b.event_id))
+        |    AND c.t - a.t <= ${T}
+        |), nn AS (
+        |  SELECT (SELECT COUNT(*) FROM u0) AS n0, (SELECT COUNT(*) FROM l1) AS n1,
+        |         (SELECT COUNT(*) FROM l2) AS n2, (SELECT COUNT(*) FROM l3) AS n3
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS level, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
+        |         CAST(n1 * 10000 // n0 AS BIGINT) AS conv_pm FROM nn
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(n2 AS BIGINT), CAST(n2 * 10000 // n1 AS BIGINT) FROM nn
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT), CAST(n3 * 10000 // n2 AS BIGINT) FROM nn
+        |) ORDER BY level""".stripMargin
+    },
+
     "q35_funnel" ->
       """WITH f AS (
         |  SELECT user_id,

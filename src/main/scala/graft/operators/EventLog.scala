@@ -257,4 +257,87 @@ object EventLog {
         expr("n_obs * 10000 DIV out_total").as("share_out_pm"),
         expr("gap_sum DIV n_obs DIV 1000000").as("mean_gap_s"))
       .orderBy("from_act", "to_act")
+
+  /** q75 funnel step sequence and window. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+  val FunnelWindowUs: Long = 7L * 86400L * 1000000L
+
+  /** Rule core over any (user_id, event_id, event_type, ts-micros `t`)
+    * frame — property tests drive random layouts (including exact
+    * timestamp ties) through the production fold. Returns one row per
+    * user with the max funnel level reached. */
+  private[graft] def q75LevelsCore(ev: DataFrame): DataFrame = {
+    val T = FunnelWindowUs
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .withColumn("st", expr(s"""
+        aggregate(evs, array(CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
+          (acc, e) -> CASE
+            WHEN e.event_type = '${FunnelSteps(0)}'
+              THEN array(greatest(acc[0], e.t), acc[1], acc[2])
+            WHEN e.event_type = '${FunnelSteps(1)}' AND acc[0] >= 0 AND e.t - acc[0] <= ${T}L
+              THEN array(acc[0], greatest(acc[1], acc[0]), acc[2])
+            WHEN e.event_type = '${FunnelSteps(2)}' AND acc[1] >= 0 AND e.t - acc[1] <= ${T}L
+              THEN array(acc[0], acc[1], greatest(acc[2], acc[1]))
+            ELSE acc
+          END)"""))
+      .select(col("user_id"),
+        when(col("st").getItem(2) >= 0L, 3L)
+          .when(col("st").getItem(1) >= 0L, 2L)
+          .when(col("st").getItem(0) >= 0L, 1L)
+          .otherwise(0L).as("level"))
+  }
+
+  /** q75: WINDOW FUNNEL — the per-user ordered-sequence match every
+    * product-analytics engine ships as a primitive (ClickHouse
+    * `windowFunnel`, Snowplow/Amplitude funnels): the deepest prefix of
+    * the step sequence view → click → purchase completed by EACH user
+    * with all steps inside a [[FunnelWindowUs]] window anchored at the
+    * chain's FIRST event, steps strictly ordered by (ts, event_id).
+    * Distinct from q35, which counts stage events and inter-stage
+    * timing globally — q75 answers "how many USERS completed step k as
+    * a sequence", the funnel chart number.
+    *
+    * Semantics are existential (does ANY qualifying chain exist?), and
+    * the per-user fold computes that exactly by greedy dominance: scan
+    * events in (ts, event_id) order keeping, per level, the LATEST
+    * possible chain-start time — a later start can extend wherever an
+    * earlier one can (the window anchors at the start and the scan
+    * order IS the chain order), so one value per level suffices. Chain
+    * order is (ts, event_id) lexicographic, making ties well-defined
+    * and the fold deterministic cross-engine; all arithmetic is exact
+    * int64 micros.
+    *
+    * 100 TB posture: ONE user-keyed exchange; the fold is linear per
+    * user over a bounded per-user event array (the ClickHouse
+    * implementation shape) — an interpreted HOF on the |users| grain,
+    * not the event grain (the t38 caveat does not bind: the array
+    * collapse happens in the aggregation, the lambda runs once per
+    * user). The report tail aggregates |users| rows to 3 funnel rows
+    * map-side.
+    */
+  def q75WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin(FunnelSteps: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+    val levels = q75LevelsCore(ev)
+    val agg = levels.agg(
+      count(lit(1)).as("n0"),
+      sum((col("level") >= 1L).cast("long")).as("n1"),
+      sum((col("level") >= 2L).cast("long")).as("n2"),
+      sum((col("level") >= 3L).cast("long")).as("n3"))
+    agg.select(explode(array(
+        struct(lit(1L).as("level"), lit(FunnelSteps(0)).as("step"),
+          col("n1").as("n_users"), expr("n1 * 10000 DIV n0").as("conv_pm")),
+        struct(lit(2L).as("level"), lit(FunnelSteps(1)).as("step"),
+          col("n2").as("n_users"), expr("n2 * 10000 DIV n1").as("conv_pm")),
+        struct(lit(3L).as("level"), lit(FunnelSteps(2)).as("step"),
+          col("n3").as("n_users"), expr("n3 * 10000 DIV n2").as("conv_pm"))))
+        .as("r"))
+      .select(col("r.level").as("level"), col("r.step").as("step"),
+        col("r.n_users").as("n_users"), col("r.conv_pm").as("conv_pm"))
+      .orderBy("level")
+  }
 }

@@ -217,6 +217,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q75 window-funnel fold matches brute-force exists on random layouts with ties") {
+    // random per-user event layouts with a SMALL timestamp domain so
+    // exact ties (same t, different types) actually occur — the fold's
+    // (t, event_id) lex chain order must agree with the reference's
+    // explicit exists-over-triples under ties
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.EventLog
+    val T = EventLog.FunnelWindowUs
+    val types = Vector("view", "click", "purchase", "signup")
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { trial =>
+      val events = (0 until 40).flatMap { uid =>
+        (0 until rnd.nextInt(12)).map { _ =>
+          // timestamps cluster near T so the window constraint bites
+          val t = rnd.nextInt(20).toLong * (T / 10)
+          (uid.toLong, t, rnd.nextLong().abs % 1000000, types(rnd.nextInt(4)))
+        }
+      }.zipWithIndex.map { case ((u, t, _, ty), i) => (u, t, i.toLong, ty) }
+      def ref(evs: Seq[(Long, Long, String)]): Long = {
+        // evs = (t, event_id, type); chains lex-ordered, window vs start
+        val s = evs.sortBy(e => (e._1, e._2))
+        def lex(a: (Long, Long, String), b: (Long, Long, String)) =
+          a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+        val views = s.filter(_._3 == "view")
+        val clicks = s.filter(_._3 == "click")
+        val purchases = s.filter(_._3 == "purchase")
+        val l3 = views.exists(a => clicks.exists(b => purchases.exists(c =>
+          lex(a, b) && lex(b, c) && c._1 - a._1 <= T)))
+        val l2 = views.exists(a => clicks.exists(b =>
+          lex(a, b) && b._1 - a._1 <= T))
+        if (l3) 3L else if (l2) 2L else if (views.nonEmpty) 1L else 0L
+      }
+      val df = events.toDF("user_id", "t", "event_id", "event_type")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+      val got = EventLog.q75LevelsCore(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byUser = events.filter(e => e._4 != "signup")
+        .groupBy(_._1).map { case (u, es) =>
+          u -> ref(es.map(e => (e._2, e._3, e._4)))
+        }
+      byUser.foreach { case (u, want) =>
+        assert(got.getOrElse(u, 0L) === want, s"trial $trial user $u")
+      }
+    }
+  }
+
   test("connected components match in-memory union-find on random graphs") {
     // Random sparse graphs: long paths (worst case for plain min-label
     // propagation — exercises the pointer-jump acceleration), cliques,
