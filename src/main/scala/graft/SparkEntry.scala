@@ -89,6 +89,7 @@ object SparkEntry {
     "s37_rrf_fusion"      -> (Similarity.s37RrfFusion _),
     "s38_mmr"             -> (Similarity.s38Mmr _),
     "p62_balanced_sample" -> (Pipeline.p62BalancedSample _),
+    "t43_ccnet_buckets"   -> (TextAnalysis.t43CcnetBuckets _),
     "t36_lm_score"        -> (TextAnalysis.t36LmScore _),
     "t37_cms_freq"        -> (TextAnalysis.t37CmsFreq _),
     "t38_langid_eval"     -> (TextAnalysis.t38LangidEval _),

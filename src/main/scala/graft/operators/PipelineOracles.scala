@@ -472,7 +472,10 @@ object PipelineOracles {
   /** t36 mirror: the same integer conditional-probability arithmetic —
     * c12·10⁶ // c1 per distinct (doc,bigram), occurrence-weighted mean
     * by integer division. No floats anywhere, so no libm/order issues. */
-  private val t36Sql: String =
+  /** t36's score chain, ending in `scores(doc_id, n_bigrams,
+    * lm_score_ppm)` — shared verbatim by t36 and t43 (one scoring
+    * definition, like the Spark side's [[TextAnalysis.t36Scores]]). */
+  private val t36ScoreCtes: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words
       |  FROM documents
@@ -494,10 +497,45 @@ object PipelineOracles {
       |  FROM dbg
       |), s2 AS (
       |  SELECT doc_id, n, (c12 * 1000000) // c1 AS s_ppm FROM sc
+      |), scores AS (
+      |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(n * s_ppm) // SUM(n) AS BIGINT) AS lm_score_ppm
+      |  FROM s2 GROUP BY doc_id
+      |)""".stripMargin
+
+  private val t36Sql: String =
+    s"""$t36ScoreCtes
+      |SELECT doc_id, n_bigrams, lm_score_ppm FROM scores ORDER BY doc_id""".stripMargin
+
+  // t43 mirror: the shared score chain + per-source interpolated
+  // terciles (quantile_cont ≡ Spark percentile, the q10 device; 1/3
+  // computed as an IEEE double from integer operands on both engines)
+  // + the bucket CASE and the |sources|·3 rollup
+  private val t43Sql: String =
+    s"""$t36ScoreCtes, j AS (
+      |  SELECT s.doc_id, d.source, s.n_bigrams, s.lm_score_ppm
+      |  FROM scores s JOIN documents d USING (doc_id)
+      |), th AS (
+      |  SELECT source,
+      |         quantile_cont(lm_score_ppm, CAST(1 AS DOUBLE) / 3) AS q13,
+      |         quantile_cont(lm_score_ppm, CAST(2 AS DOUBLE) / 3) AS q23
+      |  FROM j GROUP BY source
+      |), b AS (
+      |  SELECT j.source,
+      |         CASE WHEN j.lm_score_ppm >= th.q23 THEN 'head'
+      |              WHEN j.lm_score_ppm >= th.q13 THEN 'middle'
+      |              ELSE 'tail' END AS bucket,
+      |         j.n_bigrams, j.lm_score_ppm
+      |  FROM j JOIN th USING (source)
+      |), g AS (
+      |  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(lm_score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+      |  FROM b GROUP BY 1, 2
       |)
-      |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
-      |       CAST(SUM(n * s_ppm) // SUM(n) AS BIGINT) AS lm_score_ppm
-      |FROM s2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |SELECT source, bucket, n_docs, n_bigrams, mean_score_ppm,
+      |       CAST(n_docs * 10000 // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_pm
+      |FROM g ORDER BY source, bucket""".stripMargin
 
   /** m35 mirror: DuckDB cannot slice blobs (the m33/m34 device), so the
     * chunk fingerprint is ph over the SAME uppercase-hex slice the
@@ -2458,6 +2496,7 @@ object PipelineOracles {
     "s31_silhouette"   -> s31Sql,
     "p62_balanced_sample" -> p62Sql,
     "t36_lm_score"     -> t36Sql,
+    "t43_ccnet_buckets" -> t43Sql,
     "t37_cms_freq"     -> t37Sql,
     "t38_langid_eval"  -> t38Sql,
     "t39_drift"        -> t39Sql,

@@ -380,9 +380,15 @@ object TextAnalysis {
     * side; no lambda in the hot path (bigram explode is
     * slice+arrays_zip, codegen-friendly).
     */
-  def t36LmScore(spark: SparkSession, dir: String): DataFrame = {
+  def t36LmScore(spark: SparkSession, dir: String): DataFrame =
+    t36Scores(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** t36's per-doc score core — (doc_id, n_bigrams, lm_score_ppm) for
+    * every doc with >= 2 words; shared with t43's bucket split (one
+    * scoring definition, the withPredLang discipline). */
+  private[graft] def t36Scores(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
       .filter(size(col("words")) >= 2)
       .withColumn("w1arr", expr("slice(words, 1, size(words) - 1)"))
@@ -404,7 +410,6 @@ object TextAnalysis {
         sum(col("n") * col("s_ppm")).as("tot"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("tot DIV n_bigrams").as("lm_score_ppm"))
-      .orderBy("doc_id")
   }
 
   /** t38: language-ID evaluation — the confusion matrix for t28's
@@ -758,5 +763,62 @@ object TextAnalysis {
       .filter(col("rnk") <= depth)
       .select("query_id", "rnk", "neighbor_id", "n_terms_hit", "score")
       .orderBy("query_id", "rnk")
+  }
+
+  /** t43: CCNet head/middle/tail perplexity bucketing (Wenzek
+    * arXiv:1911.00359 §4.3 — the published CCNet pipeline splits each
+    * language's corpus into three equal-mass quality buckets by LM
+    * perplexity and trains preferentially on the "head"; the bucket
+    * table is the artifact the pipeline publishes). Here the LM signal
+    * is t36's self-trained bigram score ([[t36Scores]] — ONE scoring
+    * definition, higher score = lower perplexity = better), bucketed
+    * per SOURCE by its own score terciles: head = top third, middle,
+    * tail. Thresholds are exact interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the q10 parity device; the
+    * 1/3 and 2/3 fractions are computed as IEEE doubles from integer
+    * division on BOTH engines, so thresholds and every >= comparison
+    * agree bit-for-bit). Report per (source, bucket): docs, bigram
+    * mass, floor-mean score, share permyriad.
+    *
+    * 100 TB posture: scoring is t36's plan (pre-aggregated bigram
+    * grain, no corpus-sized model join); the tercile pass is one
+    * map-side-combined aggregate to the |sources| grain broadcast
+    * back; the report rides the same |sources|·3 grain. At CCNet
+    * scale the percentile would be q51's mergeable-histogram sketch —
+    * exact terciles serve the oracle gate here.
+    */
+  def t43CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scores = t36Scores(Tables.documents(spark, dir))
+    val j = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(scores, Seq("doc_id"))
+    // materialize the |docs|-row scored frame ONCE: a second
+    // aggregation branch over the t36 chain re-derives the whole
+    // bigram-window plan (two consumers, column pruning breaks
+    // canonical identity — the t41 dfx trap), and percentile as an
+    // unbounded WINDOW re-evaluates (sorting its value buffer) once per
+    // ROW. The checkpoint evaluates the chain once with every column
+    // live — unlike t36's own count()-shaped bench plan, whose model
+    // windows Catalyst PRUNES (they do not change the row count; the
+    // r9 measurement-truth note in BASELINE.md) — so t43's wall time is
+    // the honest full-chain cost, not a regression vs t36
+    val jc = graft.Checkpoints.of(j)
+    val th = jc.groupBy("source")
+      .agg(expr("percentile(lm_score_ppm, array(CAST(1 AS DOUBLE) / 3, CAST(2 AS DOUBLE) / 3))").as("qs"))
+      .select(col("source"), col("qs").getItem(0).as("q13"),
+        col("qs").getItem(1).as("q23"))
+    jc.join(broadcast(th), Seq("source"))
+      .withColumn("bucket",
+        when(col("lm_score_ppm") >= col("q23"), "head")
+          .when(col("lm_score_ppm") >= col("q13"), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        expr("sum(lm_score_ppm) DIV count(1)").as("mean_score_ppm"))
+      .withColumn("share_pm", expr(
+        "n_docs * 10000 DIV sum(n_docs) OVER (PARTITION BY source)"))
+      .select("source", "bucket", "n_docs", "n_bigrams", "mean_score_ppm",
+        "share_pm")
+      .orderBy("source", "bucket")
   }
 }

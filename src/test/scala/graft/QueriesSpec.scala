@@ -814,6 +814,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t43 buckets are per-source terciles consistent with t36 scores") {
+    val rows = graft.operators.TextAnalysis.t43CcnetBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val scores = graft.operators.TextAnalysis.t36LmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    rows.groupBy(_._1).foreach { case (src, bs) =>
+      val byB = bs.map(b => b._2 -> b).toMap
+      // all three buckets present, shares sum to ~10000 and sit near a
+      // third each (integer-DIV floor loses at most 2 pm total)
+      assert(byB.keySet === Set("head", "middle", "tail"), s"$src buckets")
+      val shares = bs.map(_._5)
+      assert(shares.sum >= 9998L && shares.sum <= 10000L, s"$src shares sum")
+      shares.foreach(p => assert(p >= 2500L && p <= 4500L,
+        s"$src share $p outside the loose tercile band"))
+      // quality ordering: head mean >= middle mean >= tail mean
+      assert(byB("head")._4 >= byB("middle")._4 && byB("middle")._4 >= byB("tail")._4,
+        s"$src bucket means out of order")
+    }
+    // doc accounting matches t36's scoreable population
+    assert(rows.map(_._3).sum === scores.length.toLong)
+  }
+
   test("p60 vocab ranks are contiguous, counts nonincreasing, coverage monotone <= 10000") {
     val rows = graft.operators.Pipeline.p60VocabBuild(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= graft.operators.Pipeline.VocabTopK)
