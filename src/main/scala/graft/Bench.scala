@@ -34,11 +34,23 @@ object Bench {
     // keeps the sweep's steady state honest at ~100 ms/query of
     // untimed cost.
     def sweep(): Unit = { System.gc(); Thread.sleep(50) }
+    // SPARK_GRAFT_BENCH_MODE=noop forces FULL evaluation of every output
+    // column via the noop sink: count() lets Catalyst prune operators
+    // that cannot change the row count (windows, projections — t36's
+    // model-window chain vanished entirely; the r9 measurement-truth
+    // note in BASELINE.md), while the DuckDB baseline always computes
+    // the full SELECT. The default stays count() for protocol
+    // comparability with every prior round's records; switch to noop
+    // when an honest absolute number matters more than comparability.
+    val evalFully = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("noop")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (evalFully) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
     def pass(): Map[String, Either[String, Double]] =
       queries.map { case (name, fn) =>
         sweep()
         val t0 = System.nanoTime()
-        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        val r = try { run(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
             Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
         name -> r
