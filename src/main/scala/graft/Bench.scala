@@ -14,11 +14,6 @@ object Bench {
     // the driver never sets it, so driver runs always cover everything.
     // Empty/unknown keys fail fast instead of benching nothing (ADVICE r4).
     val queries = SparkEntry.resolveOnly(sys.env.get("SPARK_GRAFT_ONLY"))
-    // warmup pass: JIT + codegen caches + file listing, so measured times
-    // reflect steady-state execution rather than first-query JVM warmup
-    queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
     // min of two timed passes per query: single-run numbers carry
     // multi-second GC noise at this heap size. A query that THROWS is
     // recorded as a failure (-1 + errors entry), never as the wall time
@@ -34,18 +29,25 @@ object Bench {
     // keeps the sweep's steady state honest at ~100 ms/query of
     // untimed cost.
     def sweep(): Unit = { System.gc(); Thread.sleep(50) }
-    // SPARK_GRAFT_BENCH_MODE=noop forces FULL evaluation of every output
-    // column via the noop sink: count() lets Catalyst prune operators
-    // that cannot change the row count (windows, projections — t36's
-    // model-window chain vanished entirely; the r9 measurement-truth
-    // note in BASELINE.md), while the DuckDB baseline always computes
-    // the full SELECT. The default stays count() for protocol
-    // comparability with every prior round's records; switch to noop
-    // when an honest absolute number matters more than comparability.
-    val evalFully = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("noop")
+    // HEADLINE PROTOCOL (r10+): noop sink — FULL evaluation of every
+    // output column. count() lets Catalyst prune operators that cannot
+    // change the row count (windows, projections — t36's model-window
+    // chain vanished entirely; the r9 measurement-truth note in
+    // BASELINE.md), while the DuckDB baseline always computes the full
+    // SELECT, so count-mode numbers flattered window/projection-tailed
+    // plans. SPARK_GRAFT_BENCH_MODE=count restores the r1–r9 protocol
+    // when a comparison against those historical records is needed.
+    val evalFully = !sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (evalFully) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }
+    // warmup pass: JIT + codegen caches + file listing, so measured times
+    // reflect steady-state execution rather than first-query JVM warmup.
+    // Uses the SAME evaluation shape as the timed passes so the warmed
+    // codegen classes are the ones the measurement runs.
+    queries.foreach { case (_, fn) =>
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+    }
     def pass(): Map[String, Either[String, Double]] =
       queries.map { case (name, fn) =>
         sweep()

@@ -25,22 +25,41 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   /** Session conf key: when set (non-empty), iterative operators use
     * reliable `checkpoint()` into this directory instead of
-    * `localCheckpoint()`. */
+    * `localCheckpoint()`.
+    *
+    * Cleanup: Spark only deletes reliable checkpoint files when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set at
+    * CONTEXT CREATION (it is read once by ContextCleaner). Long
+    * multi-round runs (q46 up to maxIters materializations per query,
+    * d26 label propagation, p66 BPE) otherwise accumulate unbounded
+    * files under the dir — set the cleaner conf in the same
+    * SparkSession.builder that sets this one, or point the dir at a
+    * storage location with a TTL/lifecycle rule (ADVICE r9).
+    */
   val DirConf = "spark.graft.checkpoint.dir"
 
   private def reliableDir(df: DataFrame): Option[String] =
     df.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty)
+
+  // The dir most recently passed to setCheckpointDir on a context, by
+  // context identity. Substring-matching getCheckpointDir against the
+  // conf value is wrong twice over (ADVICE r9): setCheckpointDir
+  // appends a per-context UUID subdir, so a conf change from a subdir
+  // to its PARENT still "contains"-matches and the stale dir wins; and
+  // the conf is session-scoped while setCheckpointDir is
+  // SparkContext-global, so two sessions racing one context need a
+  // single serialized decision point.
+  private val lastSet =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
 
   /** Eagerly materialize `df` and truncate its lineage, in the mode the
     * session conf selects. */
   def of(df: DataFrame): DataFrame = reliableDir(df) match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      // setCheckpointDir creates a unique subdirectory per context; only
-      // (re)set it when unset or pointed elsewhere so repeated calls in
-      // one session reuse the same location.
-      if (!sc.getCheckpointDir.exists(_.contains(dir)))
-        sc.setCheckpointDir(dir)
+      lastSet.synchronized {
+        if (lastSet.get(sc) != dir) { sc.setCheckpointDir(dir); lastSet.put(sc, dir) }
+      }
       df.checkpoint()
     case None => df.localCheckpoint()
   }

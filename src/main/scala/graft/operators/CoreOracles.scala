@@ -307,11 +307,11 @@ object CoreOracles {
         |)
         |SELECT * FROM (
         |  SELECT 1 AS level, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
-        |         CAST(n1 * 10000 // n0 AS BIGINT) AS conv_pm FROM nn
+        |         CAST(n1 * 10000 // NULLIF(n0, 0) AS BIGINT) AS conv_pm FROM nn
         |  UNION ALL
-        |  SELECT 2, 'click', CAST(n2 AS BIGINT), CAST(n2 * 10000 // n1 AS BIGINT) FROM nn
+        |  SELECT 2, 'click', CAST(n2 AS BIGINT), CAST(n2 * 10000 // NULLIF(n1, 0) AS BIGINT) FROM nn
         |  UNION ALL
-        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT), CAST(n3 * 10000 // n2 AS BIGINT) FROM nn
+        |  SELECT 3, 'purchase', CAST(n3 AS BIGINT), CAST(n3 * 10000 // NULLIF(n2, 0) AS BIGINT) FROM nn
         |) ORDER BY level""".stripMargin
     },
 

@@ -328,13 +328,17 @@ object EventLog {
       sum((col("level") >= 1L).cast("long")).as("n1"),
       sum((col("level") >= 2L).cast("long")).as("n2"),
       sum((col("level") >= 3L).cast("long")).as("n3"))
+    // conv ratios NULLIF-guarded on both sides: on a corpus where a
+    // funnel level is empty, Spark's DIV and DuckDB's // disagree on the
+    // error/NULL behavior — the guard makes both deterministically NULL
+    // (ADVICE r9).
     agg.select(explode(array(
         struct(lit(1L).as("level"), lit(FunnelSteps(0)).as("step"),
-          col("n1").as("n_users"), expr("n1 * 10000 DIV n0").as("conv_pm")),
+          col("n1").as("n_users"), expr("n1 * 10000 DIV nullif(n0, 0)").as("conv_pm")),
         struct(lit(2L).as("level"), lit(FunnelSteps(1)).as("step"),
-          col("n2").as("n_users"), expr("n2 * 10000 DIV n1").as("conv_pm")),
+          col("n2").as("n_users"), expr("n2 * 10000 DIV nullif(n1, 0)").as("conv_pm")),
         struct(lit(3L).as("level"), lit(FunnelSteps(2)).as("step"),
-          col("n3").as("n_users"), expr("n3 * 10000 DIV n2").as("conv_pm"))))
+          col("n3").as("n_users"), expr("n3 * 10000 DIV nullif(n2, 0)").as("conv_pm"))))
         .as("r"))
       .select(col("r.level").as("level"), col("r.step").as("step"),
         col("r.n_users").as("n_users"), col("r.conv_pm").as("conv_pm"))

@@ -893,7 +893,12 @@ object Pipeline {
             substring(col("text"), lit(1), (length(col("text")) / 2).cast("int")))
           .otherwise(col("text"))).as("h_old"))
       .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 6)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+        // ghost keys use a NEGATIVE sentinel (-doc_id - 1), which is
+        // out-of-domain at ANY corpus size — a fixed positive offset
+        // collides with real doc_ids once the corpus exceeds it and the
+        // duplicate keys fan out the full-outer join (ADVICE r9; the
+        // q46 sentinel precedent).
+        .select((-col("doc_id") - 1L).as("doc_id"), col("source"),
           md5(col("text")).as("h_old")))
     val newSnap = docs
       .select(col("doc_id"), col("source").as("source_new"),

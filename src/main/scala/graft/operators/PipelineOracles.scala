@@ -223,7 +223,7 @@ object PipelineOracles {
       |                  ELSE text END) AS h_old
       |  FROM documents WHERE doc_id % 7 <> 3
       |  UNION ALL
-      |  SELECT doc_id + 10000000 AS doc_id, source, md5(text) AS h_old
+      |  SELECT -doc_id - 1 AS doc_id, source, md5(text) AS h_old
       |  FROM documents WHERE doc_id % 7 = 6
       |), n AS (
       |  SELECT doc_id, source AS source_new, md5(text) AS h_new FROM documents

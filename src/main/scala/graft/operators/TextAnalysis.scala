@@ -372,12 +372,19 @@ object TextAnalysis {
     * thresholding behave the same.
     *
     * 100 TB posture: one corpus scan → (doc,w1,w2) pre-aggregate
-    * (map-side combined); corpus bigram totals and left-context totals
-    * ride two window passes over that SAME grain (bigram- and
-    * unigram-keyed exchanges — vocabulary²-bounded rows, no join
-    * builds, no broadcast of a corpus-sized model); final per-doc
-    * rollup is a fourth partial-aggregated exchange. Nothing driver-
-    * side; no lambda in the hot path (bigram explode is
+    * (map-side combined, the ONE corpus-sized exchange — ReuseExchange
+    * collapses its two consumers); the MODEL collapses to the
+    * bigram-TYPE grain (vocabulary²-bounded — 9.3k types on the sf1
+    * corpus) and BROADCASTS back onto the per-doc grain, exactly
+    * CCNet's deployment shape (the trained KenLM model ships to every
+    * worker; Wenzek §3). The r9 form ran the totals as two
+    * differently-keyed WINDOW passes over the corpus-sized grain —
+    * two extra full sort+exchanges that the model-grain aggregate +
+    * broadcast replace (measured 4.5 s of t43's 5.05 s at sf1). If a
+    * corpus ever outgrows a broadcastable bigram model, drop the hint
+    * and the same plan degrades to one (w1,w2)-keyed shuffle join —
+    * semantics unchanged. Final per-doc rollup is partial-aggregated.
+    * Nothing driver-side; no lambda in the hot path (bigram explode is
     * slice+arrays_zip, codegen-friendly).
     */
   def t36LmScore(spark: SparkSession, dir: String): DataFrame =
@@ -387,7 +394,6 @@ object TextAnalysis {
     * every doc with >= 2 words; shared with t43's bucket split (one
     * scoring definition, the withPredLang discipline). */
   private[graft] def t36Scores(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = documents
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
       .filter(size(col("words")) >= 2)
@@ -399,13 +405,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("z.w1arr").as("w1"), col("z.w2arr").as("w2"))
       .groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).as("n"))
-    // model totals ride windows over the SAME pre-aggregated grain —
-    // no corpus-sized model build, no join
-    val scored = dbg
-      .withColumn("c12", sum("n").over(Window.partitionBy("w1", "w2")))
-      .withColumn("c1", sum("n").over(Window.partitionBy("w1")))
-      .withColumn("s_ppm", expr("c12 * 1000000 DIV c1"))
-    scored.groupBy("doc_id")
+    // model totals aggregate to the bigram-TYPE grain and broadcast
+    // back — both aggregation branches contain the identical dbg
+    // exchange, so ReuseExchange scans the corpus once
+    val bg = dbg.groupBy("w1", "w2").agg(sum("n").as("c12"))
+    val model = bg
+      .join(broadcast(bg.groupBy("w1").agg(sum("c12").as("c1"))), Seq("w1"))
+      .select(col("w1"), col("w2"), expr("c12 * 1000000 DIV c1").as("s_ppm"))
+    dbg.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("n") * col("s_ppm")).as("tot"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -781,7 +789,7 @@ object TextAnalysis {
     * mass, floor-mean score, share permyriad.
     *
     * 100 TB posture: scoring is t36's plan (pre-aggregated bigram
-    * grain, no corpus-sized model join); the tercile pass is one
+    * grain, broadcast bigram-LM model); the tercile pass is one
     * map-side-combined aggregate to the |sources| grain broadcast
     * back; the report rides the same |sources|·3 grain. At CCNet
     * scale the percentile would be q51's mergeable-histogram sketch —
