@@ -29,6 +29,31 @@ object TextHash {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** Per-thread memo for [[phCached]]: token domains are Zipfian, so
+    * the same few thousand strings are hashed millions of times — the
+    * memo turns ~all md5 invocations into one hash-map probe. Bounded
+    * by clear-on-full (keeps the steady state hot for any Zipf-shaped
+    * domain while capping memory at ~3 MB/thread); keys are cloned on
+    * insert because an ArrayData's UTF8Strings may view a buffer whose
+    * lifetime ends with the row. */
+  private val PhMemoMax = 1 << 16
+  private val phMemo = ThreadLocal.withInitial[java.util.HashMap[UTF8String, java.lang.Long]](
+    () => new java.util.HashMap[UTF8String, java.lang.Long](PhMemoMax * 2))
+
+  /** [[ph]] of a UTF8String through the per-thread memo — identical
+    * result, amortized O(1) md5s on Zipf-shaped domains. */
+  def phCached(s: UTF8String): Long = {
+    val m = phMemo.get()
+    val v = m.get(s)
+    if (v != null) v.longValue()
+    else {
+      val h = ph(s.getBytes)
+      if (m.size >= PhMemoMax) m.clear()
+      m.put(s.clone(), java.lang.Long.valueOf(h))
+      h
+    }
+  }
+
   /** ph(s): first 15 hex chars of md5 as long (matches PortableHash.ph). */
   def ph(bytes: Array[Byte]): Long = {
     val md = md5Local.get()
@@ -179,6 +204,82 @@ object TextHash {
         words.getUTF8String(i + 1))
       out(n + i) = ph(s.getBytes) % B
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** t36's per-document bigram pre-aggregate, computed in ONE pass:
+    * (w1, w2, n) structs, one per DISTINCT adjacent-word pair, n = its
+    * occurrence count in this document, first-occurrence order. The
+    * declarative form (slice ×2 → arrays_zip → explode → partial
+    * HashAggregate over the occurrence stream) materializes two
+    * near-full array copies plus a struct per occurrence and hashes
+    * every occurrence row — measured 4.6 s of t36's 5.6 s at sf1; this
+    * kernel walks the words array once with a per-doc hash map.
+    * Emitted w1/w2 reference the input array's strings (fresh per row
+    * from split()); the space-joined key exists only inside the map.
+    */
+  def bigramCountsData(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // key "w1 w2" → [first w1 index, count]
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+    var i = 0
+    while (i + 1 < n) {
+      val key = UTF8String.concat(words.getUTF8String(i), Space,
+        words.getUTF8String(i + 1))
+      val e = m.get(key)
+      if (e == null) m.put(key, Array(i, 1)) else e(1) += 1
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.values().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(words.getUTF8String(e(0)),
+        words.getUTF8String(e(0) + 1), e(1).toLong)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** p69's per-document hashed-feature pre-aggregate: (f, c) structs,
+    * one per OCCUPIED bucket, ascending f — exactly
+    * groupBy(doc, f).count over [[featHashesData]]'s explode, computed
+    * against a fixed long[DsirBuckets] histogram instead of shuffling
+    * the per-occurrence feature stream (the bucket domain is a
+    * compile-time constant, so the histogram is allocation-bounded
+    * regardless of document size).
+    */
+  def featCountsData(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val B = PortableHash.DsirBuckets.toInt
+    val hist = new Array[Long](B)
+    var occupied = 0
+    var i = 0
+    while (i < n) {
+      val b = (phCached(words.getUTF8String(i)) % B).toInt
+      if (hist(b) == 0L) occupied += 1
+      hist(b) += 1L
+      i += 1
+    }
+    i = 0
+    while (i + 1 < n) {
+      val s = UTF8String.concat(words.getUTF8String(i), Space,
+        words.getUTF8String(i + 1))
+      val b = (phCached(s) % B).toInt
+      if (hist(b) == 0L) occupied += 1
+      hist(b) += 1L
+      i += 1
+    }
+    val out = new Array[Any](occupied)
+    var k = 0
+    var b = 0
+    while (b < B) {
+      if (hist(b) != 0L) { out(k) = InternalRow(b.toLong, hist(b)); k += 1 }
+      b += 1
     }
     new GenericArrayData(out)
   }
@@ -493,6 +594,37 @@ case class FeatHashes(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.featHashesData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): FeatHashes = copy(child = c)
+}
+
+/** bigram_counts(array<string>) → array<struct<w1,w2,n>>: per-document
+  * distinct-bigram counts — see [[TextHash.bigramCountsData]].
+  */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bigram_counts"
+  override def staticMethod: String = "bigramCountsData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.bigramCountsData(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): BigramCounts = copy(child = c)
+}
+
+/** feat_counts(array<string>) → array<struct<f,c>>: p69's per-document
+  * occupied-bucket histogram — see [[TextHash.featCountsData]].
+  */
+case class FeatCounts(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("f", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_feat_counts"
+  override def staticMethod: String = "featCountsData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.featCountsData(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): FeatCounts = copy(child = c)
 }
 
 /** chunk_fps(binary) → array<bigint>: m35's per-payload chunk

@@ -519,6 +519,10 @@ object GraftFunctions {
       "graft_hash_vec", exprs => HashVec(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_feat_hashes", exprs => FeatHashes(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigram_counts", exprs => BigramCounts(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_feat_counts", exprs => FeatCounts(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

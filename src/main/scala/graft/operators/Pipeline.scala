@@ -777,16 +777,22 @@ object Pipeline {
   private[graft] def p69DsirCore(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val B = DsirBuckets
-    // all 2n−1 feature buckets fold inside the codegen'd kernel — ONE
-    // pass per doc, fixed-width longs into the explode (the first cut's
-    // arrays_zip + double explode shuffled string intermediates and
-    // measured 6.8 s at sf1; the kernel form runs the same md5s in a
-    // primitive loop)
-    val feats = documents
+    // the whole per-doc (feature, count) pre-aggregate folds inside the
+    // codegen'd graft_feat_counts kernel — ONE pass per doc against a
+    // fixed 1024-slot histogram (the first cut's arrays_zip + double
+    // explode shuffled string intermediates and measured 6.8 s at sf1;
+    // the r9 form exploded per-occurrence bucket longs and exchanged
+    // the corpus-sized (doc, f) grain to aggregate them — the kernel
+    // removes that exchange entirely, the t36 device)
+    // materialized ONCE (the t43 checkpoint device): the bucket-total
+    // branch and the scoring join would otherwise each re-run the
+    // scan+split+kernel pass — feats has no exchange for ReuseExchange
+    // to collapse
+    val feats = graft.Checkpoints.of(documents
       .select(col("doc_id"), explode(expr(
-        "graft_feat_hashes(split(coalesce(text, ''), ' '))")).as("f"))
-      .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
-      .withColumn("is_target", col("doc_id") % 13 === 0)
+        "graft_feat_counts(split(coalesce(text, ''), ' '))")).as("fc"))
+      .select(col("doc_id"), col("fc.f").as("f"), col("fc.c").as("c"))
+      .withColumn("is_target", col("doc_id") % 13 === 0))
     val bt = feats.groupBy("f").agg(
       sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_f"),
       sum(when(!col("is_target"), col("c")).otherwise(0L)).as("r_f"))
@@ -808,7 +814,11 @@ object Pipeline {
         // relative noise vs a 5e-7 quantum, ~1e-9 odds per doc
         // (ADVICE r8: acknowledged repo-wide float device; the same
         // exposure as t36/t40/t41's rounded scores, gating a binary
-        // selection here).
+        // selection here). MEASURED margin (r10): the closest doc to
+        // λ=0 sits at |log_ratio| = 1.76e-1 / 2.3e-2 / 4.2e-5 / 7e-6
+        // at sf0.001/0.01/0.1/1 — 14+ rounding quanta from the
+        // boundary at every gate SF, so no doc's verdict can flip from
+        // summation-order noise on these corpora.
         (col("log_ratio") >= 0).cast("int").as("selected"))
       .orderBy("doc_id")
   }

@@ -371,21 +371,21 @@ object TextAnalysis {
     * probability scale (ppm) replaces the log scale; ranking and
     * thresholding behave the same.
     *
-    * 100 TB posture: one corpus scan → (doc,w1,w2) pre-aggregate
-    * (map-side combined, the ONE corpus-sized exchange — ReuseExchange
-    * collapses its two consumers); the MODEL collapses to the
-    * bigram-TYPE grain (vocabulary²-bounded — 9.3k types on the sf1
-    * corpus) and BROADCASTS back onto the per-doc grain, exactly
+    * 100 TB posture: the per-doc bigram pre-aggregate is computed by
+    * the codegen'd graft_bigram_counts kernel in one pass per document
+    * — NO per-occurrence rows in the plan and NO corpus-sized exchange
+    * anywhere (the r9 form exchanged the (doc,w1,w2) grain and ran the
+    * model totals as two differently-keyed window sort+exchanges over
+    * it — measured 4.6 s of t36's 5.6 s at sf1). The MODEL collapses
+    * to the bigram-TYPE grain (vocabulary²-bounded — 9.3k types on the
+    * sf1 corpus) and BROADCASTS back onto the per-doc grain, exactly
     * CCNet's deployment shape (the trained KenLM model ships to every
-    * worker; Wenzek §3). The r9 form ran the totals as two
-    * differently-keyed WINDOW passes over the corpus-sized grain —
-    * two extra full sort+exchanges that the model-grain aggregate +
-    * broadcast replace (measured 4.5 s of t43's 5.05 s at sf1). If a
-    * corpus ever outgrows a broadcastable bigram model, drop the hint
-    * and the same plan degrades to one (w1,w2)-keyed shuffle join —
-    * semantics unchanged. Final per-doc rollup is partial-aggregated.
-    * Nothing driver-side; no lambda in the hot path (bigram explode is
-    * slice+arrays_zip, codegen-friendly).
+    * worker; Wenzek §3); the corpus is scanned twice (train pass,
+    * score pass) — CCNet's own two-pass structure. If a corpus ever
+    * outgrows a broadcastable bigram model, drop the hint and the same
+    * plan degrades to one (w1,w2)-keyed shuffle join — semantics
+    * unchanged. Final per-doc rollup is partial-aggregated to the
+    * |docs| grain.
     */
   def t36LmScore(spark: SparkSession, dir: String): DataFrame =
     t36Scores(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -394,20 +394,25 @@ object TextAnalysis {
     * every doc with >= 2 words; shared with t43's bucket split (one
     * scoring definition, the withPredLang discipline). */
   private[graft] def t36Scores(documents: DataFrame): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
-      .filter(size(col("words")) >= 2)
-      .withColumn("w1arr", expr("slice(words, 1, size(words) - 1)"))
-      .withColumn("w2arr", expr("slice(words, 2, size(words) - 1)"))
-    // (doc, w1, w2, n): each distinct bigram once per doc with its count
-    val dbg = docs
-      .select(col("doc_id"), explode(arrays_zip(col("w1arr"), col("w2arr"))).as("z"))
-      .select(col("doc_id"), col("z.w1arr").as("w1"), col("z.w2arr").as("w2"))
-      .groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("n"))
-    // model totals aggregate to the bigram-TYPE grain and broadcast
-    // back — both aggregation branches contain the identical dbg
-    // exchange, so ReuseExchange scans the corpus once
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // (doc, w1, w2, n): each distinct bigram once per doc with its
+    // count — the graft_bigram_counts kernel computes the whole per-doc
+    // pre-aggregate in one pass (a doc with < 2 words emits an empty
+    // array and vanishes at the explode, the old size >= 2 filter), so
+    // the plan never carries per-occurrence rows and never exchanges
+    // the corpus at all
+    // the model branch and the scoring join each re-run the
+    // scan+split+kernel pass (two corpus scans — CCNet's own
+    // train-then-score structure); measured AGAINST a checkpoint of
+    // dbg at sf1: two-scan 2.65 s vs ckpt 3.0 s — the string-bearing
+    // pre-aggregate costs more to materialize than the second
+    // kernel pass (p69's all-long equivalent goes the other way)
+    val dbg = documents
+      .select(col("doc_id"), explode(expr(
+        "graft_bigram_counts(split(coalesce(text, ''), ' '))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.n").as("n"))
+    // model totals aggregate to the bigram-TYPE grain and broadcast back
     val bg = dbg.groupBy("w1", "w2").agg(sum("n").as("c12"))
     val model = bg
       .join(broadcast(bg.groupBy("w1").agg(sum("c12").as("c1"))), Seq("w1"))

@@ -257,15 +257,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in kmeans:\n$p")
   }
 
-  test("t36 lm model totals are windows over one pre-aggregated grain (no model join)") {
+  test("t36 lm: kernel pre-aggregate, broadcast model, no corpus exchange") {
     val p = planString(operators.TextAnalysis.t36LmScore(spark, dir))
-    // the bigram/left-context totals must NOT materialize a model table
-    // and join it back — at 100 TB that join's build side is the corpus
-    // bigram vocabulary; windows over the (doc,w1,w2) grain keep it a
-    // streaming pass per key
-    assert(!p.contains("Join"), s"model joined instead of windowed:\n$p")
+    // the per-doc bigram pre-aggregate is the graft_bigram_counts
+    // kernel (one pass per doc — the r9 slice/zip/explode/groupBy form
+    // exchanged the corpus-sized (doc,w1,w2) grain and ran two window
+    // sort+exchanges over it, 4.6 s of t36's 5.6 s at sf1)
+    assert(p.contains("graft_bigram_counts"),
+      s"bigram pre-aggregate not the native kernel:\n$p")
+    assert(!p.contains("Window"), s"model totals re-grew a window pass:\n$p")
+    // the model attaches by BROADCAST (CCNet's ship-the-LM shape); any
+    // sort-merge join here means a corpus-sized grain is shuffling
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
+    // two corpus scans (train pass + score pass — measured cheaper than
+    // materializing the string-bearing pre-aggregate), never more
     val scans = "Scan parquet".r.findAllMatchIn(p).length
-    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+    assert(scans <= 2, s"expected ≤2 corpus scans, got $scans:\n$p")
   }
 
   test("m35 pair generation is join-free: one scan, grain agg, bounded explode") {
