@@ -208,6 +208,39 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** t34's per-document repetition statistics in ONE pass:
+    * (n_words, n_distinct, top_bigram_n, n_bigrams). The declarative
+    * form materialized the bigram array (transform over sequence),
+    * array_sort'ed it (O(L log L) comparisons on freshly-concatenated
+    * strings) and ran an interpreted `aggregate` fold over the sorted
+    * copy — three interpreted HOFs per document on the corpus grain
+    * (the t38 lesson; measured 8.9 s of t34's sf1 noop time). Here:
+    * distinct words via one hash set, the dominant bigram via one
+    * bigram-count map (the [[bigramCountsData]] walk, max instead of
+    * emit). Caller guarantees n ≥ 2 (t34 filters `size(words) >= 2`);
+    * n < 2 returns zero bigrams and the caller's DIV guard handles it.
+    */
+  def repStatsData(words: ArrayData): InternalRow = {
+    val n = words.numElements()
+    val distinct = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) { distinct.add(words.getUTF8String(i)); i += 1 }
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    var best = 0
+    i = 0
+    while (i + 1 < n) {
+      val key = UTF8String.concat(words.getUTF8String(i), Space,
+        words.getUTF8String(i + 1))
+      var e = m.get(key)
+      if (e == null) { e = Array(0); m.put(key, e) }
+      e(0) += 1
+      if (e(0) > best) best = e(0)
+      i += 1
+    }
+    InternalRow(n.toLong, distinct.size.toLong, best.toLong,
+      (if (n < 2) 0 else n - 1).toLong)
+  }
+
   /** t36's per-document bigram pre-aggregate, computed in ONE pass:
     * (w1, w2, n) structs, one per DISTINCT adjacent-word pair, n = its
     * occurrence count in this document, first-occurrence order. The
@@ -610,6 +643,24 @@ case class BigramCounts(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.bigramCountsData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): BigramCounts = copy(child = c)
+}
+
+/** rep_stats(array<string>) → struct<n_words,n_distinct,top_bigram_n,
+  * n_bigrams>: t34's per-document repetition statistics — see
+  * [[TextHash.repStatsData]].
+  */
+case class RepStats(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+  override def prettyName: String = "graft_rep_stats"
+  override def staticMethod: String = "repStatsData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.repStatsData(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): RepStats = copy(child = c)
 }
 
 /** feat_counts(array<string>) → array<struct<f,c>>: p69's per-document

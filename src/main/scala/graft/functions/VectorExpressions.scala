@@ -523,6 +523,8 @@ object GraftFunctions {
       "graft_bigram_counts", exprs => BigramCounts(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_feat_counts", exprs => FeatCounts(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rep_stats", exprs => RepStats(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

@@ -33,9 +33,14 @@ import graft.Tables
 object Linking {
 
   def q54MergeDisambiguation(spark: SparkSession, dir: String): DataFrame = {
+    // collect_set dedups within the group, so the (l_orderkey, p_brand)
+    // grain needs NO distinct first — the r9 shape paid a second
+    // corpus-sized exchange (distinct on the pair, then re-shuffle on
+    // l_orderkey alone) to pre-deduplicate what the set aggregate
+    // already dedups, with partial collect_set combining map-side
     val cats = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .select(col("l_orderkey"), col("p_brand"))
       .groupBy("l_orderkey").agg(collect_set(col("p_brand")).as("cats"))
     val apps = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),

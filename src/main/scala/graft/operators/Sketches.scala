@@ -36,16 +36,23 @@ object Sketches {
     */
   def q51QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val binned = Tables.lineitem(spark, dir)
+    def binned = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
       .withColumn("bin", floor(col("v") / QBinWidth).cast("long"))
+    // the per-(flag, bin) histogram serves BOTH halves: the sketch
+    // reads quantiles off it by interpolation, and the exact side uses
+    // it to locate the bins holding the target ranks. Checkpointed
+    // (tiny: |flags|·|bins| rows) so the two consumers don't each
+    // re-scan lineitem for it.
+    val hist = graft.Checkpoints.of(
+      binned.groupBy("flag", "bin").agg(count(lit(1)).as("cnt")))
     val wOrd = Window.partitionBy("flag").orderBy("bin")
-    val cum = binned.groupBy("flag", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist
       .withColumn("cum", sum(col("cnt")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy("flag")))
-    // quantile q: first bin whose cumulative count reaches q·n, then
-    // interpolate within the bin
+    // sketch quantile q: first bin whose cumulative count reaches q·n,
+    // then interpolate within the bin
     def sketch(q: Double, name: String): DataFrame = {
       val wPick = Window.partitionBy("flag").orderBy("bin")
       cum.withColumn("target", lit(q) * col("n").cast("double"))
@@ -57,10 +64,57 @@ object Sketches {
             (col("target") - (col("cum") - col("cnt")).cast("double")) /
             col("cnt").cast("double"), 4).as(name))
     }
-    val exact = binned.groupBy("flag").agg(
-      count(lit(1)).as("n_rows"),
-      round(expr("percentile(v, 0.5)"), 4).as("p50_exact"),
-      round(expr("percentile(v, 0.95)"), 4).as("p95_exact"))
+    // EXACT quantiles by histogram refinement — the distributed exact-
+    // quantile shape that replaces `percentile()`'s per-group value
+    // collection (Spark's percentile gathers EVERY group value into one
+    // aggregation buffer — the row-domain collection a 100 TB group
+    // cannot hold, and 6.8 s of this operator's sf1 time): the
+    // histogram (already built for the sketch) locates, per quantile,
+    // the one bin holding each needed order statistic; only rows of
+    // those ≤4 bins per flag are re-read, sorted within their tiny
+    // bin, and read off at the in-bin offset. Interpolation is
+    // percentile()'s own formula — lo + (hi − lo)·frac at position
+    // q·(n−1) — so the result (and the DuckDB quantile_cont oracle
+    // match) is bit-identical to the collected form.
+    val ranksNeeded = cum
+      .select(col("flag"), col("bin"), (col("cum") - col("cnt")).as("cum_before"),
+        col("cum"), col("n"))
+      .withColumn("q", explode(array(lit(0.5), lit(0.95))))
+      .withColumn("pos", col("q") * (col("n") - 1L).cast("double"))
+      .withColumn("lo_rank", floor(col("pos")).cast("long"))
+      // hi_rank only differs when a fractional part exists; capped at
+      // n−1 so q=1.0-style edges stay in-domain
+      .withColumn("hi_rank", least(col("lo_rank") + 1L, col("n") - 1L))
+      .withColumn("which", explode(array(lit("lo"), lit("hi"))))
+      .withColumn("rank",
+        when(col("which") === "lo", col("lo_rank")).otherwise(col("hi_rank")))
+      .filter(col("rank") >= col("cum_before") && col("rank") < col("cum"))
+      .select(col("flag"), col("bin"), col("q"), col("which"),
+        (col("rank") - col("cum_before")).as("offset"), col("pos"), col("lo_rank"))
+    // rows of the needed bins only: a broadcast semi-join keeps ~|bin|
+    // rows per (flag, quantile, side) — the refinement scan shuffles
+    // thousands of rows, never the corpus
+    val needBins = ranksNeeded.select("flag", "bin").distinct()
+    val binVals = binned
+      .join(broadcast(needBins), Seq("flag", "bin"), "left_semi")
+      .groupBy("flag", "bin")
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+    val exactQ = ranksNeeded
+      .join(binVals, Seq("flag", "bin"))
+      .withColumn("value", element_at(col("vs"), (col("offset") + 1L).cast("int")))
+      .groupBy("flag", "q")
+      .agg(
+        max(when(col("which") === "lo", col("value"))).as("lo_v"),
+        max(when(col("which") === "hi", col("value"))).as("hi_v"),
+        max(col("pos")).as("pos"), max(col("lo_rank")).as("lo_rank"))
+      .withColumn("exact_v", round(
+        col("lo_v") + (col("hi_v") - col("lo_v")) *
+          (col("pos") - col("lo_rank").cast("double")), 4))
+    val exact = hist.groupBy("flag").agg(sum(col("cnt")).as("n_rows"))
+      .join(exactQ.groupBy("flag").agg(
+          max(when(col("q") === 0.5, col("exact_v"))).as("p50_exact"),
+          max(when(col("q") === 0.95, col("exact_v"))).as("p95_exact")),
+        Seq("flag"))
     exact
       .join(sketch(0.5, "p50_sketch"), Seq("flag"))
       .join(sketch(0.95, "p95_sketch"), Seq("flag"))

@@ -262,29 +262,28 @@ object TextAnalysis {
     * Every signal is WITHIN-document, so the whole operator is a per-row
     * projection — zero shuffles (an explode + doc_id-keyed groupBy
     * formulation paid two exchanges to compute what each row already
-    * holds). The top-bigram count is the longest run in the SORTED
-    * bigram array, computed by one `aggregate` fold; per-doc cost is
-    * O(L log L), bounded by document length, embarrassingly parallel —
-    * the ideal 100 TB shape. Docs with <2 words have no bigrams and are
-    * excluded on both engines by the same predicate.
+    * holds). All four counts fold inside the codegen'd
+    * `graft_rep_stats` kernel — ONE walk of the token array with a
+    * hash set (distinct words) and a bigram-count map (dominant
+    * bigram). The first cut materialized + array_sort'ed the bigram
+    * array and ran an interpreted `aggregate` fold over it — three
+    * interpreted HOFs per document on the corpus grain (the t38
+    * lesson; 8.9 s → kernel at sf1 under full evaluation). Per-doc
+    * cost is O(L), bounded by document length, embarrassingly
+    * parallel — the ideal 100 TB shape. Docs with <2 words have no
+    * bigrams and are excluded on both engines by the same predicate.
     */
   def t34Repetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 2)
-      .withColumn("bs", expr(
-        "array_sort(transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1])))"))
+      .withColumn("rs", expr("graft_rep_stats(words)"))
       .select(col("doc_id"),
-        size(col("words")).cast("long").as("n_words"),
-        size(array_distinct(col("words"))).cast("long").as("n_distinct"),
-        expr("""aggregate(bs,
-             named_struct('prev', '', 'run', 0L, 'best', 0L),
-             (s, x) -> named_struct(
-               'prev', x,
-               'run', IF(x = s.prev, s.run + 1L, 1L),
-               'best', GREATEST(s.best, IF(x = s.prev, s.run + 1L, 1L))),
-             s -> s.best)""").as("top_bigram_n"),
-        size(col("bs")).cast("long").as("n_bigrams"))
+        col("rs.n_words").as("n_words"),
+        col("rs.n_distinct").as("n_distinct"),
+        col("rs.top_bigram_n").as("top_bigram_n"),
+        col("rs.n_bigrams").as("n_bigrams"))
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         expr("(n_words - n_distinct) * 10000 DIV n_words").as("dup_word_pm"),
         expr("top_bigram_n * 10000 DIV n_bigrams").as("top_bigram_pm"))
