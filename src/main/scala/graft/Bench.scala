@@ -37,7 +37,16 @@ object Bench {
     // SELECT, so count-mode numbers flattered window/projection-tailed
     // plans. SPARK_GRAFT_BENCH_MODE=count restores the r1–r9 protocol
     // when a comparison against those historical records is needed.
-    val evalFully = !sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("count")
+    // Fail fast on unknown modes (ADVICE r10): a typo'd value must not
+    // silently select a protocol — historical comparisons under a
+    // mis-spelled 'count' would be incomparable without warning, the
+    // same hazard SPARK_GRAFT_ONLY already guards against.
+    val evalFully = sys.env.get("SPARK_GRAFT_BENCH_MODE") match {
+      case None | Some("noop") => true
+      case Some("count")       => false
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_BENCH_MODE='$other' is not a protocol; use unset/'noop' (full evaluation) or 'count' (r1-r9 historical)")
+    }
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (evalFully) df.write.format("noop").mode("overwrite").save()
       else { df.count(); () }

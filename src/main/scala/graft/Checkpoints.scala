@@ -41,16 +41,21 @@ object Checkpoints {
   private def reliableDir(df: DataFrame): Option[String] =
     df.sparkSession.conf.getOption(DirConf).filter(_.nonEmpty)
 
-  // The dir most recently passed to setCheckpointDir on a context, by
-  // context identity. Substring-matching getCheckpointDir against the
-  // conf value is wrong twice over (ADVICE r9): setCheckpointDir
-  // appends a per-context UUID subdir, so a conf change from a subdir
-  // to its PARENT still "contains"-matches and the stale dir wins; and
-  // the conf is session-scoped while setCheckpointDir is
+  // Per-context record of the last setCheckpointDir call WE made:
+  // (the dir we passed, the UUID'd dir the context resolved it to).
+  // Substring-matching getCheckpointDir against the conf value alone is
+  // wrong twice over (ADVICE r9): setCheckpointDir appends a
+  // per-context UUID subdir, so a conf change from a subdir to its
+  // PARENT still "contains"-matches and the stale dir wins; and the
+  // conf is session-scoped while setCheckpointDir is
   // SparkContext-global, so two sessions racing one context need a
-  // single serialized decision point.
+  // single serialized decision point. WeakHashMap (ADVICE r10): a
+  // strong-keyed static map pins stopped SparkContexts forever in
+  // long-lived JVMs that create many contexts; weak keys let a context
+  // (and its entry) collect once the application drops it. All access
+  // is under the map's own lock, which also serializes the decision.
   private val lastSet =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, (String, Option[String])]()
 
   /** Eagerly materialize `df` and truncate its lineage, in the mode the
     * session conf selects. */
@@ -58,7 +63,18 @@ object Checkpoints {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
       lastSet.synchronized {
-        if (lastSet.get(sc) != dir) { sc.setCheckpointDir(dir); lastSet.put(sc, dir) }
+        // Re-set when the conf changed OR when something outside this
+        // object called sc.setCheckpointDir directly since our last set
+        // (ADVICE r10): otherwise the external dir silently receives
+        // subsequent checkpoints while we believe ours is active.
+        val unchanged = lastSet.get(sc) match {
+          case (d, resolved) => d == dir && resolved == sc.getCheckpointDir
+          case null          => false
+        }
+        if (!unchanged) {
+          sc.setCheckpointDir(dir)
+          lastSet.put(sc, (dir, sc.getCheckpointDir))
+        }
       }
       df.checkpoint()
     case None => df.localCheckpoint()

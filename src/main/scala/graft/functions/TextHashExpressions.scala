@@ -249,8 +249,12 @@ object TextHash {
     * near-full array copies plus a struct per occurrence and hashes
     * every occurrence row — measured 4.6 s of t36's 5.6 s at sf1; this
     * kernel walks the words array once with a per-doc hash map.
-    * Emitted w1/w2 reference the input array's strings (fresh per row
-    * from split()); the space-joined key exists only inside the map.
+    * Emitted w1/w2 are CLONED off the input array (ADVICE r10):
+    * `graft_bigram_counts` is registered as a general SQL function, and
+    * an unsafe-backed input array may view a buffer the scan reuses
+    * across rows — un-copied views would silently corrupt if the output
+    * were buffered. The copy cost is bounded: one clone per DISTINCT
+    * bigram, never per occurrence.
     */
   def bigramCountsData(words: ArrayData): ArrayData = {
     val n = words.numElements()
@@ -270,8 +274,8 @@ object TextHash {
     var k = 0
     while (it.hasNext) {
       val e = it.next()
-      out(k) = InternalRow(words.getUTF8String(e(0)),
-        words.getUTF8String(e(0) + 1), e(1).toLong)
+      out(k) = InternalRow(words.getUTF8String(e(0)).clone(),
+        words.getUTF8String(e(0) + 1).clone(), e(1).toLong)
       k += 1
     }
     new GenericArrayData(out)
@@ -313,6 +317,79 @@ object TextHash {
     while (b < B) {
       if (hist(b) != 0L) { out(k) = InternalRow(b.toLong, hist(b)); k += 1 }
       b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-thread memo for [[tfInData]]'s term set: the terms argument
+    * rides a broadcast 1-row cross join, so every row of a partition
+    * carries the same term array. Reuse is validated by FULL BYTE
+    * COMPARISON against a copied snapshot of the unsafe array region —
+    * never by reference or buffer identity, because a reused scan
+    * buffer can present the same (base, offset) with NEW content (the
+    * bigramCountsData buffer rule, applied to an input). memcmp on a
+    * few-KB region is ~µs/row; a set rebuild is the fallback, so a
+    * non-broadcast terms column is correct, merely slower. */
+  private val tfMemo = new ThreadLocal[(Array[Byte], java.util.HashSet[UTF8String])]
+
+  private def termsSet(terms: ArrayData): java.util.HashSet[UTF8String] = {
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.unsafe.array.ByteArrayMethods
+    terms match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        val size = u.getSizeInBytes
+        val memo = tfMemo.get()
+        if (memo != null && memo._1.length == size &&
+            ByteArrayMethods.arrayEquals(memo._1, Platform.BYTE_ARRAY_OFFSET,
+              u.getBaseObject, u.getBaseOffset, size.toLong)) {
+          memo._2
+        } else {
+          val snap = new Array[Byte](size)
+          Platform.copyMemory(u.getBaseObject, u.getBaseOffset,
+            snap, Platform.BYTE_ARRAY_OFFSET, size.toLong)
+          val set = new java.util.HashSet[UTF8String](u.numElements() * 2)
+          var j = 0
+          while (j < u.numElements()) { set.add(u.getUTF8String(j).clone()); j += 1 }
+          tfMemo.set((snap, set))
+          set
+        }
+      case other =>
+        val set = new java.util.HashSet[UTF8String](other.numElements() * 2)
+        var j = 0
+        while (j < other.numElements()) { set.add(other.getUTF8String(j).clone()); j += 1 }
+        set
+    }
+  }
+
+  /** t41's postings probe computed per document in ONE pass (r11):
+    * (token, tf) structs for tokens present in `terms` ONLY, first-
+    * occurrence order. Replaces explode-every-token → broadcast semi
+    * filter → per-occurrence HashAggregate: non-query tokens never
+    * leave the expression, and matching tokens emit PRE-COUNTED — the
+    * exchange after this carries |postings of query terms| rows that
+    * were never individually hashed by an aggregate. Emitted tokens are
+    * cloned (the bigramCountsData output-buffer rule).
+    */
+  def tfInData(words: ArrayData, terms: ArrayData): ArrayData = {
+    val set = termsSet(terms)
+    val n = words.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (set.contains(w)) {
+        val e = m.get(w)
+        if (e == null) m.put(w.clone(), Array(1L)) else e(0) += 1L
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (k < out.length) {
+      val e = it.next()
+      out(k) = InternalRow(e.getKey, e.getValue()(0))
+      k += 1
     }
     new GenericArrayData(out)
   }
@@ -643,6 +720,40 @@ case class BigramCounts(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.bigramCountsData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): BigramCounts = copy(child = c)
+}
+
+/** tf_in(array<string>, array<string>) → array<struct<token,tf>>:
+  * per-document term frequencies restricted to the given term set —
+  * see [[TextHash.tfInData]]. The terms side is expected to ride a
+  * broadcast 1-row cross join (per-partition set reuse is then
+  * validated by byte comparison); any other shape stays correct.
+  */
+case class TfIn(child: Expression, termsExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = termsExpr
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, termsExpr.dataType) match {
+      // containsNull rejected on both sides: a null token would NPE in
+      // the set probe/insert
+      case (ArrayType(StringType, false), ArrayType(StringType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (t1, t2) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_tf_in expects (array<string>, array<string>) without nulls, " +
+            s"got (${t1.sql}, ${t2.sql})")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_tf_in"
+  override def nullSafeEval(words: Any, terms: Any): Any =
+    TextHash.tfInData(words.asInstanceOf[ArrayData], terms.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHash.tfInData($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TfIn = copy(child = l, termsExpr = r)
 }
 
 /** rep_stats(array<string>) → struct<n_words,n_distinct,top_bigram_n,

@@ -525,6 +525,8 @@ object GraftFunctions {
       "graft_feat_counts", exprs => FeatCounts(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rep_stats", exprs => RepStats(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tf_in", exprs => TfIn(exprs(0), exprs(1)), "scala_udf")
     registered.add(spark)
   }
 }

@@ -174,22 +174,63 @@ object CoreQueries {
     * Mirrors scratch/other/pending-nods.R: quantile(days_pending,
     * .5/.75/.95) per RO of open NODs. Interpolated percentiles ≡ DuckDB
     * quantile_cont.
+    *
+    * Exact quantiles WITHOUT `percentile()` (VERDICT r10 #2): Spark's
+    * percentile is a TypedImperativeAggregate that collects every group
+    * value into one aggregation buffer — the row-domain collection a
+    * 100 TB group cannot hold. days_pending is integer-valued with a
+    * BOUNDED domain (days between two dates in the data's window,
+    * ~2.5k distinct), so a value-grain histogram IS the complete
+    * distribution: one map-side-combinable aggregation to the
+    * (nation × day) grain, then the order statistics are read off the
+    * per-group cumulative counts and interpolated with percentile()'s
+    * own formula — lo + (hi − lo)·frac at position q·(n−1) — so the
+    * result is bit-identical to the collected form (values are exact
+    * integers; q51's refinement device, degenerate one-level case).
     */
   def q10Quantiles(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = to_timestamp(lit("2002-01-01 00:00:00"))
     val days = datediff(cutoff.cast("date"), col("o_orderdate").cast("date"))
-    Tables.orders(spark, dir)
+    val grid = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "O")
       .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
-      .withColumn("days_pending", days.cast("double"))
-      .groupBy("n_name")
+      .groupBy(col("n_name"), days.cast("long").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      // tiny (|nations|·|days| rows); checkpointed so the quantile
+      // branch and the n_open branch don't each re-scan orders
+      .graftCheckpoint()
+    val wOrd = Window.partitionBy("n_name").orderBy("d")
+    val cum = grid
+      .withColumn("cum", sum(col("cnt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("n_name")))
+    // per (group, quantile): ranks lo=⌊q(n−1)⌋ and hi=min(lo+1, n−1);
+    // a grid row serves rank r when cum−cnt ≤ r < cum
+    val picked = cum
+      .withColumn("q", explode(array(lit(0.5), lit(0.75), lit(0.95))))
+      .withColumn("pos", col("q") * (col("n") - 1L).cast("double"))
+      .withColumn("lo_rank", floor(col("pos")).cast("long"))
+      .withColumn("hi_rank", least(col("lo_rank") + 1L, col("n") - 1L))
+      .withColumn("which", explode(array(lit("lo"), lit("hi"))))
+      .withColumn("rank",
+        when(col("which") === "lo", col("lo_rank")).otherwise(col("hi_rank")))
+      .filter(col("rank") >= col("cum") - col("cnt") && col("rank") < col("cum"))
+      .groupBy("n_name", "q")
       .agg(
-        count(lit(1)).as("n_open"),
-        round(expr("percentile(days_pending, 0.5)"), 4).as("p50_days"),
-        round(expr("percentile(days_pending, 0.75)"), 4).as("p75_days"),
-        round(expr("percentile(days_pending, 0.95)"), 4).as("p95_days"))
+        max(when(col("which") === "lo", col("d"))).cast("double").as("lo_v"),
+        max(when(col("which") === "hi", col("d"))).cast("double").as("hi_v"),
+        max(col("pos")).as("pos"), max(col("lo_rank")).as("lo_rank"))
+      .withColumn("v", round(
+        col("lo_v") + (col("hi_v") - col("lo_v")) *
+          (col("pos") - col("lo_rank").cast("double")), 4))
+    grid.groupBy("n_name").agg(sum(col("cnt")).as("n_open"))
+      .join(picked.groupBy("n_name").agg(
+          max(when(col("q") === 0.5, col("v"))).as("p50_days"),
+          max(when(col("q") === 0.75, col("v"))).as("p75_days"),
+          max(when(col("q") === 0.95, col("v"))).as("p95_days")),
+        Seq("n_name"))
       .orderBy("n_name")
   }
 
@@ -227,22 +268,35 @@ object CoreQueries {
     * so a final d=n step yields 0 instead of engine-specific ln(0).
     */
   def q12Survival(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(spark, dir)
-    val comp = Tables.lineitem(spark, dir)
-      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
-    // SHUFFLE_HASH: the family convention for this 1:1 completion join
-    // (q50/q63/q64). Measured NEUTRAL here at sf1 (1.29 vs 1.30 s —
-    // the post-join aggregate collapses to the day grain either way);
-    // kept because SMJ's two fact-grain sorts are the avoidable cost
-    // as the fact side outgrows the sort buffer.
-    val obs = orders.join(comp.hint("SHUFFLE_HASH"),
-        col("o_orderkey") === col("l_orderkey"), "left")
+    // ONE-EXCHANGE subject assembly (r11, shared with q53): the prior
+    // shape aggregated lineitem to per-order max(shipdate) and
+    // SHUFFLE_HASH-joined orders onto it — two corpus exchanges plus a
+    // subject-grain hash table. Union-aggregate instead: slim order
+    // rows and slim lineitem rows stack on the shared key and per-column
+    // max reconstructs (birth, status, completed) in ONE hash
+    // aggregation; lineitem partials combine ~4:1 map-side before the
+    // single orderkey exchange. Orders without lineitems keep a null
+    // completed — the left-join semantics.
+    val oside = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      col("o_orderdate").cast("date").as("birth"),
+      col("o_orderstatus").as("status"),
+      lit(null).cast("date").as("ship"))
+    val lside = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("k"),
+      lit(null).cast("date").as("birth"),
+      lit(null).cast("string").as("status"),
+      col("l_shipdate").cast("date").as("ship"))
+    val obs = oside.unionByName(lside)
+      .groupBy("k").agg(
+        max(col("birth")).as("birth"),
+        max(col("status")).as("status"),
+        max(col("ship")).as("completed"))
       .select(
-        when(col("o_orderstatus") === "F",
-          datediff(col("completed").cast("date"), col("o_orderdate").cast("date")))
-          .otherwise(datediff(lit("2002-06-01").cast("date"), col("o_orderdate").cast("date")))
+        when(col("status") === "F", datediff(col("completed"), col("birth")))
+          .otherwise(datediff(lit("2002-06-01").cast("date"), col("birth")))
           .cast("long").as("t_days"),
-        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("event"))
+        when(col("status") === "F", 1L).otherwise(0L).as("event"))
       .filter(col("t_days").isNotNull)
     val byT = obs.groupBy("t_days")
       .agg(sum(col("event")).as("n_events"),

@@ -245,8 +245,24 @@ object EventLog {
     * n_cases a plain count. The final grain is |activities+2|²; the
     * share window runs there, never on events. */
   private[graft] def aggregateEdges(edges: DataFrame): DataFrame =
-    edges.groupBy("user_id", "session_num", "from_act", "to_act")
-      .agg(count(lit(1)).as("n_in_case"), sum(col("gap_us")).as("g"))
+    edgeReport(edges.groupBy("user_id", "session_num", "from_act", "to_act")
+      .agg(count(lit(1)).as("n_in_case"), sum(col("gap_us")).as("g")))
+
+  /** st42's entry: the stream's state function emits per-(session,
+    * edge-type) COUNTS (n, gap_us_sum) rather than one row per event —
+    * ~|acts|² rows per session instead of |events|, so the micro-batch
+    * emission and the memory-sink collection shrink ~30× (r11; the
+    * dominant st42 cost at sf1 was serializing and collecting 1M typed
+    * edge rows). Level 1 sums the pre-counts (merging across
+    * micro-batches); the report tail is [[edgeReport]] — ONE definition
+    * with the batch path, so stream ≡ batch stays structural.
+    */
+  private[graft] def aggregateEdgeCounts(pre: DataFrame): DataFrame =
+    edgeReport(pre.groupBy("user_id", "session_num", "from_act", "to_act")
+      .agg(sum(col("n")).as("n_in_case"), sum(col("gap_us_sum")).as("g")))
+
+  private def edgeReport(level1: DataFrame): DataFrame =
+    level1
       .groupBy("from_act", "to_act")
       .agg(sum(col("n_in_case")).as("n_obs"),
         count(lit(1)).as("n_cases"),

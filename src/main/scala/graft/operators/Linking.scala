@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.Ops
 import graft.Tables
 
 /** q54: set-intersection merge disambiguation — the reference's most
@@ -48,6 +49,14 @@ object Linking {
       .join(cats, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
         col("yr"), coalesce(col("cats"), array()).as("cats"))
+      // materialized ONCE before the self-join (r11): disambiguate's
+      // child and parent sides both read `apps`, and exchange reuse
+      // across the two join inputs is canonical-identity-fragile — an
+      // un-reused plan recomputes the lineitem⋈part set-build and the
+      // orders join TWICE (the corpus-sized half of q54's sf1 time).
+      // ~|orders| rows with small brand-set arrays; reliable-checkpoint
+      // semantics via the session conf as everywhere else.
+      .graftCheckpoint()
     disambiguate(apps)
   }
 

@@ -91,17 +91,34 @@ object Sketches {
       .filter(col("rank") >= col("cum_before") && col("rank") < col("cum"))
       .select(col("flag"), col("bin"), col("q"), col("which"),
         (col("rank") - col("cum_before")).as("offset"), col("pos"), col("lo_rank"))
-    // rows of the needed bins only: a broadcast semi-join keeps ~|bin|
-    // rows per (flag, quantile, side) — the refinement scan shuffles
-    // thousands of rows, never the corpus
+    // SECOND-LEVEL refinement inside the needed bins only (ADVICE r10:
+    // the previous sort_array(collect_list) here still collected every
+    // row of a needed bin into one buffer — O(corpus/|bins|) growth, and
+    // element_at's int cast would overflow past 2^31 elements). Instead:
+    // a VALUE-GRAIN sub-histogram. l_extendedprice is cents-quantized,
+    // so a width-100 bin holds ≤ 10,000 distinct values at ANY corpus
+    // size — per-(flag,bin,v) counts are an aggregation (map-side
+    // combinable, bounded output), and the order statistic is read off
+    // the within-bin cumulative count. No per-row collection anywhere.
+    // For a truly continuous value domain the same device recurses
+    // (re-bin the located bin at width/K until the bin's distinct-value
+    // count is bounded); one level suffices for every quantized-domain
+    // column in this schema. Offsets/cumulative counts stay long
+    // end-to-end — nothing casts to int.
     val needBins = ranksNeeded.select("flag", "bin").distinct()
+    val wBin = Window.partitionBy("flag", "bin").orderBy("v")
     val binVals = binned
       .join(broadcast(needBins), Seq("flag", "bin"), "left_semi")
-      .groupBy("flag", "bin")
-      .agg(sort_array(collect_list(col("v"))).as("vs"))
-    val exactQ = ranksNeeded
+      .groupBy("flag", "bin", "v")
+      .agg(count(lit(1)).as("vcnt"))
+      .withColumn("vcum_before", coalesce(
+        sum(col("vcnt")).over(wBin.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val exactQ = ranksNeeded.hint("broadcast")
       .join(binVals, Seq("flag", "bin"))
-      .withColumn("value", element_at(col("vs"), (col("offset") + 1L).cast("int")))
+      .filter(col("offset") >= col("vcum_before") &&
+        col("offset") < col("vcum_before") + col("vcnt"))
+      .withColumn("value", col("v"))
       .groupBy("flag", "q")
       .agg(
         max(when(col("which") === "lo", col("value"))).as("lo_v"),

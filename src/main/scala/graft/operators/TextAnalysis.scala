@@ -715,6 +715,7 @@ object TextAnalysis {
     * random corpora through the production plan; s37 fuses the same
     * ranking at its own depth. */
   private[graft] def t41Bm25Core(documents: DataFrame, depth: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val base = documents.filter(col("doc_id").isNotNull)
     // query term bags from their OWN pushed-filter scan (doc_id < 10
     // reaches the parquet row groups) — tiny, broadcast everywhere
@@ -722,30 +723,27 @@ object TextAnalysis {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(split(coalesce(col("text"), lit("")), " ")))
           .as("token"))
-    val qtok = qterms.select("token").distinct()
-    // THE inverted-index probe, made literal (r9 — the r8 verdict's t41
-    // item): the corpus explode keeps ONLY postings of query terms via a
-    // broadcast semi-join that filters map-side BEFORE any exchange, so
-    // what shuffles is |postings of query terms| (~4% of token
-    // occurrences here), never the full (doc, token) tf relation. The
-    // prior shape built corpus-wide tf + a doc-length window and re-ran
-    // that aggregation once per consumer over a reused exchange —
-    // measured 2.3 s vs 0.9 s at sf1 for identical output. Doc length
-    // needs no window at all: it is size(split(text)), a per-row
-    // projection carried through the explode.
-    // tokenize once, THEN derive len and the explode from the array:
-    // `toks` is referenced twice, so CollapseProject's multi-reference
-    // guard keeps the split out of the per-token projection (inlined, the
-    // full text re-splits once per exploded row for the size() —
-    // measured 2× on this stage)
-    val tok = base
+    // THE inverted-index probe as a one-pass kernel (r11 — the t36
+    // bigram-kernel pattern applied to the r9 semi-join probe): the
+    // query term set rides a broadcast 1-row cross join into
+    // graft_tf_in, which walks each document's token array ONCE and
+    // emits (token, tf) pre-counted for query terms only. vs the r9
+    // shape (explode every token → broadcast LeftSemi filter →
+    // HashAggregate per occurrence): non-query tokens never leave the
+    // expression, matching postings are never individually hashed by
+    // an aggregate, and the (doc_id, token) groupBy exchange disappears
+    // — the only corpus-derived exchange left is the df window's, on
+    // the |postings of query terms| grain. Doc length is size(toks), a
+    // per-row projection carried through the (tiny) explode.
+    val qarr = qterms.agg(sort_array(collect_set(col("token"))).as("qarr"))
+    val tf = base
       .select(col("doc_id"),
         split(coalesce(col("text"), lit("")), " ").as("toks"))
+      .crossJoin(broadcast(qarr))
       .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
-        explode(col("toks")).as("token"))
-      .join(broadcast(qtok), Seq("token"), "left_semi")
-    val tf = tok.groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+        explode(expr("graft_tf_in(toks, qarr)")).as("x"))
+      .select(col("doc_id"), col("x.token").as("token"),
+        col("x.tf").as("tf"), col("len"))
     // df per query term is EXACT off the probe: the semi-join keeps every
     // (doc, query-term) posting, so counting tf rows per token here
     // equals the corpus-wide df restricted to query terms. Computed as a

@@ -429,6 +429,11 @@ object Streams {
   case class TrState(us: Long, act: String, session_num: Long)
   case class TrEdge(user_id: Long, session_num: Long, from_act: String,
       to_act: String, gap_us: Option[Long])
+  /** Pre-aggregated edge emission grain (r11): per (user, session,
+    * from, to) — n occurrences, gap sum (None on the gap-less
+    * START/END markers, whose groups are uniformly gap-less). */
+  case class TrEdgeC(user_id: Long, session_num: Long, from_act: String,
+      to_act: String, n: Long, gap_us_sum: Option[Long])
 
   /** st42: streaming directly-follows edge extraction — the continuous
     * form of q62's process-map discovery (live process monitoring: the
@@ -440,9 +445,11 @@ object Streams {
     * rebuild would produce EXCEPT each entity's trailing →END (the open
     * session cannot close — st34/st41's append-mode contract); the
     * oracle is q62's edge set minus each user's last-session END edge.
-    * The emitted edge grain is aggregated by the SAME
-    * [[graft.operators.EventLog.aggregateEdges]] definition q62 uses, so
-    * batch and stream report identically.
+    * Emission is pre-aggregated to the (session, edge-type) grain
+    * inside the state function ([[TrEdgeC]], r11) and the report tail
+    * is [[graft.operators.EventLog.aggregateEdgeCounts]] — the same
+    * `edgeReport` definition q62's aggregateEdges uses, so batch and
+    * stream report identically.
     *
     * Ordering contract (st41's): within-batch events sort per key by
     * (ts, event_id); cross-batch the log ships in order. State is one
@@ -455,29 +462,48 @@ object Streams {
         col("event_id"), col("event_type").as("act"))
       .as[TrEv]
     val edges = ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState[TrState, TrEdge](
+      .flatMapGroupsWithState[TrState, TrEdgeC](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
         val batch = it.toArray.sortBy(e => (e.us, e.event_id))
-        val out = ArrayBuffer.empty[TrEdge]
+        // accumulate per-(session, from, to) counts INSIDE the state
+        // function (r11): the edge stream collapses ~30× before it is
+        // encoded, shuffled to the sink, and collected — the per-event
+        // TrEdge emission dominated st42's sf1 wall time. Insertion
+        // order is deterministic (sorted batch), cross-batch merging is
+        // the sink-side sum.
+        val acc = new java.util.LinkedHashMap[(Long, String, String), Array[Long]]()
+        def add(sess: Long, from: String, to: String, gap: Long, hasGap: Boolean): Unit = {
+          val k = (sess, from, to)
+          var e = acc.get(k)
+          if (e == null) { e = Array(0L, 0L, if (hasGap) 1L else 0L); acc.put(k, e) }
+          e(0) += 1L; e(1) += gap
+        }
         var st = state.getOption.orNull
         batch.foreach { e =>
           if (st == null) {
-            out += TrEdge(uid, 1L, "START", e.act, None)
+            add(1L, "START", e.act, 0L, hasGap = false)
             st = TrState(e.us, e.act, 1L)
           } else if (e.us - st.us > GapUs) {
-            out += TrEdge(uid, st.session_num, st.act, "END", None)
-            out += TrEdge(uid, st.session_num + 1, "START", e.act, None)
+            add(st.session_num, st.act, "END", 0L, hasGap = false)
+            add(st.session_num + 1, "START", e.act, 0L, hasGap = false)
             st = TrState(e.us, e.act, st.session_num + 1)
           } else {
-            out += TrEdge(uid, st.session_num, st.act, e.act, Some(e.us - st.us))
+            add(st.session_num, st.act, e.act, e.us - st.us, hasGap = true)
             st = TrState(e.us, e.act, st.session_num)
           }
         }
         if (st != null) state.update(st)
+        val out = ArrayBuffer.empty[TrEdgeC]
+        val iter = acc.entrySet().iterator()
+        while (iter.hasNext) {
+          val ent = iter.next(); val k = ent.getKey; val v = ent.getValue
+          out += TrEdgeC(uid, k._1, k._2, k._3, v(0),
+            if (v(2) == 1L) Some(v(1)) else None)
+        }
         out.iterator
       }
     val sink = runToTable(spark, edges.toDF(), "append", "st42")
-    graft.operators.EventLog.aggregateEdges(sink)
+    graft.operators.EventLog.aggregateEdgeCounts(sink)
   }
 
   /** st43: streaming count-min heavy hitters — t37's frequency sketch

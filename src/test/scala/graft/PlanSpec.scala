@@ -127,6 +127,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in grid join:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in grid join:\n$plan")
     assert(plan.contains("HashAggregate"), s"no pre-aggregation below windows:\n$plan")
+    // r11 one-exchange subject assembly: orders and lineitem stack into
+    // ONE union-aggregate on the order key — no join operator may exist
+    // at the subject grain (the prior shape's aggregate + SHUFFLE_HASH
+    // join cost two corpus exchanges and a 1.5M-entry hash table)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"subject assembly regressed to a join:\n$plan")
+    assert(plan.contains("Union"), s"union-aggregate assembly missing:\n$plan")
+  }
+
+  test("q10 quantiles read off the day-grain histogram; no percentile collection") {
+    val df = operators.CoreQueries.q10Quantiles(spark, dir)
+    val plan = executed(df).toString
+    // Spark's percentile() is a TypedImperativeAggregate that collects
+    // every group value into one buffer — the row-domain collection a
+    // 100 TB group cannot hold (VERDICT r10 #2). q10 must read its
+    // order statistics off the bounded (nation × day) histogram.
+    assert(!plan.contains("percentile"), s"percentile aggregate leaked back:\n$plan")
+    assert(!plan.contains("collect_list"), s"value collection leaked in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("q51 exact side refines on value-grain counts; no row-domain collection") {
+    val df = operators.Sketches.q51QuantileSketch(spark, dir)
+    val plan = executed(df).toString
+    // ADVICE r10: the needed-bin rows must never collect into one
+    // buffer (sort_array(collect_list) grew O(corpus/|bins|)); the
+    // refinement is a per-(flag,bin,value) COUNT — map-side combinable,
+    // bounded output on a quantized value domain.
+    assert(!plan.contains("collect_list"), s"bin row collection leaked back:\n$plan")
+    assert(!plan.contains("percentile"), s"percentile aggregate in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
   test("q54 candidate join is a blocked equi-join with array sets riding along") {
@@ -812,14 +843,16 @@ class PlanSpec extends AnyFunSuite {
     val df = operators.TextAnalysis.t41Bm25(spark, dir)
     val p = planString(df)
     // candidate generation = postings of query terms only: the query
-    // term set broadcasts INTO the corpus explode as a map-side
-    // LeftSemi filter BEFORE any exchange (r9 — the literal inverted-
-    // index probe); a sort-merge join anywhere here would shuffle a
-    // corpus-sized grain
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast postings probe:\n$p")
-    assert(p.contains("LeftSemi"), s"expected map-side query-term semi filter:\n$p")
+    // term set rides a broadcast 1-row cross join INTO the graft_tf_in
+    // kernel, which emits pre-counted (token, tf) for query terms only
+    // (r11 — the kernel form of the r9 literal inverted-index probe);
+    // a sort-merge join anywhere here would shuffle a corpus-sized
+    // grain, and a per-occurrence HashAggregate below the df window
+    // would mean the kernel's pre-count regressed to an explode
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-bag join:\n$p")
+    assert(p.contains("graft_tf_in"), s"expected the tf_in postings kernel:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
-    // corpus stats ride a broadcast 1-row loop join, never a cartesian
+    // query terms + corpus stats ride broadcast loop joins, never a cartesian
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     // scans: ONE full-width corpus scan (the explode), the 1-row stats
     // scan, and two doc_id<10 row-group-pruned query-bag scans; df rides
@@ -844,6 +877,17 @@ class PlanSpec extends AnyFunSuite {
     // two ≤|Q|·depth rank lists — a bounded grain by construction
     val smj = "SortMergeJoin".r.findAllIn(p).size
     assert(smj <= 1, s"corpus-sized sort-merge join leaked into a leg:\n$p")
+    // scan accounting (r11 — the t41 pin's device applied to the fused
+    // plan, so the SHARED rank cores cannot silently regrow a corpus-tf
+    // branch inside s37's context): vec leg = corpus hash-vec scan + a
+    // doc_id<10 pruned query scan; lex leg = corpus explode + 1-row
+    // stats scan + two pruned query-bag scans. ≤6 total, and at most 3
+    // of them full-corpus (non-pruned).
+    val scans = "Scan parquet".r.findAllMatchIn(p).length
+    assert(scans <= 6, s"expected ≤6 scans, got $scans:\n$p")
+    val pruned = "LessThan\\(doc_id,10\\)".r.findAllMatchIn(p).length
+    assert(scans - pruned <= 3,
+      s"expected ≤3 non-query-bag scans (vec corpus + lex explode + stats):\n$p")
   }
 
   test("q71 Z-order: stats broadcast; no global sort of the data rows") {

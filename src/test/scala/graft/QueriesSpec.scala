@@ -22,6 +22,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
 
+  test("graft_tf_in counts restricted terms, first-occurrence order, cloned output") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // term arrays built via split(): Seq-to-DF arrays carry
+    // containsNull=true, which the expression's type check rejects by
+    // design (a null token would NPE in the set probe)
+    val rows = Seq(
+      ("b a c a b a", "a b z"),   // counts + order (b first)
+      ("x y z", "a b"),           // no hits -> empty
+      ("", "a  b"),               // split("") = [""] and "" is a term
+      ("a a a a", "")             // terms = [""], no match
+    ).toDF("text", "termstr")
+    val out = rows.selectExpr("graft_tf_in(split(text, ' '), split(termstr, ' ')) AS x")
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))).toList)
+    assert(out(0) === List(("b", 2L), ("a", 3L)))
+    assert(out(1) === List())
+    assert(out(2) === List(("", 1L)))
+    assert(out(3) === List())
+    // per-row varying term sets exercise the memo's byte-comparison
+    // fallback: a stale set from the previous row must never be reused
+    val vary = Seq(("a b", "a"), ("a b", "b"), ("a b", "a"))
+      .toDF("text", "termstr")
+      .selectExpr("graft_tf_in(split(text, ' '), split(termstr, ' ')) AS x")
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0)).toList)
+    assert(vary.toList === List(List("a"), List("b"), List("a")))
+  }
+
   test("every query key has either an oracle or a documented omission") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

@@ -29,7 +29,7 @@ object T36Probe {
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("r_f"))
       time("bt")(noop(bt))
       val tot = bt.agg(sum(col("t_f")).as("t_tot"), sum(col("r_f")).as("r_tot"))
-      val B = 1024L
+      val B = graft.functions.PortableHash.DsirBuckets // shared constant — a local literal drifted from the kernel (ADVICE r10)
       val scored = feats.filter(!col("is_target"))
         .join(broadcast(bt), Seq("f"))
         .crossJoin(broadcast(tot))
@@ -52,7 +52,7 @@ object T36Probe {
           .agg(sum(col("c")).as("n_feats"),
             round(sum(col("c").cast("double") *
               expr(s"ln(CAST(t_f + 1 AS DOUBLE)) - ln(CAST(r_f + 1 AS DOUBLE))" +
-                   s" + ln(CAST(r_tot + 1024 AS DOUBLE)) - ln(CAST(t_tot + 1024 AS DOUBLE))")), 6)
+                   s" + ln(CAST(r_tot + ${B} AS DOUBLE)) - ln(CAST(t_tot + ${B} AS DOUBLE))")), 6)
               .as("log_ratio"))
           .select(col("doc_id"), col("n_feats"), col("log_ratio"),
             (col("log_ratio") >= 0).cast("int").as("selected"))
