@@ -94,4 +94,43 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Per-order subject assembly in ONE exchange — the shared relation
+    * behind the survival/docket/utilization family (q12/q53/q50/q56/
+    * q63/q64): order attributes plus first/last lineitem ship date,
+    * with a null ship pair for orders that have no lineitems (the
+    * left-join semantics every consumer relied on).
+    *
+    * Shape (r11): slim order rows and slim lineitem rows stack on the
+    * shared key and per-column min/max reconstructs the six columns in
+    * ONE hash aggregation. The previous family convention — aggregate
+    * lineitem per order, then SHUFFLE_HASH-join orders onto it — paid
+    * two corpus exchanges (the aggregate's and the orders side) plus a
+    * |orders|-entry join hash table; the union-aggregate pays one
+    * exchange of |orders| + ~|orders| map-side-combined lineitem
+    * partials and no join at all. Every order contributes exactly one
+    * non-null (odate, status, prio) row, so max() reconstructs the
+    * attributes exactly.
+    */
+  private[graft] def orderAssembly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"),
+        lit(null).cast("date").as("ship"))
+      .unionByName(lineitem(s, d).select(
+        col("l_orderkey").as("k"),
+        lit(null).cast("date").as("odate"),
+        lit(null).cast("string").as("status"),
+        lit(null).cast("string").as("prio"),
+        col("l_shipdate").cast("date").as("ship")))
+      .groupBy("k").agg(
+        max(col("odate")).as("odate"),
+        max(col("status")).as("status"),
+        max(col("prio")).as("prio"),
+        min(col("ship")).as("first_ship"),
+        max(col("ship")).as("last_ship"))
+  }
 }

@@ -268,33 +268,14 @@ object CoreQueries {
     * so a final d=n step yields 0 instead of engine-specific ln(0).
     */
   def q12Survival(spark: SparkSession, dir: String): DataFrame = {
-    // ONE-EXCHANGE subject assembly (r11, shared with q53): the prior
-    // shape aggregated lineitem to per-order max(shipdate) and
-    // SHUFFLE_HASH-joined orders onto it — two corpus exchanges plus a
-    // subject-grain hash table. Union-aggregate instead: slim order
-    // rows and slim lineitem rows stack on the shared key and per-column
-    // max reconstructs (birth, status, completed) in ONE hash
-    // aggregation; lineitem partials combine ~4:1 map-side before the
-    // single orderkey exchange. Orders without lineitems keep a null
-    // completed — the left-join semantics.
-    val oside = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      col("o_orderdate").cast("date").as("birth"),
-      col("o_orderstatus").as("status"),
-      lit(null).cast("date").as("ship"))
-    val lside = Tables.lineitem(spark, dir).select(
-      col("l_orderkey").as("k"),
-      lit(null).cast("date").as("birth"),
-      lit(null).cast("string").as("status"),
-      col("l_shipdate").cast("date").as("ship"))
-    val obs = oside.unionByName(lside)
-      .groupBy("k").agg(
-        max(col("birth")).as("birth"),
-        max(col("status")).as("status"),
-        max(col("ship")).as("completed"))
+    // ONE-EXCHANGE subject assembly (r11): [[Tables.orderAssembly]],
+    // the shared union-aggregate that replaced this family's
+    // lineitem-aggregate + SHUFFLE_HASH join (two corpus exchanges and
+    // a subject-grain hash table → one orderkey exchange, no join).
+    val obs = Tables.orderAssembly(spark, dir)
       .select(
-        when(col("status") === "F", datediff(col("completed"), col("birth")))
-          .otherwise(datediff(lit("2002-06-01").cast("date"), col("birth")))
+        when(col("status") === "F", datediff(col("last_ship"), col("odate")))
+          .otherwise(datediff(lit("2002-06-01").cast("date"), col("odate")))
           .cast("long").as("t_days"),
         when(col("status") === "F", 1L).otherwise(0L).as("event"))
       .filter(col("t_days").isNotNull)

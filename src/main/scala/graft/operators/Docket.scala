@@ -98,18 +98,16 @@ object Docket {
     val pred = lit(PredDate).cast("date")
     val outcodeCutoff = date_sub(pred, OutcodeLagDays)
 
-    val comp = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(min(col("l_shipdate")).as("first_ship"), max(col("l_shipdate")).as("last_ship"))
-    // SHUFFLE_HASH: 1:1 completion join — SMJ's two fact-grain sorts
-    // buy nothing (the q50 measurement)
-    val cases = Tables.orders(spark, dir)
-      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
+    // ONE-EXCHANGE case assembly (r11): [[Tables.orderAssembly]] — the
+    // shared union-aggregate that replaced this family's lineitem
+    // aggregate + SHUFFLE_HASH join (which itself replaced the SMJ
+    // default, the q50 measurement).
+    val cases = Tables.orderAssembly(spark, dir)
       .select(
-        date_trunc("month", col("o_orderdate")).cast("date").as("docket_month"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("orig"),
-        when(col("o_orderstatus") === "F", col("last_ship").cast("date")).as("decision_date"),
-        col("first_ship").cast("date").as("activation_date"))
+        date_trunc("month", col("odate")).cast("date").as("docket_month"),
+        col("prio").isin("1-URGENT", "2-HIGH").as("orig"),
+        when(col("status") === "F", col("last_ship")).as("decision_date"),
+        col("first_ship").as("activation_date"))
       .withColumn("pending",
         col("decision_date").isNull || col("decision_date") >= pred)
       // still on the docket as of pred: never decided, or decided but not
@@ -225,18 +223,18 @@ object Docket {
     * a shuffle; output is |horizon| rows.
     */
   def q64BacklogForecast(spark: SparkSession, dir: String): DataFrame = {
-    val comp = Tables.lineitem(spark, dir)
-      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
-    val rates = Tables.orders(spark, dir)
-      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
+    // ONE-EXCHANGE rate measurement (r11): [[Tables.orderAssembly]] —
+    // the shared union-aggregate that replaced this family's lineitem
+    // aggregate + SHUFFLE_HASH join.
+    val rates = Tables.orderAssembly(spark, dir)
       .agg(
-        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("backlog0"),
-        sum(when(col("o_orderdate").cast("date") >= lit("1997-08-01").cast("date") &&
-          col("o_orderdate").cast("date") < lit("1998-08-01").cast("date"), 1L)
+        sum(when(col("status") =!= "F", 1L).otherwise(0L)).as("backlog0"),
+        sum(when(col("odate") >= lit("1997-08-01").cast("date") &&
+          col("odate") < lit("1998-08-01").cast("date"), 1L)
           .otherwise(0L)).as("arr_yr"),
-        sum(when(col("o_orderstatus") === "F" &&
-          col("completed").cast("date") >= lit("1997-08-01").cast("date") &&
-          col("completed").cast("date") < lit("1998-08-01").cast("date"), 1L)
+        sum(when(col("status") === "F" &&
+          col("last_ship") >= lit("1997-08-01").cast("date") &&
+          col("last_ship") < lit("1998-08-01").cast("date"), 1L)
           .otherwise(0L)).as("res_yr"))
     val stepExpr =
       s"""acc.prev + (arr_yr DIV 12) * least(i * 10000 DIV 12, 10000) DIV 10000

@@ -250,12 +250,15 @@ object EventLog {
 
   /** st42's entry: the stream's state function emits per-(session,
     * edge-type) COUNTS (n, gap_us_sum) rather than one row per event —
-    * ~|acts|² rows per session instead of |events|, so the micro-batch
-    * emission and the memory-sink collection shrink ~30× (r11; the
-    * dominant st42 cost at sf1 was serializing and collecting 1M typed
-    * edge rows). Level 1 sums the pre-counts (merging across
-    * micro-batches); the report tail is [[edgeReport]] — ONE definition
-    * with the batch path, so stream ≡ batch stays structural.
+    * at most |acts|²+2 rows per session instead of one per event. On
+    * THIS corpus sessions are short, so the measured collapse is
+    * modest (sf1 ~7.9 s either way — st42's cost is the per-entity
+    * state machinery, not emission volume); the shape matters at the
+    * posture scale, where long sessions make per-event emission the
+    * corpus-sized stream a sink cannot hold. Level 1 sums the
+    * pre-counts (merging across micro-batches); the report tail is
+    * [[edgeReport]] — ONE definition with the batch path, so stream ≡
+    * batch stays structural.
     */
   private[graft] def aggregateEdgeCounts(pre: DataFrame): DataFrame =
     edgeReport(pre.groupBy("user_id", "session_num", "from_act", "to_act")

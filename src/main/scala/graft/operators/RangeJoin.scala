@@ -31,16 +31,14 @@ object RangeJoin {
 
   def q50SnapshotAges(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("2002-06-01").cast("date")
-    val comp = Tables.lineitem(spark, dir)
-      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
-    // SHUFFLE_HASH: the completion join is 1:1 on the key — the SMJ
-    // default pays two sorts of fact-grain rows for nothing (measured
-    // ~0.7 s of the sf1 total)
-    val iv = Tables.orders(spark, dir)
-      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
-      .select(col("o_orderdate").cast("date").as("startd"),
-        coalesce(when(col("o_orderstatus") === "F", col("completed").cast("date")),
-          cutoff).as("endd"))
+    // ONE-EXCHANGE interval assembly (r11): [[Tables.orderAssembly]] —
+    // the shared union-aggregate that replaced this family's lineitem
+    // aggregate + SHUFFLE_HASH join (which itself replaced the SMJ
+    // default's two fact-grain sorts, measured ~0.7 s at sf1).
+    val iv = Tables.orderAssembly(spark, dir)
+      .select(col("odate").as("startd"),
+        coalesce(when(col("status") === "F", col("last_ship")), cutoff)
+          .as("endd"))
     // collapse intervals to DISTINCT (startd, endd) pairs with a weight
     // before the cell explode: every open case shares endd = cutoff, so
     // the pair domain is ~|date range| + completed-pair spread, an
@@ -119,12 +117,12 @@ object RangeJoin {
     */
   def q63FteUtilization(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("2002-06-01").cast("date")
-    val comp = Tables.lineitem(spark, dir)
-      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
-    val iv = Tables.orders(spark, dir)
-      .join(comp.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"), "left")
-      .select(col("o_orderdate").cast("date").as("startd"),
-        when(col("o_orderstatus") === "F", col("completed").cast("date")).as("compd"))
+    // ONE-EXCHANGE interval assembly (r11): [[Tables.orderAssembly]] —
+    // the shared union-aggregate that replaced this family's lineitem
+    // aggregate + SHUFFLE_HASH join.
+    val iv = Tables.orderAssembly(spark, dir)
+      .select(col("odate").as("startd"),
+        when(col("status") === "F", col("last_ship")).as("compd"))
     val pairs = iv.groupBy("startd", "compd").agg(count(lit(1)).as("w"))
       .withColumn("endd", coalesce(col("compd"), cutoff))
       .withColumn("probd", expr("date_add(startd, 180)"))

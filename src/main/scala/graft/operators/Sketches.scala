@@ -314,10 +314,15 @@ object Sketches {
     val pb1 = HllPatternBits + 1
     val two53 = 1L << pb1
     val wDays = SlideDays
-    val du = Tables.events(spark, dir)
+    // materialized ONCE (r11): the sketch registers (rr→bm), the day
+    // grid, and the exact side's per-user fold all consume du — three
+    // differently-keyed aggregations over the same distinct, each
+    // re-scanning events unless exchange reuse fires (it does not
+    // across differently-keyed parents). |user-days| rows, slim.
+    val du = graft.Checkpoints.of(Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
-      .withColumn("dd", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("dd", datediff(col("day"), lit("1970-01-01").cast("date"))))
     val rr = du
       .withColumn("h", ph(col("user_id").cast("string")))
       .withColumn("bucket", pmod(col("h"), lit(HllBuckets.toLong)))
@@ -348,10 +353,43 @@ object Sketches {
         when(col("zeros") > 0 && col("est_raw") <= 2.5 * HllBuckets,
           lit(HllBuckets.toDouble) * log(lit(HllBuckets.toDouble) / col("zeros").cast("double")))
           .otherwise(col("est_raw")), 4))
-    val exact = days.select(col("dd").as("edd"), col("day").as("eday"))
-      .join(du.select(col("dd").as("udd"), col("user_id")),
-        col("udd") >= col("edd") - (wDays - 1) && col("udd") <= col("edd"))
-      .groupBy("eday").agg(countDistinct(col("user_id")).as("n_exact"))
+    // EXACT sliding distinct by SWEEP-LINE, not by range-join explosion
+    // (r11): the prior shape joined every observed day against every
+    // user-day within the window — |user-days| × window rows (15M at
+    // sf1, O(corpus × window) at any scale) shuffled into a
+    // countDistinct. Equivalent: a user counts for day D iff D lies in
+    // the union of [d, d+w-1] over the user's activity days, so per
+    // user MERGE the activity days into disjoint coverage segments
+    // (one in-expression fold over the ≤|day-domain| sorted day array),
+    // emit +1/−1 boundary deltas, and prefix-sum them over the day
+    // grid — O(users · segments) rows total, window width only in the
+    // arithmetic. countDistinct ≡ the segment-union indicator sum
+    // because segments per user are disjoint by construction.
+    val segs = du
+      .groupBy("user_id").agg(sort_array(collect_set(col("dd"))).as("ds"))
+      .withColumn("segs", expr(s"""
+        aggregate(ds, CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+          (acc, d) -> CASE
+            WHEN size(acc) > 0 AND d <= element_at(acc, -1).e
+              THEN concat(slice(acc, 1, size(acc) - 1),
+                array(named_struct('s', element_at(acc, -1).s,
+                                   'e', d + ${wDays - 1})))
+            ELSE concat(acc, array(named_struct('s', d, 'e', d + ${wDays - 1})))
+          END)"""))
+      .select(explode(col("segs")).as("g"))
+    val deltas = segs.select(explode(array(
+        struct(col("g.s").as("dd"), lit(1L).as("delta")),
+        struct((col("g.e") + 1).as("dd"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.dd"), col("x.delta"))
+      .groupBy("dd").agg(sum(col("delta")).as("delta"))
+    // cumulative coverage over the union of boundary days and observed
+    // days; read off at observed days only
+    val wCum = Window.orderBy("dd").rowsBetween(Window.unboundedPreceding, 0)
+    val exact = deltas
+      .join(days.select(col("dd"), col("day")), Seq("dd"), "full_outer")
+      .withColumn("n_cum", sum(coalesce(col("delta"), lit(0L))).over(wCum))
+      .filter(col("day").isNotNull)
+      .select(col("day").as("eday"), col("n_cum").as("n_exact"))
     est.join(exact, col("day") === col("eday"))
       .withColumn("rel_err", round(
         abs(col("hll_estimate") - col("n_exact").cast("double")) / col("n_exact").cast("double"), 4))

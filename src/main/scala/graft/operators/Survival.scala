@@ -36,39 +36,15 @@ object Survival {
   private val StudyEnd   = "2002-06-01"
 
   def q53CompetingRisks(spark: SparkSession, dir: String): DataFrame = {
-    // ONE-EXCHANGE subject assembly (VERDICT r9/r10 carried item): the
-    // previous shape aggregated lineitem to per-order max(shipdate) and
-    // SHUFFLE_HASH-joined orders onto it — two corpus exchanges (the
-    // aggregate's, then the orders side of the join) plus a 1.5M-entry
-    // join hash table. Union-aggregate instead: stack slim order rows
-    // and slim lineitem rows on a shared key and take per-column max in
-    // ONE hash aggregation — every order contributes exactly one
-    // non-null (birth, status, prio) row, so max() reconstructs the
-    // order attributes, and max(ship) is the completion date; orders
-    // with no lineitem get a null completed, preserving the left-join
-    // semantics. Lineitem partials combine ~4:1 map-side before the
-    // single orderkey exchange.
-    val oside = Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      col("o_orderdate").cast("date").as("birth"),
-      col("o_orderstatus").as("status"),
-      col("o_orderpriority").as("prio"),
-      lit(null).cast("date").as("ship"))
-    val lside = Tables.lineitem(spark, dir).select(
-      col("l_orderkey").as("k"),
-      lit(null).cast("date").as("birth"),
-      lit(null).cast("string").as("status"),
-      lit(null).cast("string").as("prio"),
-      col("l_shipdate").cast("date").as("ship"))
-    val obs = oside.unionByName(lside)
-      .groupBy("k").agg(
-        max(col("birth")).as("birth"),
-        max(col("status")).as("status"),
-        max(col("prio")).as("prio"),
-        max(col("ship")).as("completed"))
+    // ONE-EXCHANGE subject assembly (VERDICT r9/r10 carried item):
+    // [[Tables.orderAssembly]], the shared union-aggregate that
+    // replaced this family's lineitem-aggregate + SHUFFLE_HASH join
+    // (two corpus exchanges and a subject-grain hash table → one
+    // orderkey exchange, no join).
+    val obs = Tables.orderAssembly(spark, dir)
       .select(
-        col("birth"),
-        when(col("status") === "F", col("completed")).as("evdate"),
+        col("odate").as("birth"),
+        when(col("status") === "F", col("last_ship")).as("evdate"),
         when(col("status") =!= "F", lit("censor"))
           .when(col("prio").isin("1-URGENT", "2-HIGH"), lit("expedited"))
           .otherwise(lit("normal")).as("state"))

@@ -33,6 +33,12 @@ object Streams {
     * ~100 MB per store), NOT a constant — the point is that it is a
     * per-query sizing decision, so the runner scopes it to the stream
     * start and restores the session value immediately after.
+    *
+    * Re-measured at sf1 under the r11 noop protocol: 32 partitions is
+    * WORSE on every heavy leg (st37 3.3 → 9.0 s, st48 3.9 → 5.1, st42
+    * 7.9 → 8.1, st46 6.1 → 6.7) — even with 1M-event batches these
+    * legs are store-commit/machinery-bound, not state-parallelism
+    * bound, so 8 stands at every tested SF.
     */
   val StatePartitions = 8
 
@@ -466,11 +472,13 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, it, state) =>
         val batch = it.toArray.sortBy(e => (e.us, e.event_id))
         // accumulate per-(session, from, to) counts INSIDE the state
-        // function (r11): the edge stream collapses ~30× before it is
-        // encoded, shuffled to the sink, and collected — the per-event
-        // TrEdge emission dominated st42's sf1 wall time. Insertion
-        // order is deterministic (sorted batch), cross-batch merging is
-        // the sink-side sum.
+        // function (r11): emission is bounded by |acts|²+2 per session
+        // instead of one row per event. On this corpus sessions are
+        // short so the measured win is modest (st42's sf1 cost is the
+        // per-entity state machinery) — the bound is what matters at
+        // scale, where long sessions would make per-event emission a
+        // corpus-sized stream. Insertion order is deterministic
+        // (sorted batch), cross-batch merging is the sink-side sum.
         val acc = new java.util.LinkedHashMap[(Long, String, String), Array[Long]]()
         def add(sess: Long, from: String, to: String, gap: Long, hasGap: Boolean): Unit = {
           val k = (sess, from, to)

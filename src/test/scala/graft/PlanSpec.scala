@@ -418,7 +418,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), s"fold results not exploded in-plan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"unexpected join in a fold projection:\n$p")
-    assert(p.contains("ShuffledHashJoin"), s"completion join lost SHUFFLE_HASH:\n$p")
+    // r11: subjects assemble via the shared union-aggregate
+    // (Tables.orderAssembly) — no join operator at the subject grain
+    assert(p.contains("Union"), s"union-aggregate assembly missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"subject assembly regressed to a join:\n$p")
   }
 
   test("q63 utilization: SHJ completion join, reused pair exchange, no cartesian") {
@@ -429,7 +433,10 @@ class PlanSpec extends AnyFunSuite {
     // reused exchange (q50's completion-join + pair-collapse shape)
     val scans = "Scan parquet".r.findAllMatchIn(p).length
     assert(scans == 2, s"expected 2 scans (orders + lineitem), got $scans:\n$p")
-    assert(p.contains("ShuffledHashJoin"), s"completion join lost its SHUFFLE_HASH hint:\n$p")
+    // r11: intervals assemble via the shared union-aggregate
+    // (Tables.orderAssembly) — no join operator at the subject grain
+    assert(p.contains("Union"), s"union-aggregate assembly missing:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"assembly regressed to a join:\n$p")
     assert(p.contains("ReusedExchange"), s"pair grain recomputed per branch:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"months×intervals must stay an equi-join, not a theta product:\n$p")
