@@ -1223,4 +1223,115 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("orderAssembly equals the join-shape reference on random order/lineitem layouts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // layouts include orders with 0 lineitems (null first/last ship) and
+    // shared ship dates; the union-aggregate must reproduce the left
+    // join of orders onto per-key min/max exactly
+    val gen = for {
+      nOrders <- Gen.choose(1, 12)
+      orders <- Gen.sequence[List[(Long, Int, String, String)], (Long, Int, String, String)](
+        (1 to nOrders).map(k => for {
+          d <- Gen.choose(0, 2000)
+          st <- Gen.oneOf("F", "O", "P")
+          pr <- Gen.oneOf("1-URGENT", "2-HIGH", "3-MEDIUM")
+        } yield (k.toLong, d, st, pr)))
+      lines <- Gen.listOf(for {
+        k <- Gen.choose(1L, nOrders.toLong)
+        s <- Gen.choose(0, 2500)
+      } yield (k, s))
+    } yield (orders, lines)
+    samples(gen, 12).foreach { case (orders, lines) =>
+      val epoch = java.time.LocalDate.of(1995, 1, 1)
+      def date(d: Int) = java.sql.Date.valueOf(epoch.plusDays(d))
+      val odf = orders.map { case (k, d, st, pr) => (k, date(d), st, pr) }
+        .toDF("o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+      val ldf = lines.map { case (k, s) => (k, date(s)) }
+        .toDF("l_orderkey", "l_shipdate")
+      // the production shape, on injected frames (same expressions as
+      // Tables.orderAssembly with the loader swapped out)
+      val asm = odf.select(col("o_orderkey").as("k"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          lit(null).cast("date").as("ship"))
+        .unionByName(ldf.select(col("l_orderkey").as("k"),
+          lit(null).cast("date").as("odate"),
+          lit(null).cast("string").as("status"),
+          lit(null).cast("string").as("prio"),
+          col("l_shipdate").cast("date").as("ship")))
+        .groupBy("k").agg(
+          max(col("odate")).as("odate"),
+          max(col("status")).as("status"),
+          max(col("prio")).as("prio"),
+          min(col("ship")).as("first_ship"),
+          max(col("ship")).as("last_ship"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getDate(1), r.getString(2), r.getString(3),
+            Option(r.getDate(4)).map(_.toString),
+            Option(r.getDate(5)).map(_.toString))).toMap
+      val ref = orders.map { case (k, d, st, pr) =>
+        val ships = lines.filter(_._1 == k).map(_._2)
+        k -> (date(d), st, pr,
+          if (ships.isEmpty) None else Some(date(ships.min).toString),
+          if (ships.isEmpty) None else Some(date(ships.max).toString))
+      }.toMap
+      assert(asm === ref)
+    }
+  }
+
+  test("q10-style histogram quantiles equal percentile() on random integer-valued groups") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // the q10 device: value-grain histogram + interpolated order
+    // statistics must be BIT-IDENTICAL to Spark's percentile() (itself
+    // oracle-matched to DuckDB quantile_cont) on any integer-valued
+    // column — including 1-row groups (lo == hi) and exact-boundary
+    // positions (q·(n−1) integral)
+    val gen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 40L)
+    } yield (g, v))
+    samples(gen, 15).foreach { rows =>
+      val df = rows.toDF("g", "v")
+      val truth = df.groupBy("g").agg(
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.75)").as("p75"),
+          expr("percentile(v, 0.95)").as("p95"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val grid = df.groupBy(col("g"), col("v").as("d")).agg(count(lit(1)).as("cnt"))
+      val wOrd = Window.partitionBy("g").orderBy("d")
+      val cum = grid
+        .withColumn("cum", sum(col("cnt")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("g")))
+      val got = cum
+        .withColumn("q", explode(array(lit(0.5), lit(0.75), lit(0.95))))
+        .withColumn("pos", col("q") * (col("n") - 1L).cast("double"))
+        .withColumn("lo_rank", floor(col("pos")).cast("long"))
+        .withColumn("hi_rank", least(col("lo_rank") + 1L, col("n") - 1L))
+        .withColumn("which", explode(array(lit("lo"), lit("hi"))))
+        .withColumn("rank",
+          when(col("which") === "lo", col("lo_rank")).otherwise(col("hi_rank")))
+        .filter(col("rank") >= col("cum") - col("cnt") && col("rank") < col("cum"))
+        .groupBy("g", "q")
+        .agg(
+          max(when(col("which") === "lo", col("d"))).cast("double").as("lo_v"),
+          max(when(col("which") === "hi", col("d"))).cast("double").as("hi_v"),
+          max(col("pos")).as("pos"), max(col("lo_rank")).as("lo_rank"))
+        .withColumn("v", col("lo_v") + (col("hi_v") - col("lo_v")) *
+          (col("pos") - col("lo_rank").cast("double")))
+        .groupBy("g").agg(
+          max(when(col("q") === 0.5, col("v"))).as("p50"),
+          max(when(col("q") === 0.75, col("v"))).as("p75"),
+          max(when(col("q") === 0.95, col("v"))).as("p95"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got === truth)
+    }
+  }
 }
