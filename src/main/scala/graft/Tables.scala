@@ -110,7 +110,14 @@ object Tables {
     * exchange of |orders| + ~|orders| map-side-combined lineitem
     * partials and no join at all. Every order contributes exactly one
     * non-null (odate, status, prio) row, so max() reconstructs the
-    * attributes exactly.
+    * attributes exactly — this assumes o_orderkey is UNIQUE in orders
+    * (two orders rows per key would max()-merge attributes across
+    * them, where a join would emit both). The trailing isNotNull
+    * filter restores exact left-join semantics on non-referentially-
+    * integral corpora: a lineitem whose l_orderkey has no orders row
+    * is dropped (as the join dropped it) instead of surfacing as a
+    * manufactured subject with null odate/status/prio. Free under RI
+    * (predicate on the aggregate output, no extra exchange).
     */
   private[graft] def orderAssembly(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -132,5 +139,6 @@ object Tables {
         max(col("prio")).as("prio"),
         min(col("ship")).as("first_ship"),
         max(col("ship")).as("last_ship"))
+      .filter(col("odate").isNotNull)
   }
 }

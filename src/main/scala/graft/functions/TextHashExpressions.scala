@@ -569,6 +569,163 @@ object TextHash {
     }
     new GenericArrayData(counts)
   }
+
+  // ---- t33 fused PII scan ------------------------------------------------
+  // Byte-level scanners equivalent to java.util.regex find/replaceAll for
+  // t33's three patterns. All pattern bytes are ASCII (< 0x80) and UTF-8
+  // continuation bytes are >= 0x80, so byte-wise scanning of valid UTF-8
+  // finds exactly the char-level matches, in the same leftmost
+  // non-overlapping order Matcher.find produces.
+
+  private def isEmailLocal(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+      b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  private def isEmailDom(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == '.' || b == '-'
+  private def isAlphaLc(b: Byte): Boolean = b >= 'a' && b <= 'z'
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  private val EmailTag = "<EMAIL>".getBytes("UTF-8")
+  private val SsnTag = "<SSN>".getBytes("UTF-8")
+  private val PhoneTag = "<PHONE>".getBytes("UTF-8")
+
+  /** Growable byte sink for the replace scans (match count inflates the
+    * string: "<EMAIL>" is 7 bytes vs the 6-byte minimal email). */
+  private final class ByteSink(cap: Int) {
+    var buf = new Array[Byte](math.max(cap, 16))
+    var pos = 0
+    def put(src: Array[Byte], from: Int, len: Int): Unit = {
+      if (pos + len > buf.length) {
+        buf = java.util.Arrays.copyOf(buf,
+          math.max(buf.length * 2, pos + len))
+      }
+      System.arraycopy(src, from, buf, pos, len); pos += len
+    }
+    def bytes: Array[Byte] = if (pos == buf.length) buf
+      else java.util.Arrays.copyOf(buf, pos)
+  }
+
+  /** Leftmost-find equivalence for t33's email pattern
+    * `[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}` (greedy + backtracking):
+    * a match must start at the head of a maximal local-class run
+    * (backtracking the local `+` cannot re-place the `@`, since `@` is
+    * outside the class — a failed run start fails for every start
+    * inside the run), the domain `+` gives back as little as possible,
+    * so the dot is the LAST position in the maximal domain-class run
+    * with >= 2 lowercase letters after it, and the trailing `{2,}` is
+    * greedy. On failure the scan resumes at `@`+1 (domain-class bytes
+    * are local-class bytes and may start the next match — "a@b@c.com"
+    * matches "b@c.com"). If `out` is null, only counts; else writes the
+    * scrubbed string. Returns the match count.
+    */
+  private def emailScan(b: Array[Byte], out: ByteSink): Long = {
+    val n = b.length
+    var cnt = 0L
+    var copied = 0
+    var i = 0
+    while (i < n) {
+      if (!isEmailLocal(b(i))) i += 1
+      else {
+        val start = i
+        while (i < n && isEmailLocal(b(i))) i += 1
+        if (i < n && b(i) == '@') {
+          val at = i
+          var q = at + 1
+          while (q < n && isEmailDom(b(q))) q += 1
+          var e = q - 3
+          while (e >= at + 2 &&
+            !(b(e) == '.' && isAlphaLc(b(e + 1)) && isAlphaLc(b(e + 2)))) e -= 1
+          if (e >= at + 2) {
+            var m = e + 3
+            while (m < q && isAlphaLc(b(m))) m += 1
+            cnt += 1
+            if (out != null) {
+              out.put(b, copied, start - copied)
+              out.put(EmailTag, 0, EmailTag.length)
+              copied = m
+            }
+            i = m
+          } else i = at + 1
+        }
+      }
+    }
+    if (out != null) out.put(b, copied, n - copied)
+    cnt
+  }
+
+  /** Fixed-shape scan for `[0-9]{3}-[0-9]{2}-[0-9]{4}` (len 11); ascending
+    * start + skip-on-match reproduces leftmost non-overlapping find. */
+  private def ssnScan(b: Array[Byte], out: ByteSink): Long = {
+    val n = b.length
+    var cnt = 0L
+    var copied = 0
+    var i = 0
+    while (i + 11 <= n) {
+      if (isDigit(b(i)) && isDigit(b(i + 1)) && isDigit(b(i + 2)) &&
+          b(i + 3) == '-' && isDigit(b(i + 4)) && isDigit(b(i + 5)) &&
+          b(i + 6) == '-' && isDigit(b(i + 7)) && isDigit(b(i + 8)) &&
+          isDigit(b(i + 9)) && isDigit(b(i + 10))) {
+        cnt += 1
+        if (out != null) {
+          out.put(b, copied, i - copied)
+          out.put(SsnTag, 0, SsnTag.length)
+          copied = i + 11
+        }
+        i += 11
+      } else i += 1
+    }
+    if (out != null) out.put(b, copied, n - copied)
+    cnt
+  }
+
+  /** Fixed-shape scan for `555-01[0-9]{2}` (len 8). */
+  private def phoneScan(b: Array[Byte], out: ByteSink): Long = {
+    val n = b.length
+    var cnt = 0L
+    var copied = 0
+    var i = 0
+    while (i + 8 <= n) {
+      if (b(i) == '5' && b(i + 1) == '5' && b(i + 2) == '5' &&
+          b(i + 3) == '-' && b(i + 4) == '0' && b(i + 5) == '1' &&
+          isDigit(b(i + 6)) && isDigit(b(i + 7))) {
+        cnt += 1
+        if (out != null) {
+          out.put(b, copied, i - copied)
+          out.put(PhoneTag, 0, PhoneTag.length)
+          copied = i + 8
+        }
+        i += 8
+      } else i += 1
+    }
+    if (out != null) out.put(b, copied, n - copied)
+    cnt
+  }
+
+  /** t33's whole scrub in one kernel:
+    * (n_email, n_ssn, n_phone, clean) — counts over the RAW string per
+    * pattern, `clean` the TIERED email→ssn→phone replacement, exactly
+    * t33's previous 3×regexp_count + 3×nested regexp_replace (six full
+    * java.util.regex traversals plus six UTF8String<->String round
+    * trips per document, measured 4.26 s at sf1). Here: one
+    * backtracking-derived email scan (count + replace fused) and four
+    * fixed-shape byte scans — no Pattern machinery at all. Count-only
+    * scans skip output entirely; replace scans copy inter-match spans
+    * in bulk.
+    */
+  def piiScrubData(raw: UTF8String): InternalRow = {
+    val b = raw.getBytes
+    val s1 = new ByteSink(b.length + 8)
+    val nEmail = emailScan(b, s1)
+    val nSsn = ssnScan(b, null)
+    val nPhone = phoneScan(b, null)
+    val b1 = s1.bytes
+    val s2 = new ByteSink(b1.length)
+    ssnScan(b1, s2)
+    val b2 = s2.bytes
+    val s3 = new ByteSink(b2.length)
+    phoneScan(b2, s3)
+    InternalRow(nEmail, nSsn, nPhone, UTF8String.fromBytes(s3.bytes))
+  }
 }
 
 /** Shared doGenCode shape for the text-hash expressions: the generated
@@ -772,6 +929,31 @@ case class RepStats(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.repStatsData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): RepStats = copy(child = c)
+}
+
+/** pii_scrub(string) → struct<n_email,n_ssn,n_phone,clean>: t33's
+  * fused count-and-redact scan — see [[TextHash.piiScrubData]].
+  */
+case class PiiScrub(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pii_scrub expects string, got ${t.sql}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_email", LongType, nullable = false),
+    StructField("n_ssn", LongType, nullable = false),
+    StructField("n_phone", LongType, nullable = false),
+    StructField("clean", StringType, nullable = false)))
+  override def prettyName: String = "graft_pii_scrub"
+  override def staticMethod: String = "piiScrubData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.piiScrubData(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): PiiScrub = copy(child = c)
 }
 
 /** feat_counts(array<string>) → array<struct<f,c>>: p69's per-document

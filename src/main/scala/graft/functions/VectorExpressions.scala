@@ -527,6 +527,8 @@ object GraftFunctions {
       "graft_rep_stats", exprs => RepStats(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tf_in", exprs => TfIn(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pii_scrub", exprs => PiiScrub(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

@@ -164,13 +164,21 @@ object EventLog {
     * q07/q52 pay (shared definition, [[caseTraces]]).
     */
   def q55Conformance(spark: SparkSession, dir: String): DataFrame = {
-    val traces = caseTraces(spark, dir)
+    // |cases|-grain trace table checkpointed (q61's du pattern, r12 —
+    // VERDICT r11 item 5): its three consumers (the reference top-K,
+    // the prefix set via ref, and the probe side) otherwise each
+    // re-run the event-grain sessionization exchange — ReuseExchange
+    // does not fire across the differently-shaped parents. ref is
+    // K rows; checkpointing it keeps refPfx from re-running the
+    // |cases| frequency aggregation a second time.
+    val traces = graft.Checkpoints.of(caseTraces(spark, dir))
     val pfx = (c: org.apache.spark.sql.Column) =>
       concat_ws(">", slice(split(c, ">"), 1, ConformancePrefix))
-    val ref = traces.groupBy("trace").agg(count(lit(1)).as("n_cases"))
-      .orderBy(col("n_cases").desc, col("trace"))
-      .limit(ConformanceTopK)
-      .select(col("trace").as("ref_trace"))
+    val ref = graft.Checkpoints.of(
+      traces.groupBy("trace").agg(count(lit(1)).as("n_cases"))
+        .orderBy(col("n_cases").desc, col("trace"))
+        .limit(ConformanceTopK)
+        .select(col("trace").as("ref_trace")))
     val refPfx = ref.select(pfx(col("ref_trace")).as("ref_prefix")).distinct()
     traces
       .join(broadcast(ref), col("trace") === col("ref_trace"), "left")

@@ -203,15 +203,24 @@ object TextAnalysis {
     * doc_id (email always; SSN for doc_id%3==0; phone for doc_id%2==0 —
     * SSN area codes land in 100–499, so the 555-prefixed phone pattern
     * cannot overlap). The footer synthesis is the m32-style stand-in;
-    * the scrubbing machinery — tiered regexp_replace + regexp_count,
-    * all codegen'd — is the real operator and would run unchanged on a
-    * corpus with native PII.
+    * the scrubbing machinery is the real operator and would run
+    * unchanged on a corpus with native PII.
+    *
+    * Counts are over the RAW string per pattern; `clean` is the TIERED
+    * email→ssn→phone replacement. r12: the whole scrub folds into the
+    * codegen'd `graft_pii_scrub` kernel ([[graft.functions.TextHash.piiScrubData]])
+    * — the previous 3×regexp_count + 3×nested regexp_replace shape was
+    * plan-ideal but paid six full java.util.regex traversals of every
+    * document (4.26 s / 8.7× vs DuckDB at sf1, the largest unworked
+    * absolute in VERDICT r11); the kernel does one email scan + four
+    * fixed-shape byte scans, no Pattern machinery.
     *
     * 100 TB posture: pure per-row projection + one map-side-combined
     * aggregation on source — no join, no window, embarrassingly
     * parallel.
     */
   def t33PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val footer = concat(
       lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
       when(col("doc_id") % 3 === 0, concat(
@@ -224,16 +233,11 @@ object TextAnalysis {
         .otherwise(lit("")))
     Tables.documents(spark, dir)
       .withColumn("raw", concat(col("text"), footer))
-      // Scala-API regexp_count/lit, not expr() — a pattern embedded in a
-      // SQL string literal would lose its backslashes to the parser
-      .withColumn("n_email", regexp_count(col("raw"), lit(EmailPat)).cast("long"))
-      .withColumn("n_ssn", regexp_count(col("raw"), lit(SsnPat)).cast("long"))
-      .withColumn("n_phone", regexp_count(col("raw"), lit(PhonePat)).cast("long"))
-      .withColumn("clean",
-        regexp_replace(regexp_replace(regexp_replace(col("raw"),
-          lit(EmailPat), lit("<EMAIL>")),
-          lit(SsnPat), lit("<SSN>")),
-          lit(PhonePat), lit("<PHONE>")))
+      .withColumn("pii", expr("graft_pii_scrub(raw)"))
+      .withColumn("n_email", col("pii.n_email"))
+      .withColumn("n_ssn", col("pii.n_ssn"))
+      .withColumn("n_phone", col("pii.n_phone"))
+      .withColumn("clean", col("pii.clean"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_email")).as("n_emails"),

@@ -479,11 +479,19 @@ object Streams {
         // scale, where long sessions would make per-event emission a
         // corpus-sized stream. Insertion order is deterministic
         // (sorted batch), cross-batch merging is the sink-side sum.
-        val acc = new java.util.LinkedHashMap[(Long, String, String), Array[Long]]()
+        // the gap-presence bit is part of the KEY (r12): marker edges
+        // (START→x, x→END, gap-less by construction) share the
+        // (sess, from, to) space with real transitions when an
+        // event_type is literally named "START"/"END" — keying on
+        // hasGap keeps such a marker edge and a gapped transition in
+        // separate groups, so gap sums are never dropped or zero-padded
+        // and the sink-side sum matches q62's per-row null-ignoring
+        // sum(gap_us) on ANY event_type domain
+        val acc = new java.util.LinkedHashMap[(Long, String, String, Boolean), Array[Long]]()
         def add(sess: Long, from: String, to: String, gap: Long, hasGap: Boolean): Unit = {
-          val k = (sess, from, to)
+          val k = (sess, from, to, hasGap)
           var e = acc.get(k)
-          if (e == null) { e = Array(0L, 0L, if (hasGap) 1L else 0L); acc.put(k, e) }
+          if (e == null) { e = Array(0L, 0L); acc.put(k, e) }
           e(0) += 1L; e(1) += gap
         }
         var st = state.getOption.orNull
@@ -506,7 +514,7 @@ object Streams {
         while (iter.hasNext) {
           val ent = iter.next(); val k = ent.getKey; val v = ent.getValue
           out += TrEdgeC(uid, k._1, k._2, k._3, v(0),
-            if (v(2) == 1L) Some(v(1)) else None)
+            if (k._4) Some(v(1)) else None)
         }
         out.iterator
       }
@@ -625,8 +633,14 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv"),
         max(col("rho")).as("mx"))
     val state = runToTable(spark, stream, "complete", "st46")
+    // rebuild reference: ONE aggregation of the batch projection to the
+    // same (key, bucket) grain (r12 — q69Report previously re-scanned
+    // the corpus-grain projection once per rebuild column family)
     Sketches.q69Report(state,
-      Sketches.q69Projection(graft.Tables.events(spark, dir)))
+      Sketches.q69Projection(graft.Tables.events(spark, dir))
+        .groupBy("event_type", "day", "bucket")
+        .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv"),
+          max(col("rho")).as("mx")))
   }
 
   /** st44: streaming drift monitor — t39 continuous: arriving docs

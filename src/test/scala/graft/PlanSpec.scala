@@ -425,7 +425,7 @@ class PlanSpec extends AnyFunSuite {
       s"subject assembly regressed to a join:\n$p")
   }
 
-  test("q63 utilization: SHJ completion join, reused pair exchange, no cartesian") {
+  test("q63 utilization: union-aggregate assembly, reused pair exchange, no cartesian") {
     val df = operators.RangeJoin.q63FteUtilization(spark, dir)
     val p = planString(df)
     // exactly the two input tables are scanned; the weighted-pair grain
@@ -469,15 +469,18 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected join in a join-free rollup:\n$p")
   }
 
-  test("q55 reference model and classification share one sessionization (one events scan)") {
+  test("q55 reference model and classification share one sessionization (checkpointed traces)") {
     val p = planString(operators.EventLog.q55Conformance(spark, dir))
     // the top-K reference model and the per-case classification both
-    // derive from caseTraces — the corpus sessionization must be computed
-    // once (ReusedExchange), or an optimizer change silently doubles the
-    // dominant exchange (ADVICE r6)
+    // derive from caseTraces — r12: the trace table is CHECKPOINTED
+    // (one eager sessionization pass), so the final plan must contain
+    // NO parquet re-scan of events at all; every consumer reads the
+    // materialized |cases|-grain RDD. (Pre-r12 this pinned a
+    // ReusedExchange, which only covered two of the three consumers —
+    // the ref/refPfx pair still re-ran the trace aggregation.)
     val scans = "Scan parquet".r.findAllMatchIn(p).length
-    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
-    assert(p.contains("ReusedExchange"), s"sessionization not reused:\n$p")
+    assert(scans == 0, s"expected 0 events scans (checkpointed traces), got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"checkpointed trace table missing:\n$p")
     // the K-row model joins must broadcast, never shuffle the case grain
     assert(p.contains("BroadcastHashJoin"), s"reference model not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"case grain re-shuffled for the model join:\n$p")
