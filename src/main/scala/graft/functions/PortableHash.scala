@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   * DuckDB equivalent: ('0x' || substr(md5(s), 1, 15))::BIGINT
   */
 object PortableHash {
-  /** 60-bit portable string hash. */
-  def ph(c: Column): Column =
-    conv(substr(md5(c), lit(1), lit(15)), 16, 10).cast("long")
+  /** 60-bit portable string hash — the codegen'd `graft_ph` kernel
+    * ([[TextHash.phLong]]; r12). Semantically identical to the original
+    * SQL chain `conv(substr(md5(c),1,15),16,10)::long`, but one static
+    * call with a reused per-thread digest instead of four per-row
+    * allocations (fresh MessageDigest + hex string + Substring copy +
+    * Conv parse) on every corpus-grain hash site. Callers must have
+    * [[GraftFunctions.register]]ed the session (call_function resolves
+    * at analysis). */
+  def ph(c: Column): Column = call_function("graft_ph", c)
 
   val P: Long = 1000000007L
 

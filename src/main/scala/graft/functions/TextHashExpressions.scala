@@ -54,6 +54,11 @@ object TextHash {
     }
   }
 
+  /** [[ph]] of a UTF8String — the `graft_ph` expression's kernel (no
+    * memo: the expression serves arbitrary domains, including unique-
+    * per-row keys where a memo is a guaranteed miss + insert). */
+  def phLong(s: UTF8String): Long = ph(s.getBytes)
+
   /** ph(s): first 15 hex chars of md5 as long (matches PortableHash.ph). */
   def ph(bytes: Array[Byte]): Long = {
     val md = md5Local.get()
@@ -929,6 +934,34 @@ case class RepStats(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.repStatsData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): RepStats = copy(child = c)
+}
+
+/** ph(string) → bigint: the 60-bit portable hash
+  * ([[graft.functions.PortableHash]] — first 15 hex chars of md5 as
+  * int64) as ONE codegen'd kernel call. The SQL formulation
+  * `conv(substr(md5(c),1,15),16,10)::long` is semantically identical
+  * but pays, per row: a fresh MessageDigest (Spark's Md5 goes through
+  * commons-codec's getInstance), a 32-char hex string, a Substring
+  * copy, and Conv's base-conversion parse — four allocations on the
+  * corpus grain at every hash site. This kernel reuses a per-thread
+  * digest and assembles the int64 straight from the digest bytes.
+  */
+case class PhHash(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ph expects string, got ${t.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ph"
+  override def staticMethod: String = "phLong"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.phLong(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): PhHash = copy(child = c)
 }
 
 /** pii_scrub(string) → struct<n_email,n_ssn,n_phone,clean>: t33's

@@ -477,6 +477,125 @@ case class KmeansArgmin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernels for the vector-grain projections (one static call from
+  * whole-stage codegen — the TextHash discipline). */
+object VectorKernels {
+  /** [[graft.operators.Similarity]]'s integer-grid quantization
+    * floor(x·10⁶) per element — replaces the interpreted
+    * `transform(embedding, x -> floor(x*1e6)::long)` HOF evaluated per
+    * corpus row at every ANN family entry point (HigherOrderFunction is
+    * CodegenFallback: per-element closure dispatch + boxed lambda
+    * variables on the corpus grain). Null elements stay null (transform
+    * parity). */
+  def quantizeData(emb: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = emb.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = emb.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+        out(i) = math.floor(x * 1000000.0d).toLong
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!emb.isNullAt(i)) {
+          val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+          out(i) = math.floor(x * 1000000.0d).toLong
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  /** s34's SQ8 encode⊕decode round-trip
+    * x̂ᵢ = loᵢ + ((qᵢ−loᵢ)·255 div spanᵢ)·spanᵢ div 255, span = max(1,
+    * hi−lo) — replaces the `transform(sequence(1, dim), i -> ...)` HOF
+    * (sequence materialization + six element_at probes per element per
+    * corpus row, all interpreted). Integer arithmetic identical to the
+    * SQL form: operands are non-negative (lo/hi are corpus min/max of
+    * q), so Java truncating division ≡ SQL DIV. Returns null on length
+    * mismatch or null elements (element_at-chain parity: never hit on
+    * the fixed-dim corpus). */
+  def sqXhatData(q: ArrayData, lo: ArrayData, hi: ArrayData): ArrayData = {
+    val n = q.numElements()
+    if (lo.numElements() != n || hi.numElements() != n) return null
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || lo.isNullAt(i) || hi.isNullAt(i)) return null
+      val l = lo.getLong(i)
+      val span = math.max(1L, hi.getLong(i) - l)
+      out(i) = l + (q.getLong(i) - l) * 255L / span * span / 255L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** quantize_vec(array<float|double>) → array<bigint>: see
+  * [[VectorKernels.quantizeData]]. */
+case class QuantizeVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_quantize_vec expects array<float|double>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "graft_quantize_vec"
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.quantizeData(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.quantizeData($c, $isFloat);")
+  override protected def withNewChildInternal(c: Expression): QuantizeVec = copy(child = c)
+}
+
+/** sq_xhat(q, lo, hi) → array<bigint>: see [[VectorKernels.sqXhatData]]. */
+case class SqXhat(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(first, second, third).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_sq_xhat expects three array<bigint> inputs, got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sq_xhat"
+  override def nullable: Boolean = true
+  override def nullSafeEval(q: Any, lo: Any, hi: Any): Any =
+    VectorKernels.sqXhatData(q.asInstanceOf[ArrayData],
+      lo.asInstanceOf[ArrayData], hi.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, lo, hi) => s"""
+      |${ev.value} = graft.functions.VectorKernels.sqXhatData($q, $lo, $hi);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SqXhat =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftFunctions {
   private val registered: java.util.Set[SparkSession] =
     java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
@@ -529,6 +648,12 @@ object GraftFunctions {
       "graft_tf_in", exprs => TfIn(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pii_scrub", exprs => PiiScrub(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ph", exprs => PhHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantize_vec", exprs => QuantizeVec(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq_xhat", exprs => SqXhat(exprs(0), exprs(1), exprs(2)), "scala_udf")
     registered.add(spark)
   }
 }

@@ -821,6 +821,7 @@ object CoreQueries {
   }
 
   def q65ApproxAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     import graft.functions.PortableHash
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),

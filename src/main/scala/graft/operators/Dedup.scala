@@ -613,9 +613,11 @@ object Dedup {
 
   /** The (doc_id, content-hash, bloom-key) projection SHARED by d37 and
     * st45 — one key definition for filter build, probe, and exact truth. */
-  private[graft] def bloomDocs(documents: DataFrame): DataFrame =
+  private[graft] def bloomDocs(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"), md5(col("text")).as("h"),
       (ph(col("text")) % P).as("x"))
+  }
 
   /** M sizes against the distinct corpus KEY count (the values actually
     * inserted) — one planning aggregate, derived identically in the
@@ -935,6 +937,7 @@ object Dedup {
     * shrinks by the cut fraction.
     */
   def d32SpanCut(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val K = CutChunkTokens
     val chunks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))

@@ -62,6 +62,7 @@ object Pipeline {
     * split from any other hash-based sampling on doc_id.
     */
   def p56StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val rates = SplitRates.toDF("lang", "test_pm", "val_pm")
     Tables.documents(spark, dir)
@@ -97,6 +98,7 @@ object Pipeline {
     * the SOURCE grain. Output is the per-source mix report.
     */
   def p57SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_input"))
       .withColumn("n_total", sum(col("n_input")).over(Window.partitionBy()))
@@ -181,6 +183,7 @@ object Pipeline {
     * in-partition sort.
     */
   def p59ShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         ph(concat_ws(":", lit("shard"), col("doc_id"))).as("k"))
@@ -216,6 +219,7 @@ object Pipeline {
     * shape, like t33/t34.
     */
   def p61ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val L = ChunkTokens; val S = ChunkStride
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
@@ -289,6 +293,7 @@ object Pipeline {
     * the oracle's single-window restatement.
     */
   def p63TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val B = BudgetBuckets
     val wIn = Window.partitionBy("source", "bucket").orderBy("okey", "doc_id")
     // the ONE corpus pass: row grain + within-bucket running token sum.
@@ -445,6 +450,7 @@ object Pipeline {
     * arithmetic, scaled grid).
     */
   def p64TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
@@ -852,6 +858,7 @@ object Pipeline {
     * (p56's discipline).
     */
   def p71LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val comp = Dedup.nearDupComponents(spark, dir)
     Tables.documents(spark, dir).select("doc_id")
       .join(comp, Seq("doc_id"), "left")

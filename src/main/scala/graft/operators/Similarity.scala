@@ -241,9 +241,15 @@ object Similarity {
   private[graft] val KmeansK = 16
 
   /** floor(x·10⁶) integer-grid quantization of an embeddings frame. */
-  private[graft] def quantize(emb: DataFrame): DataFrame =
+  /** Integer-grid quantization floor(x·10⁶) — the codegen'd
+    * `graft_quantize_vec` kernel (r12): the previous `transform` HOF is
+    * CodegenFallback, paying per-element closure dispatch on the corpus
+    * grain at EVERY ANN family entry point. */
+  private[graft] def quantize(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"),
-      transform(col("embedding"), x => floor(x * lit(1000000.0d)).cast("long")).as("q"))
+      call_function("graft_quantize_vec", col("embedding")).as("q"))
+  }
 
   /** The trained model — (cid, cv) centroids after one Lloyd update
     * from the deterministic init (K lowest vec_ids of the TRAINING
@@ -557,16 +563,14 @@ object Similarity {
     * broadcast query set; the only corpus-grain exchange is the
     * per-query top-k the whole family pays.
     */
-  /** s34's encode⊕decode round-trip as ONE SQL fragment over columns
-    * (q, lo, hi) — exposed so the property test drives the exact
-    * production expression against an in-memory reference. */
-  private[graft] def sqXhatExpr(dim: Int): String =
-    s"""transform(sequence(1, $dim), i ->
-       |  element_at(lo, i)
-       |  + ((element_at(q, i) - element_at(lo, i)) * 255L
-       |      DIV greatest(1L, element_at(hi, i) - element_at(lo, i)))
-       |    * greatest(1L, element_at(hi, i) - element_at(lo, i)) DIV 255L)"""
-      .stripMargin
+  /** s34's encode⊕decode round-trip over columns (q, lo, hi) — the
+    * codegen'd `graft_sq_xhat` kernel (r12; the previous
+    * transform-over-sequence SQL fragment ran six interpreted
+    * element_at probes per dim per corpus row). Exposed so the
+    * property test drives the exact production expression against an
+    * in-memory reference. */
+  private[graft] def sqXhat: Column =
+    call_function("graft_sq_xhat", col("q"), col("lo"), col("hi"))
 
   def s34SqAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -589,7 +593,7 @@ object Similarity {
     val wA = Window.partitionBy("query_id").orderBy(col("approx_d"), col("neighbor_id"))
     val wE = Window.partitionBy("query_id").orderBy(col("exact_d"), col("neighbor_id"))
     val scored = q.crossJoin(model)
-      .select(col("vec_id"), col("q"), expr(sqXhatExpr(dim)).as("xhat"))
+      .select(col("vec_id"), col("q"), sqXhat.as("xhat"))
       .crossJoin(queries)
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -140,6 +140,7 @@ object Sketches {
   }
 
   def q49HllSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val two53 = 1L << (HllPatternBits + 1) // 2^53, the Z unit scale
     // ONE corpus pass (r12, VERDICT r11 item 4): explode to tokens and
     // reduce straight to the DISTINCT (source, token) grain — registers
@@ -227,6 +228,7 @@ object Sketches {
     * never re-reads history.
     */
   def q69IncrRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val keys = Seq("event_type", "day")
     val ev = q69Projection(Tables.events(spark, dir))
     // per-side partial state at the (key, bucket) grain: what the stored
@@ -321,6 +323,7 @@ object Sketches {
     * window position — eval-only, droppable in production.
     */
   def q61SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
     val pb1 = HllPatternBits + 1
     val two53 = 1L << pb1

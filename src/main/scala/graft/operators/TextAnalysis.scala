@@ -131,6 +131,7 @@ object TextAnalysis {
     * a fingerprint iff vocabularies match.
     */
   def t31Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("fp", ph(expr(
         "concat_ws(' ', array_sort(array_distinct(split(text, ' '))))")))

@@ -863,9 +863,10 @@ class PropertySpec extends AnyFunSuite {
       val model = df.agg(
         array((1 to 4).map(i => min(element_at(col("q"), i))): _*).as("lo"),
         array((1 to 4).map(i => max(element_at(col("q"), i))): _*).as("hi"))
+      graft.functions.GraftFunctions.register(spark)
       val rows = df.crossJoin(broadcast(model))
         .select(col("q"), col("lo"), col("hi"),
-          expr(operators.Similarity.sqXhatExpr(4)).as("xhat"))
+          operators.Similarity.sqXhat.as("xhat"))
         .collect()
       rows.foreach { r =>
         val q = r.getSeq[Long](0); val lo = r.getSeq[Long](1)
