@@ -59,6 +59,18 @@ object TextHash {
     * per-row keys where a memo is a guaranteed miss + insert). */
   def phLong(s: UTF8String): Long = ph(s.getBytes)
 
+  /** HLL rank-of-first-one: rho = patternBits+1 − bitlength(w), with the
+    * all-zero pattern pinned at patternBits+1 — the `graft_hll_rho`
+    * kernel behind the q49/q61/q69/st46 register builds. The SQL form
+    * `when(w = 0, pb1).otherwise(pb1 - length(bin(w)))` renders a
+    * ~50-char binary STRING per corpus row just to take its length;
+    * this is one numberOfLeadingZeros instruction. w is h div 256 of
+    * the 60-bit non-negative [[ph]], so no sign handling is needed. */
+  def hllRho(w: Long): Int = {
+    val pb1 = PortableHash.HllPatternBits + 1
+    if (w == 0L) pb1 else pb1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+  }
+
   /** ph(s): first 15 hex chars of md5 as long (matches PortableHash.ph). */
   def ph(bytes: Array[Byte]): Long = {
     val md = md5Local.get()
@@ -962,6 +974,25 @@ case class PhHash(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.phLong(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): PhHash = copy(child = c)
+}
+
+/** hll_rho(bigint) → int: see [[TextHash.hllRho]]. */
+case class HllRho(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hll_rho expects bigint, got ${t.sql}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hll_rho"
+  override def staticMethod: String = "hllRho"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.hllRho(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(c: Expression): HllRho = copy(child = c)
 }
 
 /** pii_scrub(string) → struct<n_email,n_ssn,n_phone,clean>: t33's

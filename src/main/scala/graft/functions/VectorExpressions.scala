@@ -654,6 +654,8 @@ object GraftFunctions {
       "graft_quantize_vec", exprs => QuantizeVec(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq_xhat", exprs => SqXhat(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll_rho", exprs => HllRho(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

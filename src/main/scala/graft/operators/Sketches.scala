@@ -161,8 +161,7 @@ object Sketches {
       .withColumn("w", expr(s"h div $HllBuckets"))
       // rho = leading zeros in the 52-bit pattern + 1, via exact binary
       // string length (no float log2)
-      .withColumn("rho", when(col("w") === 0, lit(HllPatternBits + 1))
-        .otherwise(lit(HllPatternBits + 1) - length(bin(col("w")))))
+      .withColumn("rho", call_function("graft_hll_rho", col("w")))
     val bm = rr.groupBy("source", "bucket").agg(max(col("rho")).as("mx"))
     val z = bm.groupBy("source").agg(
         sum(expr(s"shiftleft(cast(1 as bigint), cast(${HllPatternBits + 1} - mx as int))")).as("zp"),
@@ -266,8 +265,7 @@ object Sketches {
         ph(col("user_id").cast("string")).as("h"))
       .withColumn("bucket", pmod(col("h"), lit(HllBuckets.toLong)))
       .withColumn("w", expr(s"h div $HllBuckets"))
-      .withColumn("rho", when(col("w") === 0, lit(pb1))
-        .otherwise(lit(pb1) - length(bin(col("w")))))
+      .withColumn("rho", call_function("graft_hll_rho", col("w")))
   }
 
   /** The shared report tail: merged (key, bucket) state → key-grain
@@ -341,8 +339,7 @@ object Sketches {
       .withColumn("h", ph(col("user_id").cast("string")))
       .withColumn("bucket", pmod(col("h"), lit(HllBuckets.toLong)))
       .withColumn("w", expr(s"h div $HllBuckets"))
-      .withColumn("rho", when(col("w") === 0, lit(pb1))
-        .otherwise(lit(pb1) - length(bin(col("w")))))
+      .withColumn("rho", call_function("graft_hll_rho", col("w")))
     val bm = rr.groupBy("dd", "day", "bucket").agg(max(col("rho")).as("mx"))
     val days = du.select("dd", "day").distinct()
     val grid = days

@@ -627,6 +627,7 @@ object Streams {
     * device).
     */
   def st46StreamRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     import graft.operators.Sketches
     val stream = Sketches.q69Projection(eventsStream(spark, dir))
       .groupBy("event_type", "day", "bucket")
