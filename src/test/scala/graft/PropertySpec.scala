@@ -1338,4 +1338,103 @@ class PropertySpec extends AnyFunSuite {
       assert(got === truth)
     }
   }
+
+  // ---- r12 kernel-parity properties: each codegen'd kernel must equal
+  // the declarative SQL chain it replaced, bit-for-bit, on adversarial
+  // inputs — the kernels are hand-derived scanners/loops, so the SQL
+  // chain (itself oracle-matched to DuckDB) is the reference.
+
+  test("graft_ph equals the md5/conv SQL chain on random strings") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val sGen = Gen.oneOf(
+      Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.listOf(Gen.oneOf('a', 'Z', '0', '9', ' ', 'é', '中', '@', '.')).map(_.mkString))
+    samples(sGen, 120).foreach { s =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(s)), 1),
+        StructType(Seq(StructField("s", StringType))))
+      val r = df.select(
+          call_function("graft_ph", col("s")).as("k"),
+          conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("ref"))
+        .head()
+      assert(r.getLong(0) === r.getLong(1), s"input: ${s.take(60)}")
+    }
+  }
+
+  test("graft_pii_scrub equals the regexp_count/regexp_replace chain on adversarial text") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis.{EmailPat, SsnPat, PhonePat}
+    graft.functions.GraftFunctions.register(spark)
+    // fragments chosen to stress the email scanner's backtracking
+    // (domain-run failures, @-chains, short TLDs), SSN/phone boundary
+    // shapes, and overlaps between the three patterns
+    val frag = Gen.oneOf(
+      "a@b.cd", "x123@y.z", "user9@mail.example.com", "a@b@c.com",
+      "a@.com", "a@b.c", "a@b.cc", ".x@-.co", "A@b.com", "a@B.com",
+      "123-45-6789", "1234-56-78901", "12-34-5678", "123-45-678",
+      "555-0123", "555-01ab", "555-012", "5555-0123", "555-01234",
+      "123-45-6789@x.co", "555-0199-88-7766", "plain words here",
+      "..", "@@", "-", "%+._", "9", "é中", " ", "x")
+    val textGen = Gen.listOf(frag).map(_.mkString(""))
+    val textGenSp = Gen.listOf(frag).map(_.mkString(" "))
+    Seq(textGen, textGenSp).foreach { g =>
+      samples(g, 150).foreach { s =>
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(s)), 1),
+          StructType(Seq(StructField("raw", StringType))))
+        val r = df.select(
+            expr("graft_pii_scrub(raw)").as("k"),
+            regexp_count(col("raw"), lit(EmailPat)).cast("long").as("n_email"),
+            regexp_count(col("raw"), lit(SsnPat)).cast("long").as("n_ssn"),
+            regexp_count(col("raw"), lit(PhonePat)).cast("long").as("n_phone"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              lit(EmailPat), lit("<EMAIL>")),
+              lit(SsnPat), lit("<SSN>")),
+              lit(PhonePat), lit("<PHONE>")).as("clean"))
+          .head()
+        val k = r.getStruct(0)
+        assert(k.getLong(0) === r.getLong(1), s"n_email on: ${s.take(80)}")
+        assert(k.getLong(1) === r.getLong(2), s"n_ssn on: ${s.take(80)}")
+        assert(k.getLong(2) === r.getLong(3), s"n_phone on: ${s.take(80)}")
+        assert(k.getString(3) === r.getString(4), s"clean on: ${s.take(80)}")
+      }
+    }
+  }
+
+  test("graft_quantize_vec equals the transform(floor(x*1e6)) chain on random vectors") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val vGen = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+    samples(vGen, 60).foreach { v =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(v)), 1),
+        StructType(Seq(StructField("embedding", ArrayType(FloatType)))))
+      val r = df.select(
+          call_function("graft_quantize_vec", col("embedding")).as("k"),
+          transform(col("embedding"),
+            x => floor(x * lit(1000000.0d)).cast("long")).as("ref"))
+        .head()
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"input: $v")
+    }
+  }
+
+  test("graft_hll_rho equals the bin()-length chain across the 60-bit domain") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val pb1 = graft.functions.PortableHash.HllPatternBits + 1
+    val wGen = Gen.oneOf(Gen.const(0L), Gen.const(1L),
+      Gen.const((1L << 52) - 1), Gen.choose(0L, (1L << 52) - 1),
+      Gen.choose(0L, 255L))
+    val ws = samples(wGen, 200)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(ws.map(Row(_)), 2),
+      StructType(Seq(StructField("w", LongType))))
+    val rows = df.select(col("w"),
+        call_function("graft_hll_rho", col("w")).as("k"),
+        when(col("w") === 0, lit(pb1))
+          .otherwise(lit(pb1) - length(bin(col("w")))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) === r.getInt(2), s"w=${r.getLong(0)}"))
+  }
 }
