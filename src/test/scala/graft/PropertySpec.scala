@@ -1228,9 +1228,10 @@ class PropertySpec extends AnyFunSuite {
   test("orderAssembly equals the join-shape reference on random order/lineitem layouts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // layouts include orders with 0 lineitems (null first/last ship) and
-    // shared ship dates; the union-aggregate must reproduce the left
-    // join of orders onto per-key min/max exactly
+    // layouts include orders with 0 lineitems (null first/last ship),
+    // shared ship dates, AND orphan lineitems whose key has no orders
+    // row (ADVICE r11: the left join dropped them; the trailing
+    // isNotNull filter must too — no manufactured null-odate subjects)
     val gen = for {
       nOrders <- Gen.choose(1, 12)
       orders <- Gen.sequence[List[(Long, Int, String, String)], (Long, Int, String, String)](
@@ -1240,7 +1241,7 @@ class PropertySpec extends AnyFunSuite {
           pr <- Gen.oneOf("1-URGENT", "2-HIGH", "3-MEDIUM")
         } yield (k.toLong, d, st, pr)))
       lines <- Gen.listOf(for {
-        k <- Gen.choose(1L, nOrders.toLong)
+        k <- Gen.choose(1L, nOrders.toLong + 3L)
         s <- Gen.choose(0, 2500)
       } yield (k, s))
     } yield (orders, lines)
@@ -1269,6 +1270,7 @@ class PropertySpec extends AnyFunSuite {
           max(col("prio")).as("prio"),
           min(col("ship")).as("first_ship"),
           max(col("ship")).as("last_ship"))
+        .filter(col("odate").isNotNull)
         .collect().map(r => r.getLong(0) ->
           (r.getDate(1), r.getString(2), r.getString(3),
             Option(r.getDate(4)).map(_.toString),

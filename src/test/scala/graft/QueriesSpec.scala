@@ -406,6 +406,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(endIn === sessions - users, s"END inflow $endIn != ${sessions - users}")
   }
 
+  test("st42 keeps marker and transition groups distinct when event types are literally START/END") {
+    import org.apache.spark.sql.functions._
+    // ADVICE r11: a session whose activities include the literal string
+    // "START" produces REAL gapped transitions sharing the (session,
+    // from, to) space with the gap-less first-arrival marker edge. The
+    // layout below makes the marker enter the accumulator FIRST
+    // (events A, START, A), which under the pre-r12 entry-creation flag
+    // dropped the real edge's gap; keying on the gap bit preserves it.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st42").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_st42_stage").toString
+    val rows = Seq(
+      (1L, 1L, "A",     0L),
+      (1L, 2L, "START", 10000000L),   // +10 s
+      (1L, 3L, "A",     35000000L),   // +25 s → real START→A, gapped
+      (1L, 4L, "Z",     66000000L))   // +31 s
+    import spark.implicits._
+    rows.toDF("user_id", "event_id", "event_type", "us")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(tmp, "events.parquet"))
+    val q = graft.operators.EventLog.q62Transitions(spark, tmp).collect()
+    val s = graft.streaming.Streams.st42StreamTransitions(spark, tmp).collect()
+    def rep(rs: Array[org.apache.spark.sql.Row]) =
+      rs.filter(_.getString(1) != "END")   // trailing END withheld by contract
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), if (r.isNullAt(5)) -1L else r.getLong(5)))
+        .toMap
+    assert(rep(s) === rep(q))
+    // the collision row: marker (null gap) + one real 25 s edge → n=2,
+    // mean = 25 s DIV 2 = 12 s. A dropped or zero-padded gap sum reads
+    // null or 0 here.
+    assert(rep(q)(("START", "A")) === ((2L, 1L, 12L)))
+  }
+
   test("t32 screens every training doc once; overlap bounded; planted dup flagged") {
     import org.apache.spark.sql.functions._
     val t = graft.operators.TextAnalysis.t32Contamination(spark, dir)
