@@ -298,6 +298,36 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** t35's per-document token pre-aggregate: (w, c) structs, one per
+    * DISTINCT word, first-occurrence order — the unigram analog of
+    * [[bigramCountsData]] (same clone discipline: emitted words are
+    * copied off the scan-owned input buffer). Replaces the explode +
+    * (doc_id, token) hash aggregation: tf completes per document, so
+    * NO occurrence-grain rows or corpus-grain exchange exist in the
+    * plan at all — at 100 TB the old shape shuffled every token
+    * occurrence once. */
+  def tokenCountsData(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      val e = m.get(w)
+      if (e == null) m.put(w.clone(), Array(1L)) else e(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = InternalRow(e.getKey, e.getValue()(0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** p69's per-document hashed-feature pre-aggregate: (f, c) structs,
     * one per OCCUPIED bucket, ascending f — exactly
     * groupBy(doc, f).count over [[featHashesData]]'s explode, computed
@@ -1018,6 +1048,29 @@ case class PiiScrub(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.piiScrubData(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): PiiScrub = copy(child = c)
+}
+
+/** token_counts(array<string>) → array<struct<w,c>>: t35's per-document
+  * distinct-token counts — see [[TextHash.tokenCountsData]].
+  */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_token_counts expects array<string> without nulls, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_token_counts"
+  override def staticMethod: String = "tokenCountsData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.tokenCountsData(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): TokenCounts = copy(child = c)
 }
 
 /** feat_counts(array<string>) → array<struct<f,c>>: p69's per-document

@@ -656,6 +656,8 @@ object GraftFunctions {
       "graft_sq_xhat", exprs => SqXhat(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll_rho", exprs => HllRho(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_counts", exprs => TokenCounts(exprs.head), "scala_udf")
     registered.add(spark)
   }
 }

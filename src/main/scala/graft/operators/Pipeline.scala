@@ -363,11 +363,18 @@ object Pipeline {
   /** Rule core over any (doc_id, text) frame — extracted so property
     * tests can drive random corpora through the exact production plan. */
   private[graft] def p60VocabCore(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // per-doc token counts complete inside graft_token_counts (r12, the
+    // t35 kernel): the vocabulary aggregation reads (doc, DISTINCT
+    // token, c) rows instead of raw occurrences, n_docs is a plain
+    // count(*) (each pair appears once) — the countDistinct Expand and
+    // its doubled occurrence stream drop out of the plan entirely.
     val tf = documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
-      .select(col("doc_id"), explode(col("words")).as("token"))
+      .select(col("doc_id"), explode(expr("graft_token_counts(words)")).as("tc"))
+      .select(col("tc.w").as("token"), col("tc.c").as("c"))
       .groupBy("token")
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
     // the corpus token total is Σ n_occ over the vocabulary — derived
     // from the SAME tf aggregate the top-K branch consumes, phrased so
     // n_docs stays needed (the t35/d30 ReuseExchange contract): one

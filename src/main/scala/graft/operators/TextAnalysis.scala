@@ -309,13 +309,16 @@ object TextAnalysis {
     * The signal corpus pipelines use for topic tagging and
     * stratified inspection sampling.
     *
-    * 100 TB posture: term frequency aggregates on the (doc, token) grain
-    * with map-side combine; document frequency is a second aggregation
-    * of that SAME grain (one row per distinct pair, so `count(*)` = df —
-    * no count-distinct expansion) and comes back as a broadcast join
-    * (a tokenizer-scale vocabulary is MBs; a join would re-shuffle every
-    * (doc, token) pair by token). The per-doc top-k filter on
-    * `row_number` is pushed into the shuffle as WindowGroupLimit
+    * 100 TB posture (r12): term frequency completes PER DOCUMENT inside
+    * the codegen'd `graft_token_counts` kernel — token occurrences
+    * never exist as rows, so nothing corpus-sized ever shuffles.
+    * Document frequency is one aggregation of the (doc, distinct-token)
+    * grain (one row per distinct pair, so `count(*)` = df — no
+    * count-distinct expansion) and comes back as a broadcast join (a
+    * tokenizer-scale vocabulary is MBs; a join would re-shuffle every
+    * (doc, token) pair by token). The corpus is scanned twice (df pass,
+    * score pass — t36's CCNet two-pass shape); the per-doc top-k filter
+    * on `row_number` is pushed into the shuffle as WindowGroupLimit
     * (PlanSpec pins it) — only ≤k rows per doc survive the exchange.
     */
   def t35Keywords(spark: SparkSession, dir: String): DataFrame =
@@ -324,26 +327,26 @@ object TextAnalysis {
   /** Rule core over any (doc_id, text) frame — extracted so property
     * tests can drive random corpora through the exact production plan. */
   private[graft] def t35KeywordsCore(documents: DataFrame): DataFrame = {
-    // the ONE corpus-grain exchange hashes by doc_id ALONE: it satisfies
-    // the (doc_id, token) aggregation via the subset rule AND the
-    // per-doc rank window downstream, so the (doc, token) grain is never
-    // re-shuffled for the top-k (the r7 plan paid a second corpus-grain
-    // exchange there — measured 2.70 → 1.8 s at sf1). The trade is
-    // shuffling raw exploded tokens instead of map-combined pairs;
-    // at this corpus's tf distribution the extra rows cost less than
-    // the extra exchange + sort.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // tf completes PER DOCUMENT inside the codegen'd graft_token_counts
+    // kernel (r12; the bigram_counts/t36 discipline) — occurrence rows
+    // never exist in the plan. The ONE corpus exchange (kept from the
+    // r8 design: hash by doc_id ALONE, reused by the df branch AND
+    // satisfying the rank window via the subset rule) now carries
+    // (doc, DISTINCT token, count) rows instead of raw occurrences —
+    // same minimal exchange count, strictly fewer bytes. A two-scan
+    // variant (df pass + score pass, t36's shape) was measured WORSE
+    // here (2.30 vs 2.12 s at sf1): t35's probe side needs the full
+    // per-doc tf rows anyway, so the second kernel scan buys nothing.
     val tf = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"),
+        explode(expr("graft_token_counts(split(text, ' '))")).as("tc"))
+      .select(col("doc_id"), col("tc.w").as("token"), col("tc.c").as("tf"))
       .repartition(col("doc_id"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
-    // sum(tf>=1 ? 1 : 0) IS count(*) here (tf is a count, always >= 1),
-    // phrased so this branch's aggregate still needs the tf column: with
-    // count(*) Catalyst prunes tf out and rewrites the branch to a
-    // keys-only distinct, the two tf subtrees stop being canonically
-    // identical, and ReuseExchange can no longer collapse them — the
-    // corpus would be scanned and exploded twice. Degrades gracefully
-    // (correct, one extra scan) if a future optimizer folds it.
+    // phrased so the df branch still needs the tf column: with count(*)
+    // Catalyst prunes tf below the exchange, the two subtrees stop
+    // being canonically identical, and ReuseExchange can no longer
+    // collapse them (the corpus would be scanned twice)
     val docFreq = tf.groupBy("token")
       .agg(sum(when(col("tf") >= 1L, 1L).otherwise(0L)).as("df"))
     tf.join(broadcast(docFreq), Seq("token"))

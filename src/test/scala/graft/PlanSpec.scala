@@ -245,16 +245,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"(doc, token) grain re-shuffled:\n$p")
     // rnk <= K must become WindowGroupLimit so only K rows/doc survive
     assert(p.contains("WindowGroupLimit"), s"top-k not pushed down:\n$p")
-    // tf feeds BOTH the probe side and the df aggregation through ONE
-    // reused exchange — the corpus must be scanned and exploded once,
-    // not once per branch (the df formulation is phrased to keep the
-    // two tf subtrees canonically identical; see t35Keywords)
+    // r12: tf completes per document inside graft_token_counts —
+    // occurrence rows never exist; the ONE doc_id-keyed exchange
+    // (reused by probe + df branches, satisfying the rank window via
+    // the subset rule) carries (doc, distinct-token, count) rows
+    assert(p.contains("graft_token_counts"), s"tf kernel missing:\n$p")
     val scans = "Scan parquet".r.findAllMatchIn(p).length
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
-    // the one corpus-grain exchange hashes by doc_id ALONE (subset rule
-    // serves the pair aggregation AND the rank window) — a (doc, token)
-    // keyed exchange means the top-k re-shuffled the corpus (r8 fix:
-    // 2.70 → 1.51 s at sf1)
+    assert(p.contains("ReusedExchange"), s"df branch re-ran the kernel scan:\n$p")
+    // a (doc, token)-keyed exchange means the top-k re-shuffled the grain
     assert("hashpartitioning\\(doc_id#\\d+, token".r.findFirstIn(p).isEmpty,
       s"(doc, token)-keyed corpus exchange reappeared:\n$p")
   }
