@@ -406,6 +406,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(endIn === sessions - users, s"END inflow $endIn != ${sessions - users}")
   }
 
+  test("graft_token_counts: distinct counts, first-occurrence order, cloned output") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      "b a c a b a",  // counts + first-occurrence order (b, a, c)
+      "x",            // singleton
+      ""              // split("") = [""] → one empty-string token
+    ).toDF("text")
+    val out = rows.selectExpr("graft_token_counts(split(text, ' ')) AS x")
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))).toList)
+    assert(out(0) === List(("b", 2L), ("a", 3L), ("c", 1L)))
+    assert(out(1) === List(("x", 1L)))
+    assert(out(2) === List(("", 1L)))
+    // clone discipline: buffered output from an unsafe-backed scan must
+    // not alias the reused input buffer — collect distinct tokens across
+    // many rows and check no cross-row corruption
+    val many = (0 until 200).map(i => s"w$i common").toDF("text")
+    val toks = many.selectExpr("explode(graft_token_counts(split(text, ' '))) AS t")
+      .select("t.w").collect().map(_.getString(0)).toSet
+    assert(toks.size === 201 && toks.contains("common") && toks.contains("w199"))
+  }
+
   test("st42 keeps marker and transition groups distinct when event types are literally START/END") {
     import org.apache.spark.sql.functions._
     // ADVICE r11: a session whose activities include the literal string
