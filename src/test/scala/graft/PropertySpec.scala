@@ -1380,7 +1380,13 @@ class PropertySpec extends AnyFunSuite {
       "..", "@@", "-", "%+._", "9", "é中", " ", "x")
     val textGen = Gen.listOf(frag).map(_.mkString(""))
     val textGenSp = Gen.listOf(frag).map(_.mkString(" "))
-    Seq(textGen, textGenSp).foreach { g =>
+    // dense random strings over exactly the pattern alphabet — stresses
+    // the email scanner's resume-at-@+1 rule and run boundaries harder
+    // than any hand-picked fragment
+    val charGen = Gen.listOf(Gen.oneOf(
+      'a', 'b', 'c', '@', '.', '-', '5', '0', '1', '2', '9', ' ', '%', '_', '+'))
+      .map(_.mkString)
+    Seq(textGen, textGenSp, charGen).foreach { g =>
       samples(g, 150).foreach { s =>
         val df = spark.createDataFrame(
           spark.sparkContext.parallelize(Seq(Row(s)), 1),
