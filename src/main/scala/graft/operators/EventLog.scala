@@ -165,20 +165,20 @@ object EventLog {
     */
   def q55Conformance(spark: SparkSession, dir: String): DataFrame = {
     // |cases|-grain trace table checkpointed (q61's du pattern, r12 —
-    // VERDICT r11 item 5): its three consumers (the reference top-K,
-    // the prefix set via ref, and the probe side) otherwise each
-    // re-run the event-grain sessionization exchange — ReuseExchange
-    // does not fire across the differently-shaped parents. ref is
-    // K rows; checkpointing it keeps refPfx from re-running the
-    // |cases| frequency aggregation a second time.
+    // VERDICT r11 item 5): its consumers (the reference top-K, the
+    // prefix set, and the probe side) otherwise each re-run the
+    // event-grain sessionization exchange — ReuseExchange does not
+    // fire across the differently-shaped parents. ref itself is NOT
+    // checkpointed: its two consumers (broadcast + refPfx) re-run only
+    // a trivial aggregate over the materialized |cases| table, cheaper
+    // than a second eager materialization job.
     val traces = graft.Checkpoints.of(caseTraces(spark, dir))
     val pfx = (c: org.apache.spark.sql.Column) =>
       concat_ws(">", slice(split(c, ">"), 1, ConformancePrefix))
-    val ref = graft.Checkpoints.of(
-      traces.groupBy("trace").agg(count(lit(1)).as("n_cases"))
-        .orderBy(col("n_cases").desc, col("trace"))
-        .limit(ConformanceTopK)
-        .select(col("trace").as("ref_trace")))
+    val ref = traces.groupBy("trace").agg(count(lit(1)).as("n_cases"))
+      .orderBy(col("n_cases").desc, col("trace"))
+      .limit(ConformanceTopK)
+      .select(col("trace").as("ref_trace"))
     val refPfx = ref.select(pfx(col("ref_trace")).as("ref_prefix")).distinct()
     traces
       .join(broadcast(ref), col("trace") === col("ref_trace"), "left")
