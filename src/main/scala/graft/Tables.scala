@@ -117,7 +117,14 @@ object Tables {
     * integral corpora: a lineitem whose l_orderkey has no orders row
     * is dropped (as the join dropped it) instead of surfacing as a
     * manufactured subject with null odate/status/prio. Free under RI
-    * (predicate on the aggregate output, no extra exchange).
+    * (predicate on the aggregate output, no extra exchange). Like the
+    * uniqueness assumption above, this leans on a data contract: the
+    * odate presence test assumes o_orderdate is NON-NULL on every
+    * orders row (true of this corpus and TPC-H's NOT NULL schema). A
+    * matched order whose o_orderdate were literally NULL would be
+    * dropped here where the join would keep it with null odate; a
+    * corpus without that contract should key the filter on a
+    * max(lit(1))-style presence flag from the orders branch instead.
     */
   private[graft] def orderAssembly(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -211,12 +211,15 @@ object Sketches {
     * algebra — counts/sums ADD, HLL distinct-user registers take the
     * register-wise MAX (q49's family; the reason the sketch is the
     * production distinct: exact COUNT(DISTINCT) is not incrementally
-    * maintainable without keeping every value). The output carries the
-    * full-rebuild reference columns and a `maintenance_exact` witness:
-    * merged counts/sums equal the rebuild by arithmetic, and the merged
-    * ESTIMATE equals the rebuild estimate BIT-FOR-BIT because register
-    * max is associative — the algebraic fact that makes incremental
-    * sketch maintenance sound, here pinned per output row.
+    * maintainable without keeping every value). The output schema keeps
+    * the full-rebuild reference columns (`est_users_full`/`n_full`) and
+    * the `maintenance_exact` witness, but since r12 both sides derive
+    * from the ONE checkpointed (key, bucket) state — the witness is
+    * tautological in-plan and the merge ≡ rebuild equality is verified
+    * EXTERNALLY: the DuckDB oracle computes est_users_full from raw
+    * events in SQL and must hash-match, and st46 rebuilds independently
+    * (spec-pinned). A second in-plan corpus scan bought nothing the
+    * oracle doesn't already prove and cost two extra passes.
     *
     * 100 TB posture: at production scale the standing side is the
     * STORED rollup (keys × 256 register rows — no corpus scan; here

@@ -505,6 +505,10 @@ object TextAnalysis {
   /** Sketch core over any (doc_id, text) frame — extracted so property
     * tests can drive random corpora through the exact production plan. */
   private[graft] def t37CmsCore(documents: DataFrame): DataFrame = {
+    // register on the INPUT's session (r13, ADVICE r12 item 1): cmsBucket
+    // resolves graft_ph at analysis time, and a fresh session (driver
+    // running only t37) has no earlier operator to register it.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val tf = documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(explode(col("words")).as("token"))

@@ -51,6 +51,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(vary.toList === List(List("a"), List("b"), List("a")))
   }
 
+  test("t37 resolves on a fresh session (driver SPARK_GRAFT_ONLY path)") {
+    // ADVICE r12 item 1: cmsBucket resolves graft_ph at analysis time;
+    // a session with no prior operator run has an empty registry. A
+    // newSession() has its own FunctionRegistry, reproducing the
+    // driver's single-query invocation.
+    val s = spark.newSession()
+    val out = graft.operators.TextAnalysis.t37CmsFreq(s, dir)
+    assert(out.limit(1).count() == 1)
+  }
+
   test("every query key has either an oracle or a documented omission") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
