@@ -126,6 +126,24 @@ object Tables {
     * corpus without that contract should key the filter on a
     * max(lit(1))-style presence flag from the orders branch instead.
     */
+  /** Small-input scan rebalance: when the input's split count leaves
+    * most cores idle (a single-row-group parquet file caps the scan —
+    * and everything fused onto it — at ONE task, while a single-process
+    * engine parallelizes within the row group), pay one round-robin
+    * exchange of the raw rows so the expensive per-row work downstream
+    * runs on every core. GATED so it is a no-op exactly when it would
+    * hurt: a production lake's layout has splits ≫ cores, the gate
+    * (splits·2 ≤ cores) never fires, and no corpus-sized shuffle is
+    * added — this is the AQE rebalance idea applied at the scan, where
+    * AQE cannot reach (it only rewrites shuffles). Use it ONLY under
+    * operators whose per-row work dominates their scan (kernel-heavy
+    * text passes), never blanket — for cheap projections the exchange
+    * costs more than the idle cores. */
+  private[graft] def rebalanceSmallScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+  }
+
   private[graft] def orderAssembly(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     orders(s, d).select(

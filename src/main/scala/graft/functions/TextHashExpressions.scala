@@ -441,6 +441,111 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Per-thread memo for [[lmDocScoreData]]'s bigram model: the model
+    * argument rides a broadcast 1-row cross join (t36's trained-model
+    * deployment), so every row of a partition carries the same model
+    * array. Reuse is validated by the caller-supplied CONTENT
+    * FINGERPRINT — an order-independent hash computed over the model
+    * rows in the SAME 1-row aggregation that folds the model (see
+    * [[graft.operators.TextAnalysis.t36Scores]]), so model and fp
+    * cannot drift. The [[tfInData]] full-byte-comparison rule does not
+    * transfer here: this model is vocabulary²-sized (hundreds of KB),
+    * not a few-KB term list, and the per-row memcmp measured 25 of the
+    * 39 µs/doc that made the kernel form SLOWER than the join it
+    * replaced — validation must be O(1). Keys are the space-joined
+    * bigram ("w1 w2" — tokens come from split(' '), so a token never
+    * contains the delimiter), values the model's s_ppm. */
+  private val lmMemo = new ThreadLocal[(Long, java.util.HashMap[UTF8String, Array[Long]])]
+
+  private def lmModelMap(model: ArrayData, fp: Long): java.util.HashMap[UTF8String, Array[Long]] = {
+    val memo = lmMemo.get()
+    if (memo != null && memo._1 == fp) memo._2
+    else {
+      val m = new java.util.HashMap[UTF8String, Array[Long]](model.numElements() * 2)
+      var j = 0
+      while (j < model.numElements()) {
+        val r = model.getStruct(j, 3)
+        m.put(UTF8String.concat(r.getUTF8String(0), Space, r.getUTF8String(1)).clone(),
+          Array(r.getLong(2)))
+        j += 1
+      }
+      lmMemo.set((fp, m))
+      m
+    }
+  }
+
+  /** Java-regex line terminators — the characters `(.)` does NOT match,
+    * so the p66/p68 per-char symbolization leaves them un-spaced. The
+    * kernels replicate this exactly to stay bit-identical with the
+    * regexp_replace(..., "(.)", "$1 ") formulation they replace. */
+  private def isLineTerm(cp: Int): Boolean =
+    cp == '\n' || cp == '\r' || cp == 0x85 || cp == 0x2028 || cp == 0x2029
+
+  /** p66/p68's character symbolization: leading space, each code point
+    * followed by a space (line terminators excepted — the Java-regex
+    * `(.)` contract), spaces optionally replaced by the '|' word
+    * sentinel first. ≡ concat(' ', regexp_replace([replace(s,' ','|')],
+    * '(.)', '$1 ')) for every input. */
+  def bpeSpacedSym(s: String, sentinel: Boolean): String = {
+    val sb = new java.lang.StringBuilder(s.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (sentinel && cp == ' ') sb.append('|') else sb.appendCodePoint(cp)
+      if (!isLineTerm(cp)) sb.append(' ')
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** p68's whole-document BPE encode step in ONE call: '|'-sentinel
+    * symbolization ([[bpeSpacedSym]]) then the learned merges applied
+    * in rank order via Java String.replace — the same stdlib
+    * left-to-right non-overlapping scan the previous
+    * replace-per-merge column chain used (bit-identical, including on
+    * ≥4-symbol runs), without K broadcast joins or the corpus-grain
+    * regexp_replace. merges rows are (rnk, pair, m) sorted ascending
+    * by rnk by the caller; an empty merge table passes the
+    * symbolization through unchanged (the left-join-NULL contract). */
+  def bpeApplyData(text: UTF8String, merges: ArrayData): UTF8String = {
+    var sym = bpeSpacedSym(text.toString, sentinel = true)
+    val k = merges.numElements()
+    var j = 0
+    while (j < k) {
+      val r = merges.getStruct(j, 3)
+      sym = sym.replace(
+        " " + r.getUTF8String(1).toString + " ",
+        " " + r.getUTF8String(2).toString + " ")
+      j += 1
+    }
+    UTF8String.fromString(sym)
+  }
+
+  /** t36's per-document LM score computed in ONE pass against the
+    * memoized broadcast model: walks the words array once, looks up
+    * each adjacent pair's s_ppm, and returns (n_bigrams, tot) — the
+    * exact sums the explode → broadcast-join → per-doc HashAggregate
+    * chain produced, without materializing a bigram row, probing a
+    * join, or re-grouping by doc (sum over bigram TYPES of n·s ≡ sum
+    * over OCCURRENCES of s). A pair absent from the model is skipped
+    * from both sums — inner-join semantics (vacuous when the model is
+    * trained on the same corpus, pinned by the contract test). */
+  def lmDocScoreData(words: ArrayData, model: ArrayData, fp: Long): InternalRow = {
+    val m = lmModelMap(model, fp)
+    val n = words.numElements()
+    var nb = 0L
+    var tot = 0L
+    var i = 0
+    while (i + 1 < n) {
+      val s = m.get(UTF8String.concat(words.getUTF8String(i), Space,
+        words.getUTF8String(i + 1)))
+      if (s != null) { nb += 1L; tot += s(0) }
+      i += 1
+    }
+    InternalRow(nb, tot)
+  }
+
   /** Portable hashes of EVERY w-token window, stride 1, positions
     * preserved (NOT distinct — span detection counts occurrences, so a
     * passage repeated within one document must appear twice). Same
@@ -958,6 +1063,89 @@ case class TfIn(child: Expression, termsExpr: Expression)
       s"${ev.value} = graft.functions.TextHash.tfInData($a, $b);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): TfIn = copy(child = l, termsExpr = r)
+}
+
+/** lm_doc_score(array<string>, array<struct<w1,w2,s_ppm>>, bigint) →
+  * struct<n_bigrams,tot>: t36's per-document LM score sums against a
+  * broadcast bigram model — see [[TextHash.lmDocScoreData]]. The model
+  * side is expected to ride a broadcast 1-row cross join; the third
+  * argument is the model's content fingerprint, computed in the same
+  * 1-row aggregation, which keys the per-partition model-map memo
+  * (O(1) validation — see the [[TextHash]] memo note).
+  */
+case class LmDocScore(child: Expression, modelExpr: Expression, fpExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = modelExpr
+  override def third: Expression = fpExpr
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, modelExpr.dataType, fpExpr.dataType) match {
+      // containsNull rejected on both arrays: a null token/model row
+      // would NPE in the map probe/build. Field nullability is NOT
+      // pinned (aggregate-derived model columns surface as nullable);
+      // the model-build contract is that no field value is null.
+      case (ArrayType(StringType, false),
+            ArrayType(StructType(Array(
+              StructField(_, StringType, _, _),
+              StructField(_, StringType, _, _),
+              StructField(_, LongType, _, _))), false),
+            LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (t1, t2, t3) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lm_doc_score expects (array<string>, array<struct<w1 string, " +
+            s"w2 string, s_ppm bigint>>, bigint) without nulls, got " +
+            s"(${t1.sql}, ${t2.sql}, ${t3.sql})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("tot", LongType, nullable = false)))
+  override def prettyName: String = "graft_lm_doc_score"
+  override def nullSafeEval(words: Any, model: Any, fp: Any): Any =
+    TextHash.lmDocScoreData(words.asInstanceOf[ArrayData],
+      model.asInstanceOf[ArrayData], fp.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.TextHash.lmDocScoreData($a, $b, $c);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LmDocScore =
+    copy(child = f, modelExpr = s, fpExpr = t)
+}
+
+/** bpe_apply(string, array<struct<rnk,pair,m>>) → string: p68's
+  * sentinel symbolization + rank-ordered merge application — see
+  * [[TextHash.bpeApplyData]]. The merges side rides a broadcast 1-row
+  * cross join (K ≤ a few entries — read per row, no memo needed).
+  */
+case class BpeApply(child: Expression, mergesExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = mergesExpr
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (child.dataType, mergesExpr.dataType) match {
+      // containsNull rejected on the merge array; field nullability not
+      // pinned (aggregate-derived columns surface nullable) — the
+      // learn-table contract is that no field value is null
+      case (StringType,
+            ArrayType(StructType(Array(
+              StructField(_, LongType, _, _),
+              StructField(_, StringType, _, _),
+              StructField(_, StringType, _, _))), false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (t1, t2) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe_apply expects (string, array<struct<rnk bigint, pair " +
+            s"string, m string>>) without nulls, got (${t1.sql}, ${t2.sql})")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_bpe_apply"
+  override def nullSafeEval(text: Any, merges: Any): Any =
+    TextHash.bpeApplyData(text.asInstanceOf[UTF8String], merges.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHash.bpeApplyData($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BpeApply = copy(child = l, mergesExpr = r)
 }
 
 /** rep_stats(array<string>) → struct<n_words,n_distinct,top_bigram_n,

@@ -658,6 +658,10 @@ object GraftFunctions {
       "graft_hll_rho", exprs => HllRho(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_counts", exprs => TokenCounts(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lm_doc_score", exprs => LmDocScore(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_apply", exprs => BpeApply(exprs(0), exprs(1)), "scala_udf")
     registered.add(spark)
   }
 }

@@ -541,12 +541,18 @@ object Pipeline {
     * The classic scale trick IS the Spark shape: BPE statistics depend
     * only on the WORD-COUNT table, not the corpus — so the single
     * corpus-sized stage is the word-frequency aggregation (map-side
-    * combined, ≤|vocab| rows per task), and every learn iteration runs
-    * on the |vocab| grain: adjacent-pair stats as a bounded explode
-    * (≤|word|−1 pairs per word), the argmax as a 1-row TakeOrdered
-    * broadcast back into a pure projection that applies the merge
-    * (the q56/p60 broadcast-scalar pattern — no driver loop, the K
-    * iterations unroll as column expressions in ONE plan).
+    * combined, ≤|vocab| rows per task), and the learn loop runs over
+    * the bounded |vocab| grain in ONE task (r13): the K merge rounds
+    * are inherently sequential (round k's pair counts depend on round
+    * k−1's fusion), so distributing them bought K argmax jobs + K
+    * broadcasts of per-round stats on a table that fits one executor —
+    * the sf1 pair read 1.74 s of job floors for 3 merges. This is the
+    * posture every production tokenizer trainer (SentencePiece, HF
+    * tokenizers) uses: corpus-sized counting distributed, the
+    * sequential learn on the collapsed vocabulary in one process —
+    * and it frees K from plan-size limits (the unrolled form capped K
+    * at a handful; a 30k-merge production run is now just a longer
+    * in-task loop over the same bounded table).
     *
     * Merge application is a single `replace(sym, ' l r ', ' lr ')` pass
     * on the space-joined symbol string — the stdlib left-to-right
@@ -557,72 +563,101 @@ object Pipeline {
     * every other pair disjointly — a documented deviation that no
     * natural-language word shape hits (it needs "aaaa"); determinism and
     * cross-engine parity are the contract here. Pair ties break by pair
-    * string ascending (reference implementations break ties arbitrarily;
-    * a distributed build must pin them). Learning stops early if no pair
+    * string ascending (binary order — what both engines' ORDER BY
+    * collates; reference implementations break ties arbitrarily, a
+    * distributed build must pin them). Learning stops early if no pair
     * remains (all words single-symbol): later ranks simply emit no row.
-    *
-    * Pair extraction uses an interpreted `transform` HOF — acceptable
-    * precisely because it runs on the vocabulary grain, never the
-    * corpus (the t38 stop-scores lesson applies to corpus-sized chains
-    * only; a codegen kernel here would optimize |vocab| rows).
     */
   def p66BpeMerges(spark: SparkSession, dir: String): DataFrame =
     p66BpeCore(Tables.documents(spark, dir))
 
-  /** The shared learn loop: per rank k, the ≤1-row argmax frame
-    * (pair, pair_n, m). ONE definition feeds p66's merge report and
-    * p68's corpus encoder, so learn and apply cannot drift. Each top
-    * chains on the previous merges through the lazy plan — nothing
-    * executes until the caller's action. */
-  private[graft] def bpeLearnTops(documents: DataFrame): Seq[DataFrame] = {
-    val wc = documents
+  /** One learned merge: rank, the fused pair's sides, the merged symbol,
+    * the weighted pair count at fusion time. */
+  private[graft] case class BpeMerge(rnk: Long, left_sym: String,
+      right_sym: String, merged: String, pair_n: Long)
+
+  /** The shared learn: corpus word counts (the ONLY corpus-sized stage,
+    * map-side combined) collapse to one partition and the K sequential
+    * merge rounds run in ONE task over the in-memory vocabulary —
+    * symbolization, pair counting, (count desc, pair asc) argmax and
+    * Java String.replace application all bit-identical to the DuckDB
+    * oracle's unrolled CTE chain (and to the r12 unrolled Spark plan).
+    * ONE definition feeds p66's merge report and p68's corpus encoder,
+    * so learn and apply cannot drift. Returns the ≤K-row merge table;
+    * deterministic regardless of row arrival order (full-map argmax
+    * with a pinned tie-break). */
+  private[graft] def bpeLearnTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(explode(col("words")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wn"))
-      // materialize the vocab grain ONCE (the d26 iterative-algorithm
-      // discipline): the corpus-sized aggregation runs exactly one job,
-      // and all K unrolled iterations + output branches iterate over the
-      // |vocab| rows. Without this the union's step-1 branch missed AQE
-      // exchange reuse and re-scanned the corpus (measured: 2 scans).
-      // Memory-only lineage truncation — same trade as d26, documented
-      // there; production swaps checkpoint() for failure-tolerant runs.
-      .graftCheckpoint()
-    var syms = wc.withColumn("sym",
-      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
-    val tops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to BpeMerges) {
-      val top = syms
-        .withColumn("arr", split(trim(col("sym")), " "))
-        .filter(size(col("arr")) >= 2)
-        .select(col("wn"), explode(expr(
-          """transform(sequence(1, size(arr) - 1),
-            |  i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"""
-            .stripMargin)).as("pair"))
-        .groupBy("pair").agg(sum(col("wn")).as("pair_n"))
-        .orderBy(col("pair_n").desc, col("pair")).limit(1)
-        .withColumn("m", expr("replace(pair, ' ', '')"))
-      tops += top
-      syms = syms
-        .crossJoin(broadcast(top.select(col("pair"), col("m"))))
-        .withColumn("sym",
-          expr("replace(sym, concat(' ', pair, ' '), concat(' ', m, ' '))"))
-        .select(col("word"), col("wn"), col("sym"))
-    }
-    tops.toSeq
+      .as[(String, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        // (sym, wn) with p66's symbolization: " c h a r s " (the shared
+        // kernel helper — the Java-regex per-code-point contract)
+        var syms = it.map { case (w, n) =>
+          (graft.functions.TextHash.bpeSpacedSym(w, sentinel = false), n)
+        }.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+        var k = 1
+        var exhausted = false
+        while (k <= BpeMerges && !exhausted) {
+          val pairs = new java.util.HashMap[String, Array[Long]]()
+          syms.foreach { case (s, n) =>
+            val arr = s.trim.split(" ")
+            var i = 0
+            while (i + 1 < arr.length) {
+              val p = arr(i) + " " + arr(i + 1)
+              val e = pairs.get(p)
+              if (e == null) pairs.put(p, Array(n)) else e(0) += n
+              i += 1
+            }
+          }
+          if (pairs.isEmpty) exhausted = true
+          else {
+            // argmax by (pair_n desc, pair asc in UTF-8 binary order —
+            // the collation Spark's orderBy and DuckDB's ORDER BY share)
+            var bestP: String = null
+            var bestU: org.apache.spark.unsafe.types.UTF8String = null
+            var bestN = Long.MinValue
+            val eit = pairs.entrySet().iterator()
+            while (eit.hasNext) {
+              val e = eit.next()
+              val n = e.getValue()(0)
+              if (n > bestN) {
+                bestP = e.getKey
+                bestU = org.apache.spark.unsafe.types.UTF8String.fromString(bestP)
+                bestN = n
+              } else if (n == bestN) {
+                val u = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+                if (u.compareTo(bestU) < 0) { bestP = e.getKey; bestU = u }
+              }
+            }
+            val m = bestP.replace(" ", "")
+            val sp = bestP.split(" ")
+            out += BpeMerge(k.toLong, sp(0), sp(1), m, bestN)
+            val from = " " + bestP + " "
+            val to = " " + m + " "
+            syms = syms.map { case (s, n) => (s.replace(from, to), n) }
+          }
+          k += 1
+        }
+        out.iterator
+      }
+      .toDF()
   }
 
   /** Learn core over any (doc_id, text) frame — extracted so property
     * tests can drive random corpora through the exact production plan. */
-  private[graft] def p66BpeCore(documents: DataFrame): DataFrame = {
-    val steps = bpeLearnTops(documents).zipWithIndex.map { case (top, i) =>
-      top.select(lit(i + 1L).as("rnk"),
-        expr("split(pair, ' ')[0]").as("left_sym"),
-        expr("split(pair, ' ')[1]").as("right_sym"),
-        col("m").as("merged"), col("pair_n"))
-    }
-    steps.reduce(_ unionByName _).orderBy("rnk")
-  }
+  private[graft] def p66BpeCore(documents: DataFrame): DataFrame =
+    bpeLearnTable(documents)
+      .select(col("rnk"), col("left_sym"), col("right_sym"),
+        col("merged"), col("pair_n"))
+      .orderBy("rnk")
 
   /** p68: BPE tokenizer APPLICATION (encode) — the apply step that
     * completes p66's learn (Sennrich ACL'16, arXiv:1508.07909): the
@@ -656,22 +691,25 @@ object Pipeline {
     p68BpeEncodeCore(Tables.documents(spark, dir))
 
   private[graft] def p68BpeEncodeCore(documents: DataFrame): DataFrame = {
-    val tops = bpeLearnTops(documents)
-    var doc = documents.select(col("source"),
-      length(expr("replace(coalesce(text, ''), ' ', '')")).cast("long")
-        .as("chars"),
-      concat(lit(" "), regexp_replace(
-        expr("replace(coalesce(text, ''), ' ', '|')"), "(.)", "$1 "))
-        .as("sym"))
-    for (top <- tops) {
-      doc = doc.join(broadcast(top.select(col("pair"), col("m"))),
-          lit(true), "left")
-        .withColumn("sym", expr(
-          """CASE WHEN pair IS NULL THEN sym
-            |ELSE replace(sym, concat(' ', pair, ' '), concat(' ', m, ' '))
-            |END""".stripMargin))
-        .drop("pair", "m")
-    }
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // the ≤K-row learn table folds to ONE row (sort_array keeps rank
+    // order — merges MUST apply in learned order) and rides a broadcast
+    // cross join; the graft_bpe_apply kernel then performs the
+    // '|'-sentinel symbolization + all K stdlib replaces per document
+    // in one call — the r12 form paid K broadcast left joins and a
+    // corpus-grain regexp_replace, plus the K argmax jobs of the
+    // unrolled learn. An empty learn table (exhausted vocabulary)
+    // passes the symbolization through — the old left-join-NULL arm.
+    val merges1 = bpeLearnTable(documents)
+      .agg(sort_array(collect_list(struct(col("rnk"),
+        concat(col("left_sym"), lit(" "), col("right_sym")).as("pair"),
+        col("merged").as("m")))).as("bpe_merges"))
+    val doc = documents
+      .crossJoin(broadcast(merges1))
+      .select(col("source"),
+        length(expr("replace(coalesce(text, ''), ' ', '')")).cast("long")
+          .as("chars"),
+        expr("graft_bpe_apply(coalesce(text, ''), bpe_merges)").as("sym"))
     doc
       // symbol count = spaces-between + 1 on the trimmed string; word
       // sentinels then come back off. Pure length arithmetic — no

@@ -381,18 +381,23 @@ object TextAnalysis {
     * 100 TB posture: the per-doc bigram pre-aggregate is computed by
     * the codegen'd graft_bigram_counts kernel in one pass per document
     * — NO per-occurrence rows in the plan and NO corpus-sized exchange
-    * anywhere (the r9 form exchanged the (doc,w1,w2) grain and ran the
-    * model totals as two differently-keyed window sort+exchanges over
-    * it — measured 4.6 s of t36's 5.6 s at sf1). The MODEL collapses
-    * to the bigram-TYPE grain (vocabulary²-bounded — 9.3k types on the
-    * sf1 corpus) and BROADCASTS back onto the per-doc grain, exactly
-    * CCNet's deployment shape (the trained KenLM model ships to every
-    * worker; Wenzek §3); the corpus is scanned twice (train pass,
-    * score pass) — CCNet's own two-pass structure. If a corpus ever
-    * outgrows a broadcastable bigram model, drop the hint and the same
-    * plan degrades to one (w1,w2)-keyed shuffle join — semantics
-    * unchanged. Final per-doc rollup is partial-aggregated to the
-    * |docs| grain.
+    * anywhere except the gated small-scan rebalance (a no-op on a real
+    * lake layout — see [[graft.Tables.rebalanceSmallScan]]; the r9 form
+    * exchanged the (doc,w1,w2) grain and ran the model totals as two
+    * differently-keyed window sort+exchanges over it — measured 4.6 s
+    * of t36's 5.6 s at sf1). The MODEL collapses to the bigram-TYPE
+    * grain (vocabulary²-bounded — 9.3k types on the sf1 corpus), folds
+    * to ONE row with a content fingerprint, and BROADCASTS onto the
+    * corpus, exactly CCNet's deployment shape (the trained KenLM model
+    * ships to every worker; Wenzek §3); the SCORE pass is then a single
+    * `graft_lm_doc_score` kernel projection — each doc's words walked
+    * once against the fingerprint-memoized model map (r13; the r12
+    * score side re-exploded the per-doc bigram types, probed a join per
+    * type and re-grouped to the doc grain — sf1 pair 3.5 s → 1.9 s).
+    * The corpus is scanned twice (train pass, score pass) — CCNet's own
+    * two-pass structure. If a corpus ever outgrows a broadcastable
+    * bigram model, the r12 (w1,w2)-keyed broadcast-join form is the
+    * fallback — semantics unchanged.
     */
   def t36LmScore(spark: SparkSession, dir: String): DataFrame =
     t36Scores(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -400,36 +405,58 @@ object TextAnalysis {
   /** t36's per-doc score core — (doc_id, n_bigrams, lm_score_ppm) for
     * every doc with >= 2 words; shared with t43's bucket split (one
     * scoring definition, the withPredLang discipline). */
-  private[graft] def t36Scores(documents: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    // (doc, w1, w2, n): each distinct bigram once per doc with its
-    // count — the graft_bigram_counts kernel computes the whole per-doc
-    // pre-aggregate in one pass (a doc with < 2 words emits an empty
-    // array and vanishes at the explode, the old size >= 2 filter), so
-    // the plan never carries per-occurrence rows and never exchanges
-    // the corpus at all
-    // the model branch and the scoring join each re-run the
-    // scan+split+kernel pass (two corpus scans — CCNet's own
-    // train-then-score structure); measured AGAINST a checkpoint of
-    // dbg at sf1: two-scan 2.65 s vs ckpt 3.0 s — the string-bearing
-    // pre-aggregate costs more to materialize than the second
-    // kernel pass (p69's all-long equivalent goes the other way)
+  private[graft] def t36Scores(documents0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents0.sparkSession)
+    // both passes are kernel-heavy per-doc walks fused onto the scan —
+    // the single-row-group bench file would serialize them on one core
+    // (Tables.rebalanceSmallScan: no-op on a real lake layout)
+    val documents = graft.Tables.rebalanceSmallScan(documents0)
+    // TRAIN pass: (doc, w1, w2, n) — the graft_bigram_counts kernel
+    // computes the per-doc pre-aggregate in one pass (a doc with < 2
+    // words emits an empty array and vanishes at the explode), so the
+    // plan never carries per-occurrence rows; the model collapses to
+    // the bigram-TYPE grain (vocabulary²-bounded) and the two
+    // aggregations share one exchange via ReuseExchange
     val dbg = documents
       .select(col("doc_id"), explode(expr(
         "graft_bigram_counts(split(coalesce(text, ''), ' '))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
         col("b.n").as("n"))
-    // model totals aggregate to the bigram-TYPE grain and broadcast back
     val bg = dbg.groupBy("w1", "w2").agg(sum("n").as("c12"))
     val model = bg
       .join(broadcast(bg.groupBy("w1").agg(sum("c12").as("c1"))), Seq("w1"))
       .select(col("w1"), col("w2"), expr("c12 * 1000000 DIV c1").as("s_ppm"))
-    dbg.join(broadcast(model), Seq("w1", "w2"))
-      .groupBy("doc_id")
-      .agg(sum(col("n")).as("n_bigrams"),
-        sum(col("n") * col("s_ppm")).as("tot"))
-      .select(col("doc_id"), col("n_bigrams"),
-        expr("tot DIV n_bigrams").as("lm_score_ppm"))
+    // the trained model folds to ONE row (an executor-side collect_list
+    // at the vocabulary²-bounded grain, q56's 1-row broadcast pattern)
+    // and rides a broadcast cross join onto the corpus. SCORE pass
+    // (r13): the graft_lm_doc_score kernel walks each doc's words once
+    // against the memoized model map — the r12 form exploded the per-doc
+    // bigram types a second time, probed a broadcast join per type, and
+    // re-aggregated to the doc grain (sf1 pair 3.49 s); scoring is now a
+    // pure projection with NO explode, NO join, NO exchange. Two corpus
+    // scans remain (train, score) — CCNet's own structure; a corpus
+    // whose bigram-type grain outgrows a broadcast drops the 1-row fold
+    // and the r12 shuffle-join form returns, semantics unchanged.
+    // the fold also computes the model's content FINGERPRINT (an
+    // order-independent xor of a 64-bit row hash) in the same
+    // aggregation — the kernel's memo validates against it in O(1)
+    // instead of byte-comparing the vocabulary²-sized array per row
+    val model1 = model.agg(
+      collect_list(struct(col("w1"), col("w2"), col("s_ppm"))).as("lm_model"),
+      coalesce(bit_xor(xxhash64(col("w1"), col("w2"), col("s_ppm"))), lit(0L))
+        .as("lm_fp"))
+    documents
+      // the <2-words filter runs BEFORE the kernel: n_bigrams ≥ 1 ⟺
+      // ≥2 words (the model is trained on this same corpus, so every
+      // doc bigram is in it) — filtering on s.n_bigrams AFTER would
+      // push the predicate through the projection and evaluate the
+      // kernel twice per row (measured 1.44 s vs 0.98 s at sf0.1)
+      .withColumn("w", split(coalesce(col("text"), lit("")), " "))
+      .filter(size(col("w")) >= 2)
+      .crossJoin(broadcast(model1))
+      .withColumn("s", expr("graft_lm_doc_score(w, lm_model, lm_fp)"))
+      .select(col("doc_id"), col("s.n_bigrams").as("n_bigrams"),
+        expr("s.tot DIV s.n_bigrams").as("lm_score_ppm"))
   }
 
   /** t38: language-ID evaluation — the confusion matrix for t28's

@@ -295,6 +295,10 @@ class PlanSpec extends AnyFunSuite {
     // sort+exchanges over it, 4.6 s of t36's 5.6 s at sf1)
     assert(p.contains("graft_bigram_counts"),
       s"bigram pre-aggregate not the native kernel:\n$p")
+    // the score pass is the graft_lm_doc_score kernel projection (r13):
+    // no second explode, no score-side join probe, no per-doc re-group
+    assert(p.contains("graft_lm_doc_score"),
+      s"score pass not the native kernel:\n$p")
     assert(!p.contains("Window"), s"model totals re-grew a window pass:\n$p")
     // the model attaches by BROADCAST (CCNet's ship-the-LM shape); any
     // sort-merge join here means a corpus-sized grain is shuffling
@@ -369,23 +373,22 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
-  test("p66 BPE iterations ride the checkpointed vocab; argmax is TakeOrdered") {
+  test("p66 BPE learn: one corpus word-count stage feeds the single-task loop") {
     val df = operators.Pipeline.p66BpeMerges(spark, dir)
     val p = planString(df)
-    // the corpus-sized word-count aggregation ran ONCE in the vocab
-    // localCheckpoint job; the K learn iterations and output branches
-    // must all iterate over the materialized |vocab| rows — a parquet
-    // scan here means an iteration re-derived the corpus
+    // the ONLY corpus-sized stage is the word-count aggregation (one
+    // scan); the K sequential merge rounds run inside one task over the
+    // collapsed vocabulary (r13 — the unrolled K-argmax-jobs form paid
+    // 1.74 s of job floors at sf1 for 3 merges and capped K at plan
+    // size; the in-task loop reads 0.98 s and frees K)
     val scans = "Scan parquet".r.findAllMatchIn(p).length
-    assert(scans == 0, s"expected 0 corpus scans after the vocab checkpoint, got $scans:\n$p")
-    // each merge selection is a 1-row TakeOrdered (per-partition heaps),
-    // never a global sort of the pair stats
-    assert(p.contains("TakeOrdered"), s"pair argmax not TakeOrdered:\n$p")
-    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
-    // the merge rules broadcast back into the symbol projection
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"merge rule not broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"vocab re-shuffled for a 1-row rule:\n$p")
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"learn loop not the single-task map:\n$p")
+    // no join anywhere: the learn loop replaces the per-round
+    // argmax-broadcast-crossJoin machinery
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("TakeOrdered"), s"per-round argmax job resurfaced:\n$p")
   }
 
   test("s34 SQ scoring stays codegen'd; corpus meets only broadcast relations") {
@@ -798,16 +801,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
-  test("p68 encode: merge scalars broadcast; apply side adds ONE corpus scan") {
+  test("p68 encode: merge table broadcast once; encode is a kernel projection") {
     val df = operators.Pipeline.p68BpeEncode(spark, dir)
     val p = planString(df)
-    // K merge rows arrive as broadcast 1-row loop relations, never a
-    // shuffle join against the corpus
+    // the merge table arrives as ONE broadcast 1-row relation (r13 —
+    // the K-left-joins-+ -corpus-regexp form is gone), never a shuffle
+    // join against the corpus
     assert(!p.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$p")
-    // the encode stage reads documents exactly once (the learn side's
-    // word-count scan is materialized behind the localCheckpoint)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"merge table not broadcast:\n$p")
+    assert(p.contains("graft_bpe_apply"), s"encode not the native kernel:\n$p")
+    // two corpus scans: the learn side's word count + the encode pass
+    // (the learn loop no longer hides its scan behind a checkpoint)
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected 1 corpus scan in the encode plan, got $scans:\n$p")
+    assert(scans == 2, s"expected 2 corpus scans (learn + encode), got $scans:\n$p")
   }
 
   test("q65 approx agg is one scan, one aggregate, no join") {

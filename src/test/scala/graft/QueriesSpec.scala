@@ -61,6 +61,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(out.limit(1).count() == 1)
   }
 
+  test("graft_bpe_apply symbolization ≡ the regexp formulation it replaced") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // line terminators are the Java-regex `(.)` edge: regexp_replace
+    // leaves them un-spaced, and the kernel must reproduce that exactly
+    val rows = Seq("a b ab", "", " ", "a\nb c", "x\ry", "aaaa aa a", "|a| b")
+      .toDF("text")
+    val both = rows.selectExpr(
+      // slice-to-empty keeps containsNull=false where a CAST would not
+      "graft_bpe_apply(text, slice(array(struct(1L AS rnk, 'a b' AS pair," +
+        " 'ab' AS m)), 1, 0)) AS k_empty",
+      "concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '$1 ')) AS r_sym",
+      "graft_bpe_apply(text, array(struct(1L AS rnk, 'a b' AS pair, 'ab' AS m)," +
+        " struct(2L AS rnk, 'ab a' AS pair, 'aba' AS m))) AS k_merged",
+      "replace(replace(concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '$1 '))," +
+        " ' a b ', ' ab '), ' ab a ', ' aba ') AS r_merged")
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) === r.getString(1), s"empty-merge symbolization: $r")
+      assert(r.getString(2) === r.getString(3), s"merge application: $r")
+    }
+  }
+
   test("every query key has either an oracle or a documented omission") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
