@@ -706,7 +706,9 @@ object Dedup {
     require(maxBlockSize <= maxBlock,
       s"d25 label block exceeds $maxBlock rows (quadratic baseline, " +
         s"largest block = $maxBlockSize) — use s27 LSH / s28 IVF for unbounded corpora")
-    val e = Tables.embeddings(spark, dir)
+    // norm kernel fuses onto the scan; rebalance so a single-row-group
+    // file doesn't serialize it (no-op on a real lake layout)
+    val e = Tables.rebalanceSmallScan(Tables.embeddings(spark, dir))
       .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
       .select(col("vec_id"), col("label"), col("embedding").as("v"), col("norm"))
     val a = e.as("a"); val b = e.as("b")
@@ -751,14 +753,10 @@ object Dedup {
     val nVec = Tables.embeddings(spark, dir).count()
     val nCells = math.max(16L, math.ceil(math.sqrt(nVec.toDouble)).toLong)
     // The cell assignment is COMPUTE-bound (nlist·dims ops/row), so the
-    // scan's split count must not cap parallelism. A corpus-scale input
-    // has thousands of file splits and skips this; a narrow test file
-    // (one split for a few MB) gets rebalanced — one tiny shuffle for a
-    // cores-wide compute stage.
-    val raw = Tables.embeddings(spark, dir)
-    val width = spark.sparkContext.defaultParallelism
-    val src = if (raw.rdd.getNumPartitions < width) raw.repartition(width) else raw
-    val e = src
+    // scan's split count must not cap parallelism — the shared gated
+    // rebalance (this operator's r9 inline form, promoted to
+    // Tables.rebalanceSmallScan in r13).
+    val e = Tables.rebalanceSmallScan(Tables.embeddings(spark, dir))
       .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
       .withColumn("cells", expr(s"graft_ivf_cells_n(embedding, ${nCells}L)"))
     val home = e.withColumn("cell", col("cells").getItem(0))

@@ -198,7 +198,9 @@ object Multimodal {
     */
   def m35PayloadChunkdup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val chunks = Tables.documents(spark, dir)
+    // the chunk-fingerprint kernel fuses onto the scan — rebalance so a
+    // single-row-group file doesn't serialize it on one core
+    val chunks = Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         posexplode(expr("graft_chunk_fps(encode(text, 'utf-8'))")).as(Seq("idx", "fp")))

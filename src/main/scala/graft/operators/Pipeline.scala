@@ -369,7 +369,9 @@ object Pipeline {
     // token, c) rows instead of raw occurrences, n_docs is a plain
     // count(*) (each pair appears once) — the countDistinct Expand and
     // its doubled occurrence stream drop out of the plan entirely.
-    val tf = documents
+    // kernel + partial agg fuse onto the scan — rebalance so a
+    // single-row-group file doesn't serialize them on one core
+    val tf = Tables.rebalanceSmallScan(documents)
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(col("doc_id"), explode(expr("graft_token_counts(words)")).as("tc"))
       .select(col("tc.w").as("token"), col("tc.c").as("c"))
@@ -589,6 +591,11 @@ object Pipeline {
   private[graft] def bpeLearnTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    // NO scan rebalance (tried r13): the split+explode+partial-agg the
+    // scan fuses is cheap enough that the extra raw-doc exchange cost
+    // more than the parallelism bought (same-shape A/B: p66 1.29 →
+    // 1.70 s, p68 3.71 → 4.55 s) — unlike the hash/walk kernels that
+    // dominate their scans (t33/t35/t41/t36)
     documents
       .withColumn("words", split(coalesce(col("text"), lit("")), " "))
       .select(explode(col("words")).as("word"))

@@ -576,7 +576,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
     val dim = PqM * PqDim
-    val q = quantize(Tables.embeddings(spark, dir))
+    // quantization + the argmin scoring kernels fuse onto the scan —
+    // rebalance so a single-row-group file doesn't serialize them
+    val q = quantize(Tables.rebalanceSmallScan(Tables.embeddings(spark, dir)))
     val model = broadcast(q.agg(
       array((1 to dim).map(i => min(element_at(col("q"), i))): _*).as("lo"),
       array((1 to dim).map(i => max(element_at(col("q"), i))): _*).as("hi")))

@@ -232,6 +232,10 @@ object Sketches {
   def q69IncrRollup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val keys = Seq("event_type", "day")
+    // NO scan rebalance here (tried r13): the event rows are wide
+    // enough that exchanging 1M of them cost more than the single-task
+    // hash pass saved (same-shape A/B 3.73 s → 4.51 s) — the kernel is
+    // cheap per row, unlike the text/vector walks that benefit
     val ev = q69Projection(Tables.events(spark, dir))
     // per-side partial state at the (key, bucket) grain: what the stored
     // MV holds / what the batch adds (counts ride the bucket grain —

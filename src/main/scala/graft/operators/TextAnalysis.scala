@@ -222,6 +222,10 @@ object TextAnalysis {
     */
   def t33PiiScrub(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // the scrub kernel is the whole cost and fuses onto the scan — a
+    // single-row-group file would serialize it on one core
+    // (Tables.rebalanceSmallScan: no-op on a real lake layout)
+    val docs = Tables.rebalanceSmallScan(Tables.documents(spark, dir))
     val footer = concat(
       lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
       when(col("doc_id") % 3 === 0, concat(
@@ -232,7 +236,7 @@ object TextAnalysis {
       when(col("doc_id") % 2 === 0, concat(
         lit(" phone 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0")))
         .otherwise(lit("")))
-    Tables.documents(spark, dir)
+    docs
       .withColumn("raw", concat(col("text"), footer))
       .withColumn("pii", expr("graft_pii_scrub(raw)"))
       .withColumn("n_email", col("pii.n_email"))
@@ -338,11 +342,18 @@ object TextAnalysis {
     // variant (df pass + score pass, t36's shape) was measured WORSE
     // here (2.30 vs 2.12 s at sf1): t35's probe side needs the full
     // per-doc tf rows anyway, so the second kernel scan buys nothing.
+    // the doc_id exchange moved BELOW the kernel (r13): it now carries
+    // raw (doc_id, text) rows instead of kernel output, so the
+    // token-counts kernel + explode run 32-wide in the post-exchange
+    // stage of BOTH branches instead of once on the (single-row-group,
+    // 1-task) scan — same exchange count, each branch's kernel pass is
+    // cores-wide, and the shared exchange still satisfies the rank
+    // window via the subset rule
     val tf = documents
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(expr("graft_token_counts(split(text, ' '))")).as("tc"))
       .select(col("doc_id"), col("tc.w").as("token"), col("tc.c").as("tf"))
-      .repartition(col("doc_id"))
     // phrased so the df branch still needs the tf column: with count(*)
     // Catalyst prunes tf below the exchange, the two subtrees stop
     // being canonically identical, and ReuseExchange can no longer
@@ -775,7 +786,10 @@ object TextAnalysis {
     // the |postings of query terms| grain. Doc length is size(toks), a
     // per-row projection carried through the (tiny) explode.
     val qarr = qterms.agg(sort_array(collect_set(col("token"))).as("qarr"))
-    val tf = base
+    // the probe pass (split + tf_in walk per doc) is the corpus-sized
+    // work and fuses onto the scan — rebalance so a single-row-group
+    // file doesn't serialize it (no-op on a real lake layout)
+    val tf = Tables.rebalanceSmallScan(base)
       .select(col("doc_id"),
         split(coalesce(col("text"), lit("")), " ").as("toks"))
       .crossJoin(broadcast(qarr))
