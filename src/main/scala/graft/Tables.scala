@@ -139,9 +139,22 @@ object Tables {
     * operators whose per-row work dominates their scan (kernel-heavy
     * text passes), never blanket — for cheap projections the exchange
     * costs more than the idle cores. */
+  /** Second gate arm (r13): plan-stats size ≥ [[RebalanceMinBytes]].
+    * Below ~2 MB the single-task kernel pass is already sub-break-even
+    * against the exchange + extra-stage floor (~0.3–0.6 s): the sf0.1
+    * sweep measured t36 +0.60 s / t43 +0.85 s / s34 +0.48 s from
+    * rebalancing sub-MB inputs, while the same operators at sf1
+    * (3–6 MB files) win 1.5–4×. Non-file inputs (tests' parallelize
+    * frames) report the conf default size and pass this arm — the
+    * split-count gate is the binding one there. */
+  private[graft] val RebalanceMinBytes = 2L * 1000 * 1000
+
   private[graft] def rebalanceSmallScan(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+    if (df.rdd.getNumPartitions * 2 <= cores &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= RebalanceMinBytes)
+      df.repartition(cores)
+    else df
   }
 
   private[graft] def orderAssembly(s: SparkSession, d: String): DataFrame = {

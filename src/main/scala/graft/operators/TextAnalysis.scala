@@ -806,10 +806,15 @@ object TextAnalysis {
     // the window is one |postings|-sized exchange by construction.
     val tfd = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy("token")))
+    // token count as pure length arithmetic (p68's device): split() on
+    // spaces yields (spaces+1) tokens for ANY text incl. '' — no array
+    // materialization on the corpus grain, and the single-task stats
+    // scan stops being a per-doc split pass
     val stats = documents.agg(
       count(lit(1)).cast("long").as("n_docs"),
-      sum(size(split(coalesce(col("text"), lit("")), " "))).cast("long")
-        .as("total_len"))
+      sum(length(coalesce(col("text"), lit("")))
+        - length(expr("replace(coalesce(text, ''), ' ', '')")) + 1L)
+        .cast("long").as("total_len"))
     val terms = tfd.join(broadcast(qterms), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(stats))

@@ -84,6 +84,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceSmallScan: fires only when splits leave cores idle") {
+    import spark.implicits._
+    // local[4]: a 1-partition input (the single-row-group bench file
+    // shape) rebalances to defaultParallelism; an already-wide input
+    // passes through untouched (the production-lake no-op arm)
+    val narrow = spark.sparkContext.parallelize(1 to 100, 1).toDF("x")
+    val wide = spark.sparkContext.parallelize(1 to 100, 8).toDF("x")
+    assert(Tables.rebalanceSmallScan(narrow).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    assert(Tables.rebalanceSmallScan(wide).rdd.getNumPartitions === 8)
+    // content is a permutation, never a loss
+    assert(Tables.rebalanceSmallScan(narrow).as[Int].collect().sorted
+      === (1 to 100).toArray)
+  }
+
   test("every query key has either an oracle or a documented omission") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
