@@ -577,7 +577,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val dim = PqM * PqDim
     // quantization + the argmin scoring kernels fuse onto the scan —
-    // rebalance so a single-row-group file doesn't serialize them
+    // rebalance so a single-row-group file doesn't serialize them.
+    // NOT checkpointed (tried r13): q has three consumers (model agg,
+    // query filter, scored pass) but materializing the 512-dim arrays
+    // costs what the two saved re-quantizations save (A/B 2.95 vs
+    // 3.00 s — a wash); the rebalanced kernel pass is cheap enough to
+    // re-run.
     val q = quantize(Tables.rebalanceSmallScan(Tables.embeddings(spark, dir)))
     val model = broadcast(q.agg(
       array((1 to dim).map(i => min(element_at(col("q"), i))): _*).as("lo"),

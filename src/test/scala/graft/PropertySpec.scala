@@ -590,6 +590,41 @@ class PropertySpec extends AnyFunSuite {
     (id, ds.head._2)
   }.toList)
 
+  test("t36 LM scores match the in-memory reference on random corpora") {
+    // the kernel score pass (graft_lm_doc_score against the broadcast
+    // model) must equal the declarative train/score semantics exactly:
+    // corpus bigram counts → integer s_ppm → per-doc occurrence-weighted
+    // integer mean. Small vocab forces heavy bigram sharing; split with
+    // -1 keeps trailing empty tokens (Spark split semantics).
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      def bigrams(t: String): Seq[(String, String)] = {
+        val w = t.split(" ", -1)
+        (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+      }
+      val all = docs.flatMap(d => bigrams(d._2))
+      val c12 = all.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val c1 = all.groupBy(_._1).map { case (w1, g) => w1 -> g.size.toLong }
+      val sppm = c12.map { case (p, n) => p -> n * 1000000L / c1(p._1) }
+      docs.flatMap { case (id, t) =>
+        val bs = bigrams(t)
+        if (bs.isEmpty) None
+        else {
+          val tot = bs.map(sppm).sum
+          Some(id -> (bs.size.toLong, tot / bs.size))
+        }
+      }.toMap
+    }
+    samples(bpeCorpusGen, 15).filter(_.nonEmpty).foreach { docs =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+      val got = operators.TextAnalysis.t36Scores(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === reference(docs), s"corpus: $docs")
+    }
+  }
+
   test("p66 BPE merges match the in-memory reference on random corpora") {
     // the reference applies merges with Java String.replace — the SAME
     // left-to-right non-overlapping scan the distributed plan's replace()
