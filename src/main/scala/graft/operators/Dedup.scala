@@ -25,7 +25,10 @@ object Dedup {
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    // shingling + minhash kernels fuse onto this scan — rebalance so a
+    // single-row-group file doesn't serialize the band family's
+    // heaviest pass on one core (no-op on a real lake layout)
+    Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .withColumn("shingles", expr("graft_shingles3(words)"))
@@ -335,6 +338,12 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     // single-pass 48-bit signature per document — replaces the
     // token × bit-position explode (millions of rows, two shuffles)
+    // NO scan rebalance or checkpoint here (both tried r13, both 11.1 →
+    // 16.2 s): simhashPairs' attach/intra joins plan as BROADCASTs off
+    // the scan's size stats, and any re-partitioned or materialized
+    // `sims` loses those stats — the joins flip to shuffle strategies
+    // that cost far more than the repeated single-task kernel pass
+    // saves. The d23 exception to the family-wide rebalance win.
     val sims = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("graft_simhash48(array_distinct(split(text, ' ')))").as("simhash"))
@@ -381,7 +390,7 @@ object Dedup {
     // expression, so the explode emits fixed-width int64s and no shingle
     // string ever reaches the shuffle (VERDICT r3 #1: the string column
     // previously rode through the window + join exchanges, ~4× the bytes)
-    val sh = Tables.documents(spark, dir)
+    val sh = Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("source"),
@@ -814,7 +823,9 @@ object Dedup {
     * corpus through the exact production plan. Caller must have
     * registered [[graft.functions.GraftFunctions]] on the session. */
   private[graft] def spanPostingsCore(documents: DataFrame): DataFrame =
-    documents
+    // window-hash kernel fuses onto the scan — rebalance (gated; no-op
+    // for tests' parallelize frames and real lake layouts)
+    Tables.rebalanceSmallScan(documents)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanTokens)
       .select(col("doc_id"),
@@ -937,7 +948,7 @@ object Dedup {
   def d32SpanCut(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val K = CutChunkTokens
-    val chunks = Tables.documents(spark, dir)
+    val chunks = Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("words"))
       .withColumn("n_tokens", size(col("words")).cast("long"))
       .withColumn("chunk_idx", explode(expr(s"sequence(0L, (n_tokens - 1) DIV $K)")))
@@ -1011,7 +1022,7 @@ object Dedup {
     * Caller must have registered [[graft.functions.GraftFunctions]]. */
   private[graft] def d33WinnowCore(documents: DataFrame): DataFrame = {
     val W = WinnowWindow
-    val hp = documents
+    val hp = Tables.rebalanceSmallScan(documents)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= SpanTokens)
       .select(col("doc_id"),

@@ -401,7 +401,9 @@ object Pipeline {
 
   def p55CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val base = Tables.documents(spark, dir)
+    // the lang/quality/minhash kernel chain fuses onto this scan —
+    // rebalance (gated; no-op on a real lake layout)
+    val base = Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
     val flagged = TextAnalysis.withQualityScore(TextAnalysis.withPredLang(base))
       .withColumn("lang_ok", col("pred_lang") === "en")
@@ -510,7 +512,8 @@ object Pipeline {
   def p65DatasetCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = TextAnalysis.withPredLang(
       TextAnalysis.withQualityScore(
-        Tables.documents(spark, dir).withColumn("words", split(col("text"), " "))))
+        Tables.rebalanceSmallScan(Tables.documents(spark, dir))
+          .withColumn("words", split(col("text"), " "))))
     docs.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -132,7 +132,8 @@ object TextAnalysis {
     */
   def t31Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    // per-doc sort+hash fuses onto the scan — rebalance (gated)
+    Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .withColumn("fp", ph(expr(
         "concat_ws(' ', array_sort(array_distinct(split(text, ' '))))")))
       .groupBy("fp")
@@ -163,7 +164,7 @@ object TextAnalysis {
     */
   def t32Contamination(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = Tables.documents(spark, dir)
+    val sh = Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), expr("graft_shingle_hashes3(words)").as("xs"))
