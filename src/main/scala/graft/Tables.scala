@@ -151,8 +151,15 @@ object Tables {
 
   private[graft] def rebalanceSmallScan(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= cores &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes >= RebalanceMinBytes)
+    // size arm FIRST: stats come off the optimized logical plan (no
+    // physical planning), while .rdd builds the full physical plan +
+    // RDD DAG — ~0.1–0.5 s of driver time per call. Checking the cheap
+    // arm first makes the below-threshold case (every sub-MB input)
+    // near-free; the split probe only runs when a rebalance is
+    // plausible (measured: the .rdd-first order cost the sf0.1 wave
+    // keys +2.4 s of pure gate overhead).
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= RebalanceMinBytes &&
+        df.rdd.getNumPartitions * 2 <= cores)
       df.repartition(cores)
     else df
   }
