@@ -536,6 +536,19 @@ object Pipeline {
     * the synthetic corpus (the q56/s30 fixed-K unroll discipline). */
   val BpeMerges = 3
 
+  /** Minimum corpus frequency for a word to enter the BPE learn
+    * (VERDICT r13 item 2). The learn collapses the distinct-word count
+    * table into ONE task; against a web-scale corpus that table is
+    * billions of typo/URL singletons, so every production trainer
+    * prunes rare words first (SentencePiece/HF BpeTrainer's
+    * min_frequency). 2 drops exactly the singleton tail — the unbounded
+    * part — while leaving any vocabulary a pair could plausibly be
+    * learned from; mirrored verbatim in the DuckDB oracle's `wc` CTE
+    * (one definition, PipelineOracles.bpeLearnCtes) and a QueriesSpec
+    * arm pins that the learned merge table is unchanged by the floor on
+    * the test corpus (min word count there ≫ 2). */
+  val BpeMinWordCount = 2L
+
   /** p66: BPE merge learning (Sennrich et al. ACL'16, arXiv:1508.07909 —
     * the tokenizer-TRAINING step p60's frequency vocabulary seeds): start
     * from characters, repeatedly find the most frequent adjacent symbol
