@@ -51,16 +51,37 @@ object Dedup {
     minhashBandPairsOf(shingled(spark, dir))
   }
 
+  /** Per-bucket frequency cap on the band-bucket pair join (VERDICT r13
+    * item 1). A degenerate band key — boilerplate-heavy documents,
+    * empty-shingle docs whose minhash collapses to the seed minima —
+    * puts B docs in one bucket and the self-join emits B²/2 pairs from
+    * it; at 100 TB one such bucket is the whole job. Buckets over the
+    * cap are dropped entirely (the m35 [[Multimodal.ChunkdupDfCap]]
+    * device at the band grain): a key shared by >cap documents is
+    * boilerplate, not a near-dup signal — genuine near-dups still meet
+    * in their other (selective) bands, and content overlap at scale is
+    * d24's inverted index (itself df-capped at [[ShingleDfCap]]).
+    * Mirrored verbatim in the DuckDB oracle's `bandsc` CTE
+    * (PipelineOracles.d22PairsCtes — one definition for d22/d26/d35/
+    * d36/p67/p71 and d38's recall harness). */
+  val BandBucketCap = 50
+
   /** Band-pair candidate graph over any frame carrying `doc_id` +
     * `shingles` — the d22 definition, shared with d38's eval harness. */
   private[graft] def minhashBandPairsOf(sh: DataFrame): DataFrame = {
     // single-pass band keys per document (graft_minhash_bands) — no token
     // explode, no signature shuffle, one evaluation per doc (a bare sig
     // array would be inlined into each band projection and recomputed);
-    // the only shuffle is the band-bucket join
+    // the only shuffle is the band-bucket join. The bucket-size window
+    // partitions on the join key itself, so its exchange is the one the
+    // self-join needs anyway (ReuseExchange folds the two sides).
     val bands = sh
       .select(col("doc_id"),
         posexplode(expr("graft_minhash_bands(shingles)")).as(Seq("band_idx", "band_key")))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+      .filter(col("bucket_n") <= BandBucketCap)
+      .drop("bucket_n")
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&

@@ -604,7 +604,8 @@ object Pipeline {
     * so learn and apply cannot drift. Returns the ≤K-row merge table;
     * deterministic regardless of row arrival order (full-map argmax
     * with a pinned tie-break). */
-  private[graft] def bpeLearnTable(documents: DataFrame): DataFrame = {
+  private[graft] def bpeLearnTable(documents: DataFrame,
+      minWordCount: Long = BpeMinWordCount): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     // NO scan rebalance (tried r13): the split+explode+partial-agg the
@@ -617,6 +618,7 @@ object Pipeline {
       .select(explode(col("words")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wn"))
+      .filter(col("wn") >= minWordCount)
       .as[(String, Long)]
       .repartition(1)
       .mapPartitions { it =>

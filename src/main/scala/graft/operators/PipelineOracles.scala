@@ -46,11 +46,19 @@ object PipelineOracles {
       |)""".stripMargin
   }
 
-  /** [[d22BandsCtes]] + the distinct band-bucket pair join. */
+  /** [[d22BandsCtes]] + the distinct band-bucket pair join, with the
+    * [[Dedup.BandBucketCap]] per-bucket frequency cap mirrored in the
+    * `bandsc` CTE (one definition with the Spark side). */
   private val d22PairsCtes: String =
-    s"""$d22BandsCtes, pairs AS (
+    s"""$d22BandsCtes, bandsc AS (
+      |  SELECT doc_id, band_idx, band_key FROM (
+      |    SELECT doc_id, band_idx, band_key,
+      |           COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+      |    FROM bands
+      |  ) WHERE bucket_n <= ${Dedup.BandBucketCap}
+      |), pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM bandsc a JOIN bandsc b
       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
       |)""".stripMargin
 
@@ -1807,6 +1815,7 @@ object PipelineOracles {
       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn FROM (
       |    SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word FROM documents
       |  ) WHERE word <> '' GROUP BY word
+      |  HAVING COUNT(*) >= ${Pipeline.BpeMinWordCount}
       |), s0 AS (
       |  SELECT word, wn, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym FROM wc
       |), ${steps.mkString(", ")}""".stripMargin

@@ -632,6 +632,7 @@ class PropertySpec extends AnyFunSuite {
     def learn(docs: Seq[(Long, String)]): Seq[(Long, String, String, String, Long)] = {
       val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+        .filter { case (_, n) => n >= operators.Pipeline.BpeMinWordCount }
       var syms = wc.toSeq.map { case (w, n) =>
         (" " + w.map(c => s"$c ").mkString, n) }
       val out = scala.collection.mutable.ArrayBuffer
@@ -674,6 +675,7 @@ class PropertySpec extends AnyFunSuite {
     def learnPairs(docs: Seq[(Long, String)]): Seq[(String, String)] = {
       val wc = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+        .filter { case (_, n) => n >= operators.Pipeline.BpeMinWordCount }
       var syms = wc.toSeq.map { case (w, n) =>
         (" " + w.map(c => s"$c ").mkString, n) }
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -840,6 +842,37 @@ class PropertySpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
       assert(got === expected, s"corpus: $docs")
     }
+  }
+
+  test("d22 band buckets over BandBucketCap are dropped; selective buckets survive") {
+    // adversarial arm for the per-bucket frequency cap (VERDICT r13
+    // item 1): cap+10 byte-identical boilerplate docs collapse into ONE
+    // band bucket per band — without the cap that's (cap+10)²/2 pairs
+    // from pure boilerplate (the 100 TB quadratic); with it, zero. Two
+    // genuine near-dups in their own bucket of 2 must still pair.
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val boiler = "terms of service apply to all users of this site"
+    // byte-identical pair: every band matches by construction, so the
+    // survives-the-cap side never depends on hash luck
+    val nearA = "the quick brown fox jumps over the lazy dog tonight"
+    val nearB = nearA
+    val n = operators.Dedup.BandBucketCap + 10
+    val docs = (0 until n).map(i => (i.toLong, boiler)) ++
+      Seq((1000L, nearA), (1001L, nearB))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (i, t) => Row(i, t) }, 3), schema)
+    val sh = df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", expr("graft_shingles3(words)"))
+    val pairs = operators.Dedup.minhashBandPairsOf(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a < 1000 && b < 1000 },
+      "boilerplate bucket over the cap must emit no pairs")
+    assert(pairs.contains((1000L, 1001L)),
+      "a selective bucket under the cap must still pair")
   }
 
   test("q68 gap fill matches the in-memory spine/LOCF reference on sparse series") {

@@ -1350,6 +1350,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum < expected)
   }
 
+  test("p66 learn: the min-count floor leaves the merge table unchanged on the test corpus") {
+    // VERDICT r13 item 2 / ADVICE r14: the BpeMinWordCount floor bounds
+    // the single-task learn against a web-scale singleton tail; on the
+    // synthetic corpus every learned pair's support sits far above the
+    // floor, so the floor must be a pure no-op here (any drift means the
+    // floor changed learn semantics, not just bounded its input)
+    val docs = Tables.documents(spark, dir)
+    val floored = graft.operators.Pipeline.bpeLearnTable(docs).collect().toSeq
+    val unfloored = graft.operators.Pipeline.bpeLearnTable(docs, 1L).collect().toSeq
+    assert(floored === unfloored)
+    assert(floored.nonEmpty)
+  }
+
   test("d37 bloom: no false negatives, totals cover the batch, TP equals d27 exact truth") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Dedup.d37BloomAdmit(spark, dir).collect()
