@@ -211,15 +211,20 @@ object Sketches {
     * algebra — counts/sums ADD, HLL distinct-user registers take the
     * register-wise MAX (q49's family; the reason the sketch is the
     * production distinct: exact COUNT(DISTINCT) is not incrementally
-    * maintainable without keeping every value). The output schema keeps
-    * the full-rebuild reference columns (`est_users_full`/`n_full`) and
-    * the `maintenance_exact` witness, but since r12 both sides derive
-    * from the ONE checkpointed (key, bucket) state — the witness is
-    * tautological in-plan and the merge ≡ rebuild equality is verified
-    * EXTERNALLY: the DuckDB oracle computes est_users_full from raw
-    * events in SQL and must hash-match, and st46 rebuilds independently
-    * (spec-pinned). A second in-plan corpus scan bought nothing the
-    * oracle doesn't already prove and cost two extra passes.
+    * maintainable without keeping every value). The full-rebuild
+    * reference columns (`est_users_full`/`n_full`) and the
+    * `maintenance_exact` witness derive from the SAME checkpointed
+    * per-side state as the merge (one corpus pass — r12), but through a
+    * SEPARATE aggregation on a different algebraic route (per-side
+    * conditional split + `greatest`, r15, VERDICT r13 item 6): the two
+    * paths are equal by the merge algebra, so the witness is a
+    * regression tripwire — an edit that breaks either path's
+    * add/max discipline flips it false and fails both the oracle
+    * hash-compare and the QueriesSpec arm. The fully INDEPENDENT
+    * rebuild checks stay external: the DuckDB oracle computes both
+    * sides from raw events in SQL and must hash-match, and st46 passes
+    * a fresh batch-projection aggregation (spec-pinned). A second
+    * in-plan corpus scan would verify nothing those don't already.
     *
     * 100 TB posture: at production scale the standing side is the
     * STORED rollup (keys × 256 register rows — no corpus scan; here
@@ -244,12 +249,8 @@ object Sketches {
     // reference both derive from this ONE corpus pass — the previous
     // shape re-scanned events twice more for the rebuild (key-grain
     // totals + register fold), 3 corpus passes for a bounded-grain
-    // rollup. An in-plan re-scan of the same deterministic projection
-    // verified nothing the shared derivation doesn't: the merge ≡
-    // rebuild equality is associativity of count-addition/register-max
-    // (the fact the witness column pins), and the INDEPENDENT check is
-    // the DuckDB oracle, which computes est_users_full from raw events
-    // in SQL and must hash-match this output.
+    // rollup. The INDEPENDENT from-raw-events check is the DuckDB
+    // oracle, which must hash-match this output.
     val sideState = graft.Checkpoints.of(ev
       .groupBy((col("is_delta") +: keys.map(col)) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("n"), sum(col("v100")).as("sv"),
@@ -257,7 +258,19 @@ object Sketches {
     // the MERGE: counts add, registers max
     val state = sideState.groupBy(keys.map(col) :+ col("bucket"): _*)
       .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"), max(col("mx")).as("mx"))
-    q69Report(state, state)
+    // the rebuild side re-derives the same grain from the checkpointed
+    // side states through a DIFFERENT route — per-side conditional
+    // split, then greatest of the per-side register maxes (greatest
+    // skips an absent side's null) — so `maintenance_exact` witnesses
+    // the merge algebra instead of comparing a table to itself: a
+    // future edit that breaks either path's add/max discipline flips
+    // it false (both aggregates read the tiny checkpoint, not events)
+    val rebuild = sideState.groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        greatest(
+          max(when(col("is_delta"), col("mx"))),
+          max(when(!col("is_delta"), col("mx")))).as("mx"))
+    q69Report(state, rebuild)
   }
 
   /** The shared (type, day, bucket)-grain event projection — ONE
