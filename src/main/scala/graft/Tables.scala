@@ -164,15 +164,24 @@ object Tables {
     else df
   }
 
-  private[graft] def orderAssembly(s: SparkSession, d: String): DataFrame = {
+  private[graft] def orderAssembly(s: SparkSession, d: String): DataFrame =
+    orderAssemblyOf(orders(s, d), lineitem(s, d))
+
+  /** Frame-parameterized core of [[orderAssembly]] — the contract arms
+    * (lineitem orphans dropped; a matched order with a literally-NULL
+    * o_orderdate dropped, per the odate-presence data contract above)
+    * are property-tested against an in-memory left join through this
+    * entry. */
+  private[graft] def orderAssemblyOf(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    orders(s, d).select(
+    orders.select(
         col("o_orderkey").as("k"),
         col("o_orderdate").cast("date").as("odate"),
         col("o_orderstatus").as("status"),
         col("o_orderpriority").as("prio"),
         lit(null).cast("date").as("ship"))
-      .unionByName(lineitem(s, d).select(
+      .unionByName(lineitem.select(
         col("l_orderkey").as("k"),
         lit(null).cast("date").as("odate"),
         lit(null).cast("string").as("status"),

@@ -875,6 +875,48 @@ class PropertySpec extends AnyFunSuite {
       "a selective bucket under the cap must still pair")
   }
 
+  test("orderAssembly matches the left join; null-odate and orphan contracts hold") {
+    // ADVICE r13: the aggregate-assembly's trailing isNotNull leans on
+    // two data contracts (unique o_orderkey, non-null o_orderdate).
+    // This arm exercises the documented edges: a lineitem orphan is
+    // dropped (exact left-join semantics) and a matched order whose
+    // o_orderdate is literally NULL is dropped too (the documented
+    // deviation — a join would keep it with null odate).
+    import java.sql.Date
+    val ordersGen: Gen[List[(Long, Option[Int], String, String)]] =
+      Gen.listOf(for {
+        k <- Gen.choose(1L, 12L)
+        d <- Gen.option(Gen.choose(0, 1000))
+        st <- Gen.oneOf("O", "F", "P")
+        pr <- Gen.oneOf("1-URGENT", "3-MEDIUM", "5-LOW")
+      } yield (k, d, st, pr)).map(_.distinctBy(_._1)) // unique key contract
+    val itemsGen: Gen[List[(Long, Int)]] = Gen.listOf(for {
+      k <- Gen.choose(1L, 15L) // 13–15 are always orphans
+      sd <- Gen.choose(0, 1000)
+    } yield (k, sd))
+    def day(i: Int): Date = Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+    samples(Gen.zip(ordersGen, itemsGen), 15).foreach { case (os, lis) =>
+      val expect = os.filter(_._2.isDefined).map { case (k, d, st, pr) =>
+        val ships = lis.filter(_._1 == k).map(_._2)
+        (k, day(d.get), st, pr,
+          ships.minOption.map(day).orNull, ships.maxOption.map(day).orNull)
+      }.toSet
+      val oSchema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderdate", DateType),
+        StructField("o_orderstatus", StringType), StructField("o_orderpriority", StringType)))
+      val liSchema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_shipdate", DateType)))
+      val oDf = spark.createDataFrame(spark.sparkContext.parallelize(
+        os.map { case (k, d, st, pr) => Row(k, d.map(day).orNull, st, pr) }, 2), oSchema)
+      val liDf = spark.createDataFrame(spark.sparkContext.parallelize(
+        lis.map { case (k, sd) => Row(k, day(sd)) }, 2), liSchema)
+      val got = Tables.orderAssemblyOf(oDf, liDf).collect()
+        .map(r => (r.getLong(0), r.getDate(1), r.getString(2), r.getString(3),
+          r.getDate(4), r.getDate(5))).toSet
+      assert(got === expect, s"orders: $os, lineitems: $lis")
+    }
+  }
+
   test("q68 gap fill matches the in-memory spine/LOCF reference on sparse series") {
     import java.sql.Timestamp
     // sparse series: few types, scattered hours over a 3-day range, so
