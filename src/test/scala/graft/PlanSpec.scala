@@ -966,6 +966,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("floor adjudications in docs/FLOORS.json hold on the current tree") {
+    // VERDICT r13 item 4: each sf1 row >2x vs DuckDB is adjudicated as
+    // a fixed-cost floor ON THE STRENGTH OF a pinned minimal plan. This
+    // arm re-validates every pin against the current tree, so an
+    // adjudication can never silently outlive the plan it described —
+    // tools/floors.py reads the same file to flag unadjudicated >2x
+    // rows in any sweep.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(new java.io.File("docs/FLOORS.json"))
+    val floors = (j \ "floors").asInstanceOf[JObject].obj
+    assert(floors.nonEmpty)
+    floors.foreach { case (key, spec) =>
+      val p = planString(SparkEntry.queries(key)(spark, dir))
+      def n(sub: String) = sub.r.findAllIn(p).size
+      val pins = spec \ "pins"
+      (pins \ "forbid").extract[List[String]].foreach { f =>
+        assert(!p.contains(f), s"$key: forbidden node $f appeared:\n$p")
+      }
+      assert(n("Scan parquet") <= (pins \ "max_scans").extract[Int],
+        s"$key: scan count grew past the pinned shape:\n$p")
+      assert(n("Window ") <= (pins \ "max_windows").extract[Int],
+        s"$key: window count grew past the pinned shape:\n$p")
+      assert(n("Exchange ") <= (pins \ "max_exchanges").extract[Int],
+        s"$key: exchange count grew past the pinned shape:\n$p")
+      (pins \ "max_smj").extractOpt[Int].foreach { m =>
+        assert(n("SortMergeJoin") <= m,
+          s"$key: sort-merge join count grew past the pinned shape:\n$p")
+      }
+    }
+  }
+
   test("no unpartitioned window anywhere feeds from an unbounded (corpus-sized) grain") {
     // VERDICT r13 item 3: a Window with no partitionSpec moves ALL its
     // input to one task — correct only over a bounded grain (an
