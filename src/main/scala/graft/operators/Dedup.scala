@@ -297,6 +297,19 @@ object Dedup {
   val SimCombos: Seq[Seq[Int]] =
     (0 until SimBlocks).combinations(SimBlocks - SimMaxHamming).toSeq
 
+  /** Cap on the number of documents sharing one 48-bit signature (r15,
+    * the [[BandBucketCap]]/[[ShingleDfCap]]/[[Multimodal.ChunkdupDfCap]]
+    * device at the signature grain). A signature class of g docs emits
+    * C(g,2) hamming-0 pairs and multiplies every cross-class pair by
+    * g_a·g_b — quadratic in the class size, and at 100 TB boilerplate
+    * classes run to millions. Docs in over-cap classes are excluded
+    * from d23's pair listing entirely: an over-cap identical-signature
+    * class is exact-duplicate territory (d21 counts it, d26/d31
+    * resolve a survivor), not a near-dup signal — and the band cap
+    * already drops the same docs from d22's listing, so the family
+    * semantics agree. Mirrored in the oracle's `sc`/`simc` CTEs. */
+  val SimClassCap = 50L
+
   /** Combination-key simhash candidate pairs with exact hamming filter.
     * Input: (doc_id, simhash). Output: (doc_a, doc_b, hamming ≤ maxHamming).
     *
@@ -314,8 +327,16 @@ object Dedup {
     * exactly maxHamming with its differing bits spread across maxHamming
     * distinct blocks) and assert recall.
     */
-  def simhashPairs(sims: DataFrame, blocks: Int = SimBlocks,
+  def simhashPairs(simsRaw: DataFrame, blocks: Int = SimBlocks,
       blockBits: Int = SimBlockBits, maxHamming: Int = SimMaxHamming): DataFrame = {
+    // [[SimClassCap]]: drop docs whose signature class exceeds the cap
+    // BEFORE any pair arm — the hot list is a map-side-combined count
+    // over (simhash) broadcast back as an anti probe, so the corpus
+    // never reshuffles and the attach/intra joins keep their
+    // scan-stats-driven broadcast plans
+    val hot = simsRaw.groupBy("simhash").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > SimClassCap).select("simhash")
+    val sims = simsRaw.join(broadcast(hot), Seq("simhash"), "left_anti")
     val blockMod = 1L << blockBits
     def block(i: Int) =
       expr(s"(simhash div ${1L << (blockBits * i)}) % $blockMod")
@@ -353,7 +374,10 @@ object Dedup {
   /** d23: 48-bit SimHash + combination-key hamming near-dup pairs.
     * Token hashes fold into a sign-vector simhash; 20 block-triple keys
     * bucket candidates; exact hamming ≤ 3 filters. Recall is total at
-    * that threshold and candidate volume is linear-ish (see [[SimCombos]]).
+    * that threshold for docs in listed classes; candidate volume is
+    * linear-ish (see [[SimCombos]]) with over-cap signature classes
+    * excluded entirely ([[SimClassCap]] — the family's boilerplate
+    * guard; their docs are d21/d26's exact-dup job).
     */
   def d23Simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -346,10 +346,17 @@ object PipelineOracles {
       |  FROM th, range(0, $SimBits) t(b)
       |), sb AS (
       |  SELECT doc_id, b, SUM(contrib) AS s FROM bits GROUP BY doc_id, b
-      |), sims AS (
+      |), sims0 AS (
       |  SELECT doc_id,
       |         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM sb GROUP BY doc_id
+      |), sc AS (
+      |  -- Dedup.SimClassCap mirror: over-cap signature classes leave
+      |  -- the pair listing entirely (exact-dup territory)
+      |  SELECT simhash FROM sims0 GROUP BY simhash
+      |  HAVING COUNT(*) <= ${Dedup.SimClassCap}
+      |), sims AS (
+      |  SELECT s.doc_id, s.simhash FROM sims0 s JOIN sc USING (simhash)
       |), keyed AS (
       |  -- candidate join over DISTINCT signatures (dup docs expand later)
       |  SELECT simhash, u.k AS k, u.ckey AS ckey FROM (

@@ -119,6 +119,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("simhashPairs drops over-SimClassCap signature classes; small classes pair") {
+    // the boilerplate guard (r15): cap+10 docs sharing ONE signature
+    // would emit C(cap+10, 2) hamming-0 pairs and multiply every
+    // cross-class pair — they must vanish from the listing entirely,
+    // while a 3-doc class still pairs (both arms: intra at hamming 0,
+    // cross at hamming 1)
+    import spark.implicits._
+    import graft.operators.Dedup
+    val n = Dedup.SimClassCap.toInt + 10
+    val bigSig = 0x0F0F0F0F0F0FL
+    val smallSig = 0x123456789ABCL
+    val nearSig = smallSig ^ 1L // hamming 1 from smallSig
+    val sims = (0 until n).map(i => (i.toLong, bigSig)) ++
+      Seq((1000L, smallSig), (1001L, smallSig), (1002L, smallSig),
+        (1003L, nearSig))
+    val got = Dedup.simhashPairs(sims.toDF("doc_id", "simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(!got.exists { case (a, b, _) => a < 1000 || b < 1000 },
+      s"over-cap class leaked pairs: $got")
+    val expect = Set((1000L, 1001L, 0), (1000L, 1002L, 0), (1001L, 1002L, 0),
+      (1000L, 1003L, 1), (1001L, 1003L, 1), (1002L, 1003L, 1))
+    assert(got === expect)
+  }
+
   test("st34 interval merge is order-independent and matches sorted-scan sessions") {
     // The st34 state fold must produce the SAME session partition for any
     // arrival order (streaming shuffles give no order guarantee within a
