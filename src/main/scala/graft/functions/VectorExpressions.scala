@@ -662,6 +662,9 @@ object GraftFunctions {
       "graft_lm_doc_score", exprs => LmDocScore(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe_apply", exprs => BpeApply(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_collect_capped",
+      exprs => CappedLongCollect(exprs(0), exprs(1)), "scala_udf")
     registered.add(spark)
   }
 }

@@ -67,27 +67,44 @@ object Dedup {
   val BandBucketCap = 50
 
   /** Band-pair candidate graph over any frame carrying `doc_id` +
-    * `shingles` — the d22 definition, shared with d38's eval harness. */
-  private[graft] def minhashBandPairsOf(sh: DataFrame): DataFrame = {
-    // single-pass band keys per document (graft_minhash_bands) — no token
-    // explode, no signature shuffle, one evaluation per doc (a bare sig
-    // array would be inlined into each band projection and recomputed);
-    // the only shuffle is the band-bucket join. The bucket-size window
-    // partitions on the join key itself, so its exchange is the one the
-    // self-join needs anyway (ReuseExchange folds the two sides).
-    val bands = sh
-      .select(col("doc_id"),
+    * `shingles` — the d22 definition, shared with d38's eval harness.
+    *
+    * One corpus pass, no self-join: band keys are computed single-pass
+    * per document (graft_minhash_bands — no token explode, no signature
+    * shuffle), then each bucket aggregates its member ids through
+    * [[graft.functions.CappedLongCollect]] and the candidate pairs
+    * explode LOCALLY from the ≤[[BandBucketCap]]-element survivor lists.
+    * The first r15 cut expressed the cap as a count window over the
+    * band key — sound when the pair join is a sort-merge (the window
+    * rides the join's exchange, the d24 shape) but the band self-join
+    * here planned as a BROADCAST off scan stats, so the window CREATED
+    * the exchange+sorts it claimed to ride (d35 at sf1: 11.1 → 17.8 s).
+    * The aggregate form is also the 100 TB shape outright: the broadcast
+    * self-join dies at cluster scale, while bucket-grain lists keep one
+    * linear exchange, bounded buffers (an over-cap bucket stores 16
+    * bytes, never a list), and zero join. */
+  private[graft] def minhashBandPairsOf(sh: DataFrame,
+      pairOnly: Option[Column] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    // pairOnly (d38's eval harness): the CAP must see the full corpus —
+    // bucket survival is a property of the production index, so a
+    // sample predicate may not prune the scan — but only docs matching
+    // the predicate need their ids collected for pair emission. Collecting
+    // `when(pred, doc_id)` (the aggregate skips nulls) keeps the
+    // exchange at ≤ sample ids per bucket while `cn` counts everyone.
+    val member = pairOnly
+      .map(p => when(p, col("doc_id")))
+      .getOrElse(col("doc_id"))
+    sh.select(col("doc_id"),
         posexplode(expr("graft_minhash_bands(shingles)")).as(Seq("band_idx", "band_key")))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
-      .filter(col("bucket_n") <= BandBucketCap)
-      .drop("bucket_n")
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("cn"),
+        call_function("graft_collect_capped", member, lit(BandBucketCap)).as("docs"))
+      .filter(col("cn") <= BandBucketCap && size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
   }
 
@@ -329,14 +346,20 @@ object Dedup {
     */
   def simhashPairs(simsRaw: DataFrame, blocks: Int = SimBlocks,
       blockBits: Int = SimBlockBits, maxHamming: Int = SimMaxHamming): DataFrame = {
-    // [[SimClassCap]]: drop docs whose signature class exceeds the cap
-    // BEFORE any pair arm — the hot list is a map-side-combined count
-    // over (simhash) broadcast back as an anti probe, so the corpus
-    // never reshuffles and the attach/intra joins keep their
-    // scan-stats-driven broadcast plans
-    val hot = simsRaw.groupBy("simhash").agg(count(lit(1)).as("cn"))
-      .filter(col("cn") > SimClassCap).select("simhash")
-    val sims = simsRaw.join(broadcast(hot), Seq("simhash"), "left_anti")
+    graft.functions.GraftFunctions.register(simsRaw.sparkSession)
+    // ONE aggregation to the signature grain carries the whole operator:
+    // bySig = (simhash, member doc ids) with over-[[SimClassCap]] classes
+    // evaluating to null inside graft_collect_capped (bounded buffers —
+    // a boilerplate class stores a count, never a list). Every downstream
+    // arm (combination keys, cross-class attach, intra-class pairs) works
+    // on this sig-grain relation, so the corpus scan + simhash kernel run
+    // ONCE under the groupBy exchange and ReuseExchange folds the arms'
+    // replays. The first r15 cut kept the doc grain and anti-joined a
+    // broadcast hot list, which re-ran the scan+kernel per arm (5 passes;
+    // +9.5 s at sf1) — the aggregate IS the anti-join, one pass.
+    val bySig = simsRaw.groupBy("simhash")
+      .agg(expr(s"graft_collect_capped(doc_id, $SimClassCap)").as("docs"))
+      .filter(col("docs").isNotNull)
     val blockMod = 1L << blockBits
     def block(i: Int) =
       expr(s"(simhash div ${1L << (blockBits * i)}) % $blockMod")
@@ -345,7 +368,7 @@ object Dedup {
       val key = c.foldLeft(lit(0L): Column)((acc, i) => acc * blockMod + block(i))
       struct(lit(idx).as("k"), key.as("ckey"))
     }
-    val keyed = sims.select(col("simhash")).distinct()
+    val keyed = bySig
       .select(col("simhash"), explode(array(keyCols: _*)).as("c"))
       .select(col("simhash"), col("c.k").as("k"), col("c.ckey").as("ckey"))
     val a = keyed.as("a"); val b = keyed.as("b")
@@ -358,15 +381,20 @@ object Dedup {
       // the dedup shuffle rather than after
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // a doc has exactly one signature, so distinct sig pairs × member
+    // lists can never emit a doc pair twice — no second distinct
     val cross = sigPairs
-      .join(sims.select(col("doc_id").as("ida"), col("simhash").as("sig_a")), Seq("sig_a"))
-      .join(sims.select(col("doc_id").as("idb"), col("simhash").as("sig_b")), Seq("sig_b"))
+      .join(bySig.select(col("simhash").as("sig_a"), col("docs").as("docs_a")), Seq("sig_a"))
+      .join(bySig.select(col("simhash").as("sig_b"), col("docs").as("docs_b")), Seq("sig_b"))
+      .select(explode(col("docs_a")).as("ida"), col("docs_b"), col("hamming"))
+      .select(col("ida"), explode(col("docs_b")).as("idb"), col("hamming"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
-    val intra = sims.as("x")
-      .join(sims.as("y"),
-        col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+    val intra = bySig.filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("ida"), col("docs"))
+      .select(col("ida"), explode(col("docs")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
         lit(0).cast("int").as("hamming"))
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
@@ -382,14 +410,14 @@ object Dedup {
   def d23Simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // single-pass 48-bit signature per document — replaces the
-    // token × bit-position explode (millions of rows, two shuffles)
-    // NO scan rebalance or checkpoint here (both tried r13, both 11.1 →
-    // 16.2 s): simhashPairs' attach/intra joins plan as BROADCASTs off
-    // the scan's size stats, and any re-partitioned or materialized
-    // `sims` loses those stats — the joins flip to shuffle strategies
-    // that cost far more than the repeated single-task kernel pass
-    // saves. The d23 exception to the family-wide rebalance win.
-    val sims = Tables.documents(spark, dir)
+    // token × bit-position explode (millions of rows, two shuffles).
+    // The r13 "no rebalance" adjudication is obsolete: it protected the
+    // doc-grain attach/intra joins' scan-stats broadcasts, and the
+    // sig-grain simhashPairs has no such joins — the kernel now runs
+    // once under the signature groupBy, so the family-wide rebalance
+    // (parallelize a split-starved scan before a compute-heavy kernel)
+    // applies here like everywhere else.
+    val sims = Tables.rebalanceSmallScan(Tables.documents(spark, dir))
       .select(col("doc_id"),
         expr("graft_simhash48(array_distinct(split(text, ' ')))").as("simhash"))
     simhashPairs(sims)
@@ -645,8 +673,11 @@ object Dedup {
       .withColumn("jpm", expr("inter * 10000 DIV (na + nb - inter)"))
       .filter(col("jpm") >= 5000)
       .select("doc_a", "doc_b", "jpm")
-    val found = minhashBandPairsOf(sh)
-      .filter(col("doc_a") < LshEvalSample && col("doc_b") < LshEvalSample)
+    // the cap counts FULL-corpus bucket population (index semantics) but
+    // only sample ids are collected/paired — the predicate cannot prune
+    // the scan (bucket survival needs everyone), so it rides the collect
+    val found = minhashBandPairsOf(sh,
+        pairOnly = Some(col("doc_id") < LshEvalSample))
       .withColumn("caught", lit(true))
     truth.join(found, Seq("doc_a", "doc_b"), "left")
       .withColumn("band", expr("jpm DIV 1000"))

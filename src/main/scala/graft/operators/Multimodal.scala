@@ -206,8 +206,13 @@ object Multimodal {
         posexplode(expr("graft_chunk_fps(encode(text, 'utf-8'))")).as(Seq("idx", "fp")))
     chunks
       .groupBy("idx", "fp")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= ChunkdupDfCap && size(col("docs")) >= 2)
+      // graft_collect_capped (r15) = sorted collect_list + the df-cap
+      // filter in ONE bounded-buffer aggregate: an over-cap boilerplate
+      // fingerprint stores a 16-byte count, never a list (the previous
+      // collect_list built the full list before the size filter could
+      // drop it — unbounded state on a degenerate key at 100 TB)
+      .agg(expr(s"graft_collect_capped(doc_id, $ChunkdupDfCap)").as("docs"))
+      .filter(size(col("docs")) >= 2) // null (over-cap) fails too
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))

@@ -89,6 +89,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_collect_capped: boundary, overflow, nulls, distributed merges") {
+    // the hot-key cap aggregate (r15): exactly-cap groups keep their
+    // sorted ids, cap+1 groups evaluate to NULL, null ids are skipped,
+    // and the contract survives partial aggregation + merge across many
+    // partitions (the path where a buffer that already overflowed merges
+    // into one that hasn't)
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val cap = 5
+    // group 1: exactly cap ids; group 2: cap+1; group 3: one id;
+    // group 4: cap ids + nulls (nulls must not count toward the cap)
+    val rows =
+      (1L to cap.toLong).map(i => Row(1L, java.lang.Long.valueOf(100 + i))) ++
+      (1L to (cap + 1).toLong).map(i => Row(2L, java.lang.Long.valueOf(200 + i))) ++
+      Seq(Row(3L, java.lang.Long.valueOf(301L))) ++
+      ((1L to cap.toLong).map(i => Row(4L, java.lang.Long.valueOf(400 + i))) :+
+        Row(4L, null))
+    val schema = StructType(Seq(
+      StructField("g", LongType), StructField("id", LongType)))
+    // many small partitions force partial buffers + merge on every group
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 7), schema)
+    val got = df.groupBy("g")
+      .agg(expr(s"graft_collect_capped(id, $cap)").as("docs"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    assert(got(1L) === Some((1L to cap.toLong).map(_ + 100)), "exactly-cap group")
+    assert(got(2L) === None, "over-cap group must be NULL")
+    assert(got(3L) === Some(Seq(301L)), "singleton group")
+    assert(got(4L) === Some((1L to cap.toLong).map(_ + 400)),
+      "nulls must not count toward the cap")
+  }
+
   test("simhashPairs equals brute force at the hamming boundary (total recall)") {
     // The recall guarantee the combination keys must uphold (VERDICT r1 #1,
     // r2 #3): a pair at EXACTLY maxHamming=3 whose differing bits land in 3
