@@ -601,70 +601,53 @@ object GraftFunctions {
     java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** Name → builder for every graft SQL function — ONE definition
+    * feeding both registration paths: [[register]] (temp functions on an
+    * existing session, what the operators call) and
+    * [[graft.GraftExtensions]] (`spark.sql.extensions` injection at
+    * session build time, the spark-submit/cluster path). */
+  private[graft] val builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_shingle_hashes3" -> (exprs => ShingleHashes3(exprs.head)),
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_hyperplane_bucket" -> (exprs => HyperplaneBucket(exprs.head)),
+    "graft_ivf_cells" -> (exprs => IvfCells(exprs.head)),
+    "graft_ivf_cells_n" -> (exprs => IvfCellsN(exprs(0), exprs(1))),
+    "graft_simhash48" -> (exprs => Simhash48(exprs.head)),
+    "graft_minhash_sig" -> (exprs => MinhashSig(exprs.head)),
+    "graft_minhash_bands" -> (exprs => MinhashBands(exprs.head)),
+    "graft_shingles3" -> (exprs => Shingles3(exprs.head)),
+    "graft_window_hashes" -> (exprs => WindowHashes(exprs(0), exprs(1))),
+    "graft_kmeans_argmin" -> (exprs => KmeansArgmin(exprs(0), exprs(1))),
+    "graft_chunk_fps" -> (exprs => ChunkFps(exprs.head)),
+    "graft_stop_scores" -> (exprs => StopScores(exprs.head)),
+    "graft_entropy_stats" -> (exprs => EntropyStats(exprs.head)),
+    "graft_hash_vec" -> (exprs => HashVec(exprs.head)),
+    "graft_feat_hashes" -> (exprs => FeatHashes(exprs.head)),
+    "graft_bigram_counts" -> (exprs => BigramCounts(exprs.head)),
+    "graft_feat_counts" -> (exprs => FeatCounts(exprs.head)),
+    "graft_rep_stats" -> (exprs => RepStats(exprs.head)),
+    "graft_tf_in" -> (exprs => TfIn(exprs(0), exprs(1))),
+    "graft_pii_scrub" -> (exprs => PiiScrub(exprs.head)),
+    "graft_ph" -> (exprs => PhHash(exprs.head)),
+    "graft_quantize_vec" -> (exprs => QuantizeVec(exprs.head)),
+    "graft_sq_xhat" -> (exprs => SqXhat(exprs(0), exprs(1), exprs(2))),
+    "graft_hll_rho" -> (exprs => HllRho(exprs.head)),
+    "graft_token_counts" -> (exprs => TokenCounts(exprs.head)),
+    "graft_lm_doc_score" -> (exprs => LmDocScore(exprs(0), exprs(1), exprs(2))),
+    "graft_bpe_apply" -> (exprs => BpeApply(exprs(0), exprs(1))),
+    "graft_collect_capped" -> (exprs => CappedLongCollect(exprs(0), exprs(1))))
+
   def register(spark: SparkSession): Unit = registered.synchronized {
     // Mark the session only AFTER every function registers: a concurrent
     // first caller must not return early to a half-registered session,
     // and a mid-registration throw must leave the session retryable.
     if (registered.contains(spark)) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_hashes3", exprs => ShingleHashes3(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hyperplane_bucket", exprs => HyperplaneBucket(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ivf_cells", exprs => IvfCells(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ivf_cells_n", exprs => IvfCellsN(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash48", exprs => Simhash48(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => MinhashSig(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_bands", exprs => MinhashBands(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles3", exprs => Shingles3(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_window_hashes", exprs => WindowHashes(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_kmeans_argmin", exprs => KmeansArgmin(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_chunk_fps", exprs => ChunkFps(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_stop_scores", exprs => StopScores(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_entropy_stats", exprs => EntropyStats(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hash_vec", exprs => HashVec(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_feat_hashes", exprs => FeatHashes(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bigram_counts", exprs => BigramCounts(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_feat_counts", exprs => FeatCounts(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rep_stats", exprs => RepStats(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_tf_in", exprs => TfIn(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_pii_scrub", exprs => PiiScrub(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_ph", exprs => PhHash(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_quantize_vec", exprs => QuantizeVec(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sq_xhat", exprs => SqXhat(exprs(0), exprs(1), exprs(2)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hll_rho", exprs => HllRho(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_token_counts", exprs => TokenCounts(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lm_doc_score", exprs => LmDocScore(exprs(0), exprs(1), exprs(2)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bpe_apply", exprs => BpeApply(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_collect_capped",
-      exprs => CappedLongCollect(exprs(0), exprs(1)), "scala_udf")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
     registered.add(spark)
   }
 }

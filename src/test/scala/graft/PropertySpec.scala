@@ -89,6 +89,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects every graft function at session build time") {
+    // the spark-submit path: --conf spark.sql.extensions=graft.GraftExtensions
+    // must make every function SparkEntry's operators call resolvable
+    // without a GraftFunctions.register call. registerFunctions is the
+    // hook the session constructor itself drives, so asserting on the
+    // registry it produces exercises the real injection path.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // registerFunctions is private[sql] (it is the session constructor's
+    // own hook) — reach it reflectively to drive the real injection path
+    val m = classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getDeclaredMethods.find(_.getName == "registerFunctions").get
+    m.setAccessible(true)
+    val reg = m.invoke(ext,
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+      .asInstanceOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry]
+    val missing = graft.functions.GraftFunctions.builders.map(_._1).filterNot(
+      n => reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    assert(missing.isEmpty, s"not injected: $missing")
+    assert(graft.functions.GraftFunctions.builders.size >= 29,
+      "builder list shrank — a function was dropped from both paths")
+  }
+
   test("graft_collect_capped: boundary, overflow, nulls, distributed merges") {
     // the hot-key cap aggregate (r15): exactly-cap groups keep their
     // sorted ids, cap+1 groups evaluate to NULL, null ids are skipped,
