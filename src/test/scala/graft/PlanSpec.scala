@@ -1034,4 +1034,41 @@ class PlanSpec extends AnyFunSuite {
     // the walk must actually exercise the rule — the audited sites exist
     assert(globalWindows > 0, "walk saw no unpartitioned windows at all")
   }
+
+  test("every keyless (cross/nested-loop) join has a bounded side") {
+    // the BNLJ twin of the global-window walk (r15): 22 batch plans
+    // carry BroadcastNestedLoopJoins, all the scalar-attach idiom — a
+    // 1-row aggregate (corpus total, model norm) or a K-row table
+    // (centroids, PQ codebook) crossed onto every row. That is the ONE
+    // legitimate keyless-join shape at 100 TB; corpus × corpus without
+    // keys is the quadratic catastrophe. This walk pins it: any Join
+    // whose condition carries no equi-predicate must have at least one
+    // side rooted in an Aggregate/Limit/literal relation.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case l if l.children.isEmpty => false
+      case o => o.children.forall(bounded)
+    }
+    def hasEqui(j: Join): Boolean = j.condition.exists(c =>
+      c.collectFirst { case _: EqualTo | _: EqualNullSafe => () }.isDefined)
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    var keyless = 0
+    val keys = SparkEntry.queries.keys.filterNot(_.startsWith("st")).toSeq.sorted
+    keys.foreach { k =>
+      val df = SparkEntry.queries(k)(spark, dir)
+      df.queryExecution.optimizedPlan.foreach {
+        case j: Join if !hasEqui(j) =>
+          keyless += 1
+          if (!bounded(j.left) && !bounded(j.right))
+            offenders += s"$k: keyless ${j.joinType} join of two unbounded sides"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty,
+      s"keyless joins without a bounded side:\n${offenders.mkString("\n")}")
+    assert(keyless > 0, "walk saw no keyless joins at all")
+  }
 }
