@@ -20,7 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
+      // DESCRIBE FUNCTION metadata: point at the builder registry, where
+      // a reader finds the name -> expression-class mapping (the builder
+      // lambda hides the concrete class until invoked)
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
+        new ExpressionInfo("graft.functions.GraftFunctions", name), b))
     }
 }

@@ -58,10 +58,17 @@ case class CappedLongCollect(
     } else if (!capExpr.foldable ||
       !(capExpr.dataType == IntegerType || capExpr.dataType == LongType)) {
       TypeCheckResult.TypeCheckFailure("cap must be an integer constant")
-    } else if (capExpr.eval() == null ||
-      capExpr.eval().asInstanceOf[Number].intValue() <= 0) {
-      TypeCheckResult.TypeCheckFailure("cap must be a positive constant")
-    } else TypeCheckResult.TypeCheckSuccess
+    } else {
+      // validate the UNtruncated value: intValue() on a long cap would
+      // silently wrap (2^32+50 -> 50) and run with the wrong cap
+      val v = capExpr.eval()
+      if (v == null || v.asInstanceOf[Number].longValue() <= 0) {
+        TypeCheckResult.TypeCheckFailure("cap must be a positive constant")
+      } else if (v.asInstanceOf[Number].longValue() > Int.MaxValue) {
+        TypeCheckResult.TypeCheckFailure(
+          s"cap must fit in INT, got ${v.asInstanceOf[Number].longValue()}")
+      } else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def createAggregationBuffer(): CappedLongCollect.Buf =

@@ -1045,16 +1045,52 @@ class PlanSpec extends AnyFunSuite {
     // whose condition carries no equi-predicate must have at least one
     // side rooted in an Aggregate/Limit/literal relation.
     import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe, Expression, PredicateHelper}
+    // tighter than the window walk's bounded(): a grouped aggregate is
+    // bounded only if its CHILD is (group keys over a corpus are O(n)
+    // distinct — no scalar-attach defense), and only a GLOBAL limit
+    // bounds (LocalLimit is per-partition). Group-by-free aggregates and
+    // literal relations are the legitimate scalar/K-row attach sides.
     def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate => a.groupingExpressions.isEmpty || bounded(a.child)
+      case _: GlobalLimit => true
       case _: LocalRelation | _: OneRowRelation => true
       case l if l.children.isEmpty => false
       case o => o.children.forall(bounded)
     }
+    // an equi-join in the sense Catalyst's ExtractEquiJoinKeys uses: a
+    // TOP-LEVEL conjunct equating one side's columns to the other's.
+    // `collectFirst(EqualTo)` anywhere in the tree would be fooled by
+    // OR-of-equalities or a literal comparison buried in a conjunct.
+    object PH extends PredicateHelper {
+      def conjuncts(c: Expression): Seq[Expression] =
+        splitConjunctivePredicates(c)
+    }
+    def sidesEqui(j: Join, l: Expression, r: Expression): Boolean =
+      (l.references.subsetOf(j.left.outputSet) &&
+        r.references.subsetOf(j.right.outputSet) && l.references.nonEmpty &&
+        r.references.nonEmpty) ||
+      (l.references.subsetOf(j.right.outputSet) &&
+        r.references.subsetOf(j.left.outputSet) && l.references.nonEmpty &&
+        r.references.nonEmpty)
     def hasEqui(j: Join): Boolean = j.condition.exists(c =>
-      c.collectFirst { case _: EqualTo | _: EqualNullSafe => () }.isDefined)
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+      PH.conjuncts(c).exists {
+        case EqualTo(l, r) => sidesEqui(j, l, r)
+        case EqualNullSafe(l, r) => sidesEqui(j, l, r)
+        case _ => false
+      })
+    // structurally-opaque-but-audited sides: the ANN family's query
+    // samples are literal-range FILTERS on the embedding scan
+    // (`vec_id < 10` — 10 rows by data contract, explicitly broadcast)
+    // and its codebook/centroid models are keyed by bounded domains
+    // (16×256 PQ cells, K centroids). bounded() cannot see either, so
+    // these keys' keyless-join counts are pinned EXACTLY: a new keyless
+    // join in any query — including these — changes a count and goes red.
+    val adjudicated = Map(
+      "s26_ann_topk" -> 1, "s29_ann_rerank" -> 1, "s32_pq_adc" -> 3,
+      "s33_ivfpq" -> 1, "s34_sq_ann" -> 1, "s36_hash_vectors" -> 1,
+      "s37_rrf_fusion" -> 1)
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
     var keyless = 0
     val keys = SparkEntry.queries.keys.filterNot(_.startsWith("st")).toSeq.sorted
     keys.foreach { k =>
@@ -1063,12 +1099,13 @@ class PlanSpec extends AnyFunSuite {
         case j: Join if !hasEqui(j) =>
           keyless += 1
           if (!bounded(j.left) && !bounded(j.right))
-            offenders += s"$k: keyless ${j.joinType} join of two unbounded sides"
+            offenders(k) = offenders.getOrElse(k, 0) + 1
         case _ => ()
       }
     }
-    assert(offenders.isEmpty,
-      s"keyless joins without a bounded side:\n${offenders.mkString("\n")}")
+    assert(offenders.toMap === adjudicated,
+      s"keyless joins with no bounded side drifted from the adjudicated set:\n" +
+        s"got $offenders\nexpected $adjudicated")
     assert(keyless > 0, "walk saw no keyless joins at all")
   }
 }
