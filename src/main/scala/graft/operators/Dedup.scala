@@ -324,7 +324,8 @@ object Dedup {
     * class is exact-duplicate territory (d21 counts it, d26/d31
     * resolve a survivor), not a near-dup signal — and the band cap
     * already drops the same docs from d22's listing, so the family
-    * semantics agree. Mirrored in the oracle's `sc`/`simc` CTEs. */
+    * semantics agree. Mirrored in the oracle's `sc`/`sims` CTEs
+    * (PipelineOracles.d23Sql). */
   val SimClassCap = 50L
 
   /** Combination-key simhash candidate pairs with exact hamming filter.

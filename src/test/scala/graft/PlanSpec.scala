@@ -1007,13 +1007,32 @@ class PlanSpec extends AnyFunSuite {
     // the invariant mechanical so a future edit that feeds a global
     // window from a raw relation goes red instead of warning in a log.
     import org.apache.spark.sql.catalyst.plans.logical._
+    // an Aggregate counts as a bounded grain only through its KEYS: a
+    // group-by-free aggregate is 1 row; a grouped one is bounded iff the
+    // key DOMAIN is — which is not structural, so grouped aggregates
+    // over raw sources are adjudicated per key below (month grains,
+    // distinct-age grids, per-source stats: audited bounded domains)
     def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate => a.groupingExpressions.isEmpty || bounded(a.child)
+      case _: GlobalLimit => true
       case _: LocalRelation | _: OneRowRelation => true // literal tables
       case l if l.children.isEmpty => false // raw source reached unbounded
       case o => o.children.forall(bounded)
     }
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    // global windows over GROUPED aggregates of raw sources, adjudicated
+    // by their key DOMAINS (bounded by data semantics, invisible to the
+    // structural walk): month grains (q11/q42), distinct-age grids
+    // (q12/q53), trace/variant grain (q52), per-source stats (p57/p64),
+    // day grain (q61), sketch/bucket grains (t37/d37/q56), conformance
+    // totals (q55). Counts are pinned EXACTLY: a new global window over
+    // any unbounded-by-structure grain — here or elsewhere — goes red.
+    val adjudicated = Map(
+      "d37_bloom_admit" -> 1, "p57_source_mix" -> 2,
+      "p64_temperature_mix" -> 4, "q11_backlog" -> 1, "q12_survival" -> 2,
+      "q42_moving_avg" -> 1, "q52_traces" -> 2, "q53_competing_risks" -> 5,
+      "q55_conformance" -> 1, "q56_docket_wait" -> 1,
+      "q61_sliding_distinct" -> 1, "t37_cms_freq" -> 1)
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
     var globalWindows = 0
     // streaming keys run a micro-batch on construction and return batch
     // results whose plans the batch walk below wouldn't reflect; their
@@ -1025,12 +1044,13 @@ class PlanSpec extends AnyFunSuite {
         case w: Window if w.partitionSpec.isEmpty =>
           globalWindows += 1
           if (!bounded(w.child))
-            offenders += s"$k: ${w.windowExpressions.map(_.name).mkString(",")}"
+            offenders(k) = offenders.getOrElse(k, 0) + 1
         case _ => ()
       }
     }
-    assert(offenders.isEmpty,
-      s"global windows over unbounded grains:\n${offenders.mkString("\n")}")
+    assert(offenders.toMap === adjudicated,
+      "global windows over structurally-unbounded grains drifted from " +
+        s"the adjudicated set:\ngot $offenders\nexpected $adjudicated")
     // the walk must actually exercise the rule — the audited sites exist
     assert(globalWindows > 0, "walk saw no unpartitioned windows at all")
   }
