@@ -23,7 +23,7 @@ object Dedup {
     * (Spark's sequence(1, n) would go descending for n<1; DuckDB's
     * generate_series returns empty — semantics differ, so filter).
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // shingling + minhash kernels fuse onto this scan — rebalance so a
     // single-row-group file doesn't serialize the band family's

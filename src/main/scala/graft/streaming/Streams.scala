@@ -42,6 +42,15 @@ object Streams {
     */
   val StatePartitions = 8
 
+  /** Last live memory-sink view per (session, prefix): a memory sink
+    * pins its full result set in driver memory until the view drops, so
+    * re-invoking an operator (bench warmup+timed passes, a long-lived
+    * session) must not accumulate one materialized result per call —
+    * the previous run's view for the same prefix is dropped when a new
+    * one starts, bounding live sinks to one per operator. */
+  private val lastView =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   /** Start `df` as a memory-sink streaming query, drain it, and return
     * the sink table. The shuffle-partition override is set just for the
     * window between start() and the conf restore — stateful operators
@@ -54,15 +63,25 @@ object Streams {
       mode: String, prefix: String): DataFrame = {
     val name = s"${prefix}_out_${counter.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val q =
+    // the set -> start -> restore window is serialized: with two ops on
+    // one session, an unsynchronized interleaving either leaks the
+    // scoped value into the session (A restores after B saved A's value
+    // as "prev") or starts B's stateful query at the session default —
+    // both break this function's scoped-conf contract
+    val q = confLock.synchronized {
+      val prev = spark.conf.get(key)
       try {
         spark.conf.set(key, StatePartitions.toString)
         df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       } finally spark.conf.set(key, prev)
+    }
     try q.processAllAvailable() finally q.stop()
+    lastView.put((spark, prefix), name)
+      .foreach(spark.catalog.dropTempView(_))
     spark.table(name)
   }
+  /** Lock for runToTable's scoped-conf window. */
+  private object confLock
 
   /** Streaming source over the events table: batch-read the schema, then
     * readStream the same file. The nanos shim is applied via the one
@@ -74,7 +93,7 @@ object Streams {
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.ensureNanosShim(spark)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.Tables.load(spark, dir, "events").schema
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
@@ -119,7 +138,7 @@ object Streams {
     */
   def st36StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
-    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+    val dim = broadcast(graft.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment")))
     val agg = ev.join(dim, col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
@@ -179,13 +198,18 @@ object Streams {
   def st38StreamCorpusAdmit(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val isBatch = pmod(col("doc_id"), lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val corpus = docs.filter(!isBatch)
-      .withColumn("words", split(col("text"), " "))
-    val corpusH = corpus.select(md5(col("text")).as("h")).distinct()
+    val docs = graft.Tables.documents(spark, dir)
+    val corpusH = docs.filter(!isBatch)
+      .select(md5(col("text")).as("h")).distinct()
       .withColumn("in_corpus", lit(true))
-    val corpusBands = corpus.filter(size(col("words")) >= 3)
-      .select(posexplode(expr("graft_minhash_bands(graft_shingles3(words))"))
+    // the corpus band index rides the SHARED shingling definition
+    // (Dedup.shingled: words/>=3-filter/kernel + the scan rebalance that
+    // keeps the band family's heaviest pass off one core) — an inline
+    // re-implementation here (r15 review) silently lost the rebalance
+    // and could drift from d22/d27/d38 on a threshold change
+    val corpusBands = graft.operators.Dedup.shingled(spark, dir)
+      .filter(!isBatch)
+      .select(posexplode(expr("graft_minhash_bands(shingles)"))
         .as(Seq("band_idx", "band_key")))
       .distinct()
       .withColumn("band_hit", lit(true))
@@ -266,11 +290,11 @@ object Streams {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Similarity
     val standing = Similarity.quantize(
-      spark.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") % 5 =!= 0))
+      graft.Tables.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) =!= 0L))
     val packed = broadcast(Similarity.packCentroids(Similarity.kmeansModel(standing)))
     val arriving = Similarity.quantize(
-      embeddingsStream(spark, dir).filter(col("vec_id") % 5 === 0))
+      embeddingsStream(spark, dir).filter(pmod(col("vec_id"), lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L))
     val routed = arriving.join(packed, lit(true), "inner")
       .withColumn("key", expr("graft_kmeans_argmin(q, cents)"))
       .select((col("key") % 100).cast("int").as("cid"),
@@ -286,7 +310,7 @@ object Streams {
 
   /** Streaming source over the embeddings table (eventsStream's shape). */
   private def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = graft.Tables.embeddings(spark, dir).schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
   }
@@ -433,8 +457,6 @@ object Streams {
 
   case class TrEv(user_id: Long, us: Long, event_id: Long, act: String)
   case class TrState(us: Long, act: String, session_num: Long)
-  case class TrEdge(user_id: Long, session_num: Long, from_act: String,
-      to_act: String, gap_us: Option[Long])
   /** Pre-aggregated edge emission grain (r11): per (user, session,
     * from, to) — n occurrences, gap sum (None on the gap-less
     * START/END markers, whose groups are uniformly gap-less). */
@@ -548,7 +570,7 @@ object Streams {
     import graft.operators.TextAnalysis
     val isNew = pmod(col("doc_id"),
       lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.documents(spark, dir)
     val js = explode(array((0 until TextAnalysis.CmsRows).map(lit): _*)).as("j")
     val stream = spark.readStream.schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -597,7 +619,7 @@ object Streams {
     import graft.operators.Dedup
     val isNew = pmod(col("doc_id"),
       lit(Dedup.IncrementalBatchMod.toLong)) === 0L
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.documents(spark, dir)
     val d = Dedup.bloomDocs(docs)
     val mBits = Dedup.bloomMBits(d, isNew)
     val streamCells = Dedup.bloomDocs(
@@ -661,7 +683,7 @@ object Streams {
     import graft.operators.TextAnalysis
     val isNew = pmod(col("doc_id"),
       lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.documents(spark, dir)
     val standing = TextAnalysis.withPredLang(
         docs.filter(!isNew).withColumn("words", split(col("text"), " ")))
       .selectExpr(TextAnalysis.DriftStack)
@@ -781,12 +803,12 @@ object Streams {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Similarity
     val standing = Similarity.quantize(
-      spark.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") % 5 =!= 0))
+      graft.Tables.embeddings(spark, dir)
+        .filter(pmod(col("vec_id"), lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) =!= 0L))
     val model = Similarity.kmeansModel(standing)
     val packed = broadcast(Similarity.packCentroids(model))
     val arriving = Similarity.quantize(
-      embeddingsStream(spark, dir).filter(col("vec_id") % 5 === 0))
+      embeddingsStream(spark, dir).filter(pmod(col("vec_id"), lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L))
     val cells = st48CellsOf(arriving, packed)
     // the tail joins the drained cells beside model/standing subtrees —
     // checkpoint the 1024-cell relation off the memory sink (the
