@@ -46,7 +46,7 @@ object SkewDemo {
       val g = operators.Dedup.spanPostingsCore(docs)
         .withColumn("salt", pmod(col("doc_id"), lit(width.toLong)))
         .groupBy("h", "salt").agg(count(lit(1)).as("n"))
-        .agg(max(col("n")), count(lit(1))).head
+        .agg(max(col("n")), count(lit(1))).head()
       (g.getLong(0), g.getLong(1))
     }
     def time(width: Int): Double = {

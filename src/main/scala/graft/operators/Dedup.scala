@@ -709,7 +709,7 @@ object Dedup {
     * inserted) — one planning aggregate, derived identically in the
     * oracle so positions agree bit-for-bit. */
   private[graft] def bloomMBits(d: DataFrame, isBatch: Column): Long = {
-    val nKeys = d.filter(!isBatch).agg(countDistinct(col("x"))).head.getLong(0)
+    val nKeys = d.filter(!isBatch).agg(countDistinct(col("x"))).head().getLong(0)
     math.max(BloomMinBits, BloomBitsPerKey * nKeys)
   }
 
@@ -788,7 +788,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val maxBlockSize = Tables.embeddings(spark, dir)
       .groupBy("label").agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L))).head.getLong(0)
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
     require(maxBlockSize <= maxBlock,
       s"d25 label block exceeds $maxBlock rows (quadratic baseline, " +
         s"largest block = $maxBlockSize) — use s27 LSH / s28 IVF for unbounded corpora")
