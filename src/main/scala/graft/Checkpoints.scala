@@ -62,6 +62,13 @@ object Checkpoints {
   def of(df: DataFrame): DataFrame = reliableDir(df) match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
+      // The checkpoint itself runs INSIDE the lock (r15 review): with
+      // two sessions configuring different dirs on one context, a
+      // checkpoint outside the set/checkpoint window could land its
+      // files under the OTHER session's dir (whose TTL/cleanup policy
+      // it does not own) after an interleaved re-set. Reliable
+      // checkpoints are rare, round-grain materializations, so
+      // serializing them costs nothing in practice.
       lastSet.synchronized {
         // Re-set when the conf changed OR when something outside this
         // object called sc.setCheckpointDir directly since our last set
@@ -75,8 +82,8 @@ object Checkpoints {
           sc.setCheckpointDir(dir)
           lastSet.put(sc, (dir, sc.getCheckpointDir))
         }
+        df.checkpoint()
       }
-      df.checkpoint()
     case None => df.localCheckpoint()
   }
 
