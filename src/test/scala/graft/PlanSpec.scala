@@ -650,15 +650,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("m32/m34 decode paths keep partition parallelism (no single-partition funnel)") {
-    // the "real plumbing" claim for the stubbed codecs: the mapPartitions
-    // batch-decode must run on the scan's partitioning — a stray
+    // the "real plumbing" claim for the stubbed codecs: the batch decode
+    // must run on the scan's partitioning — a stray
     // repartition(1)/coalesce(1) would serialize 100 TB of media through
     // one task and no value-level check would notice
     for ((name, df) <- Seq(
         "m32" -> operators.Multimodal.m32Multimodal(spark, dir),
         "m34" -> operators.Multimodal.m34PayloadResize(spark, dir))) {
       val p = planString(df)
-      assert(p.contains("MapPartitions"), s"$name: no MapPartitions stage:\n$p")
       // nothing below the decode may move data: the only Exchange allowed
       // in the whole plan is the final presentation sort's range exchange
       assert(!p.contains("Exchange SinglePartition"),
@@ -666,6 +665,17 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name: unexpected shuffle around the decode stage:\n$p")
     }
+    // m34 is a genuine codec boundary: the binary→binary resize keeps the
+    // typed mapPartitions batch shape (one decoder instance per partition)
+    val m34 = planString(operators.Multimodal.m34PayloadResize(spark, dir))
+    assert(m34.contains("MapPartitions"), s"m34: no MapPartitions stage:\n$m34")
+    // m32's byte-stat features need no decoder (r16): the kernel is pure
+    // codegen'd built-ins (md5/length/substring) fused onto the scan — a
+    // reintroduced serialization boundary is the 11.4x floor coming back
+    val m32 = planString(operators.Multimodal.m32Multimodal(spark, dir))
+    assert(!m32.contains("MapPartitions") && !m32.contains("DeserializeToObject"),
+      s"m32: serialization boundary reintroduced in the feature kernel:\n$m32")
+    assert(m32.contains("*("), s"m32: feature projection not codegen'd:\n$m32")
   }
 
   test("q57 reconciliation: range-partitioned JDBC scan, equi full-outer join") {
