@@ -68,7 +68,13 @@ object Checkpoints {
       // files under the OTHER session's dir (whose TTL/cleanup policy
       // it does not own) after an interleaved re-set. Reliable
       // checkpoints are rare, round-grain materializations, so
-      // serializing them costs nothing in practice.
+      // serializing them costs nothing in practice. Known trade-off
+      // (ADVICE r15, accepted): a HUNG checkpoint job holds the monitor
+      // and blocks every other reliable checkpoint in the JVM — if
+      // concurrent multi-session reliable checkpointing ever matters,
+      // hold the lock only for the dir decision and give each session a
+      // distinct subdirectory so concurrent checkpoints cannot
+      // cross-land.
       lastSet.synchronized {
         // Re-set when the conf changed OR when something outside this
         // object called sc.setCheckpointDir directly since our last set

@@ -274,10 +274,10 @@ object CoreQueries {
     // a subject-grain hash table → one orderkey exchange, no join).
     val obs = Tables.orderAssembly(spark, dir)
       .select(
-        when(col("status") === "F", datediff(col("last_ship"), col("odate")))
+        when(col("is_final"), datediff(col("last_ship"), col("odate")))
           .otherwise(datediff(lit("2002-06-01").cast("date"), col("odate")))
           .cast("long").as("t_days"),
-        when(col("status") === "F", 1L).otherwise(0L).as("event"))
+        when(col("is_final"), 1L).otherwise(0L).as("event"))
       .filter(col("t_days").isNotNull)
     val byT = obs.groupBy("t_days")
       .agg(sum(col("event")).as("n_events"),

@@ -105,8 +105,8 @@ object Docket {
     val cases = Tables.orderAssembly(spark, dir)
       .select(
         date_trunc("month", col("odate")).cast("date").as("docket_month"),
-        col("prio").isin("1-URGENT", "2-HIGH").as("orig"),
-        when(col("status") === "F", col("last_ship")).as("decision_date"),
+        col("is_expedited").as("orig"),
+        when(col("is_final"), col("last_ship")).as("decision_date"),
         col("first_ship").as("activation_date"))
       .withColumn("pending",
         col("decision_date").isNull || col("decision_date") >= pred)
@@ -228,11 +228,11 @@ object Docket {
     // aggregate + SHUFFLE_HASH join.
     val rates = Tables.orderAssembly(spark, dir)
       .agg(
-        sum(when(col("status") =!= "F", 1L).otherwise(0L)).as("backlog0"),
+        sum(when(not(col("is_final")), 1L).otherwise(0L)).as("backlog0"),
         sum(when(col("odate") >= lit("1997-08-01").cast("date") &&
           col("odate") < lit("1998-08-01").cast("date"), 1L)
           .otherwise(0L)).as("arr_yr"),
-        sum(when(col("status") === "F" &&
+        sum(when(col("is_final") &&
           col("last_ship") >= lit("1997-08-01").cast("date") &&
           col("last_ship") < lit("1998-08-01").cast("date"), 1L)
           .otherwise(0L)).as("res_yr"))

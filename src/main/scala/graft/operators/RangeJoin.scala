@@ -37,7 +37,7 @@ object RangeJoin {
     // default's two fact-grain sorts, measured ~0.7 s at sf1).
     val iv = Tables.orderAssembly(spark, dir)
       .select(col("odate").as("startd"),
-        coalesce(when(col("status") === "F", col("last_ship")), cutoff)
+        coalesce(when(col("is_final"), col("last_ship")), cutoff)
           .as("endd"))
     // collapse intervals to DISTINCT (startd, endd) pairs with a weight
     // before the cell explode: every open case shares endd = cutoff, so
@@ -122,7 +122,7 @@ object RangeJoin {
     // aggregate + SHUFFLE_HASH join.
     val iv = Tables.orderAssembly(spark, dir)
       .select(col("odate").as("startd"),
-        when(col("status") === "F", col("last_ship")).as("compd"))
+        when(col("is_final"), col("last_ship")).as("compd"))
     val pairs = iv.groupBy("startd", "compd").agg(count(lit(1)).as("w"))
       .withColumn("endd", coalesce(col("compd"), cutoff))
       .withColumn("probd", expr("date_add(startd, 180)"))

@@ -44,9 +44,9 @@ object Survival {
     val obs = Tables.orderAssembly(spark, dir)
       .select(
         col("odate").as("birth"),
-        when(col("status") === "F", col("last_ship")).as("evdate"),
-        when(col("status") =!= "F", lit("censor"))
-          .when(col("prio").isin("1-URGENT", "2-HIGH"), lit("expedited"))
+        when(col("is_final"), col("last_ship")).as("evdate"),
+        when(not(col("is_final")), lit("censor"))
+          .when(col("is_expedited"), lit("expedited"))
           .otherwise(lit("normal")).as("state"))
       .select(
         greatest(lit(0L),

@@ -47,13 +47,32 @@ object Sources {
     * lands in a SQL database and is queried back through a JDBC source.
     */
   /** Embedded-Derby connection constants + read/write helpers shared by
-    * q38/q57 — ONE url/driver definition, and FIXED table names with
-    * overwrite mode so repeated invocations (bench warmup + timed
-    * passes, long verify sessions) rewrite the same in-memory tables
-    * instead of accumulating `<name>_N` copies in driver heap for the
-    * JVM's lifetime (r15 review). */
+    * q38/q57 — ONE url/driver definition. Table names are
+    * counter-suffixed per invocation (concurrency-safe: two sessions on
+    * one JVM can never drop/recreate a table mid-read of the other —
+    * the ADVICE r15 finding against r15's fixed names), and heap stays
+    * bounded because each new invocation DROPs the previous same-prefix
+    * table (the bounded-live-sink idiom): at most one stale copy per
+    * operator lives at a time, vs one per call pre-r15. Contract: a
+    * returned frame reads Derby lazily, so consume it before re-invoking
+    * the SAME operator on this JVM (Verify/Bench do); concurrent
+    * invocations of different calls are isolated by the unique names. */
   private val DerbyUrl = "jdbc:derby:memory:graftdb;create=true"
   private val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+  private val derbyLive = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def derbyTable(prefix: String): String = {
+    val name = s"${prefix}_${counter.incrementAndGet()}"
+    derbyLive.put(prefix, name).foreach { old =>
+      val conn = java.sql.DriverManager.getConnection(DerbyUrl)
+      try {
+        val st = conn.createStatement()
+        try st.execute(s"""DROP TABLE "$old"""")
+        catch { case _: java.sql.SQLException => () } // already gone
+        finally st.close()
+      } finally conn.close()
+    }
+    name
+  }
   private def derbyWrite(df: DataFrame, table: String): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
     df.write.mode("overwrite").format("jdbc")
       .option("url", DerbyUrl).option("dbtable", table)
@@ -64,7 +83,7 @@ object Sources {
       .option("driver", DerbyDriver)
 
   def q38JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val table = "nation_rt"
+    val table = derbyTable("nation_rt")
     derbyWrite(Tables.nation(spark, dir), table)
       .option("createTableColumnTypes", "n_name VARCHAR(64)")
       .save()
@@ -187,7 +206,7 @@ object Sources {
   val ReconWindowEnd = "1997-07-01"
 
   def q57Reconciliation(spark: SparkSession, dir: String): DataFrame = {
-    val table = "caseflow_tasks"
+    val table = derbyTable("caseflow_tasks")
 
     val orders = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit(ReconWindowStart).cast("timestamp") &&

@@ -42,22 +42,28 @@ object Streams {
     */
   val StatePartitions = 8
 
-  /** Last live memory-sink view per (session, prefix): a memory sink
-    * pins its full result set in driver memory until the view drops, so
-    * re-invoking an operator (bench warmup+timed passes, a long-lived
-    * session) must not accumulate one materialized result per call —
-    * the previous run's view for the same prefix is dropped when a new
-    * one starts, bounding live sinks to one per operator. */
-  private val lastView =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
   /** Start `df` as a memory-sink streaming query, drain it, and return
-    * the sink table. The shuffle-partition override is set just for the
-    * window between start() and the conf restore — stateful operators
-    * capture it at start, so the session-global value never changes for
-    * callers (the VERDICT r3 "operators mutate session conf" hygiene
-    * rule: scoped set/restore at one sanctioned point, not per-op
-    * side effects).
+    * the result DETACHED from the sink. The shuffle-partition override
+    * is set just for the window between start() and the conf restore —
+    * stateful operators capture it at start, so the session-global value
+    * never changes for callers (the VERDICT r3 "operators mutate session
+    * conf" hygiene rule: scoped set/restore at one sanctioned point, not
+    * per-op side effects).
+    *
+    * Sink hygiene (ADVICE r15): a memory sink pins its full result set
+    * in driver memory until its temp view drops. The r15 shape kept the
+    * last view alive per (session, prefix) in a strong-keyed map — which
+    * pinned sessions for the JVM's lifetime AND left returned frames
+    * lazily referencing a view a later re-invocation would drop. Both
+    * hazards die here: the drained result is eagerly materialized off
+    * the sink (`localCheckpoint` — these sinks are bounded by
+    * construction, complete-mode aggregates or watermark-bounded append
+    * sets), and the view drops before returning, so live sinks are
+    * bounded at ZERO per operator and the returned frame survives any
+    * re-invocation or catalog churn. localCheckpoint (not reliable
+    * checkpoint) is correct here regardless of [[graft.Checkpoints]]
+    * mode: a memory sink is already driver-local, so executor-loss
+    * recomputability is moot.
     */
   private def runToTable(spark: SparkSession, df: DataFrame,
       mode: String, prefix: String): DataFrame = {
@@ -76,9 +82,9 @@ object Streams {
       } finally spark.conf.set(key, prev)
     }
     try q.processAllAvailable() finally q.stop()
-    lastView.put((spark, prefix), name)
-      .foreach(spark.catalog.dropTempView(_))
-    spark.table(name)
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
   /** Lock for runToTable's scoped-conf window. */
   private object confLock
@@ -722,9 +728,9 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
     // q72's tail self-joins the daily grain (median + MAD passes) and a
     // memory-sink table cannot appear twice in one plan (the st46
-    // conflicting-references analyzer bug); localCheckpoint the
-    // |types|·|days| grid — tiny by construction — to a fresh relation
-    val daily = runToTable(spark, stream, "complete", "st47").graftCheckpoint()
+    // conflicting-references analyzer bug) — runToTable's eager
+    // detach (r16) already returns a checkpointed fresh relation
+    val daily = runToTable(spark, stream, "complete", "st47")
     graft.operators.CoreQueries.q72Tail(daily)
   }
 
@@ -811,9 +817,10 @@ object Streams {
       embeddingsStream(spark, dir).filter(pmod(col("vec_id"), lit(graft.operators.Dedup.IncrementalBatchMod.toLong)) === 0L))
     val cells = st48CellsOf(arriving, packed)
     // the tail joins the drained cells beside model/standing subtrees —
-    // checkpoint the 1024-cell relation off the memory sink (the
-    // st46/st47 analyzer finding; tiny by construction)
-    val drained = runToTable(spark, cells, "complete", "st48").graftCheckpoint()
+    // runToTable's eager detach (r16) already returns the 1024-cell
+    // relation checkpointed off the memory sink (the st46/st47
+    // analyzer finding; tiny by construction)
+    val drained = runToTable(spark, cells, "complete", "st48")
     st48Tail(standing, model, drained)
   }
 }

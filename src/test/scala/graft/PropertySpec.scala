@@ -978,7 +978,7 @@ class PropertySpec extends AnyFunSuite {
     samples(Gen.zip(ordersGen, itemsGen), 15).foreach { case (os, lis) =>
       val expect = os.filter(_._2.isDefined).map { case (k, d, st, pr) =>
         val ships = lis.filter(_._1 == k).map(_._2)
-        (k, day(d.get), st, pr,
+        (k, day(d.get), st == "F", pr == "1-URGENT" || pr == "2-HIGH",
           ships.minOption.map(day).orNull, ships.maxOption.map(day).orNull)
       }.toSet
       val oSchema = StructType(Seq(
@@ -991,7 +991,7 @@ class PropertySpec extends AnyFunSuite {
       val liDf = spark.createDataFrame(spark.sparkContext.parallelize(
         lis.map { case (k, sd) => Row(k, day(sd)) }, 2), liSchema)
       val got = Tables.orderAssemblyOf(oDf, liDf).collect()
-        .map(r => (r.getLong(0), r.getDate(1), r.getString(2), r.getString(3),
+        .map(r => (r.getLong(0), r.getDate(1), r.getBoolean(2), r.getBoolean(3),
           r.getDate(4), r.getDate(5))).toSet
       assert(got === expect, s"orders: $os, lineitems: $lis")
     }
@@ -1446,28 +1446,28 @@ class PropertySpec extends AnyFunSuite {
       // Tables.orderAssembly with the loader swapped out)
       val asm = odf.select(col("o_orderkey").as("k"),
           col("o_orderdate").cast("date").as("odate"),
-          col("o_orderstatus").as("status"),
-          col("o_orderpriority").as("prio"),
+          (col("o_orderstatus") === "F").cast("int").as("fin"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").as("exped"),
           lit(null).cast("date").as("ship"))
         .unionByName(ldf.select(col("l_orderkey").as("k"),
           lit(null).cast("date").as("odate"),
-          lit(null).cast("string").as("status"),
-          lit(null).cast("string").as("prio"),
+          lit(null).cast("int").as("fin"),
+          lit(null).cast("int").as("exped"),
           col("l_shipdate").cast("date").as("ship")))
         .groupBy("k").agg(
           max(col("odate")).as("odate"),
-          max(col("status")).as("status"),
-          max(col("prio")).as("prio"),
+          (max(col("fin")) === 1).as("is_final"),
+          (max(col("exped")) === 1).as("is_expedited"),
           min(col("ship")).as("first_ship"),
           max(col("ship")).as("last_ship"))
         .filter(col("odate").isNotNull)
         .collect().map(r => r.getLong(0) ->
-          (r.getDate(1), r.getString(2), r.getString(3),
+          (r.getDate(1), r.getBoolean(2), r.getBoolean(3),
             Option(r.getDate(4)).map(_.toString),
             Option(r.getDate(5)).map(_.toString))).toMap
       val ref = orders.map { case (k, d, st, pr) =>
         val ships = lines.filter(_._1 == k).map(_._2)
-        k -> (date(d), st, pr,
+        k -> (date(d), st == "F", pr == "1-URGENT" || pr == "2-HIGH",
           if (ships.isEmpty) None else Some(date(ships.min).toString),
           if (ships.isEmpty) None else Some(date(ships.max).toString))
       }.toMap

@@ -19,6 +19,10 @@ pair, no floor entry) exists.
 """
 import sys, json, os
 
+# structural exclusions (BASELINE.md): layout/ingest writes the oracle's
+# plain read never pays; q58 — the one QUERY row here — times an eager
+# bloom materialization scoping the runtime-filter confs while its oracle
+# is the plain join without the mechanism; st33+ = streaming machinery
 EXCLUDE = {"q39_bucketed_join", "q43_partition_prune", "q58_bloom_prefilter",
            "q67_schema_evolution", "q71_zorder_layout", "q74_corrupt_ingest"} | {
     f"st{n}_" for n in range(33, 49)}
