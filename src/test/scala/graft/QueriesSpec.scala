@@ -1743,4 +1743,27 @@ class QueriesSpec extends AnyFunSuite {
       assert(sigs.size === 1, "exact-dup docs scored differently")
     }
   }
+
+  test("Derby roundtrips: a prior invocation's frame survives until drained (r16 lifecycle)") {
+    // the r16 counter-suffixed + drop-previous lifecycle: invoking q38
+    // again drops the PREVIOUS table only, so interleaved invocations
+    // that drain in order both succeed, and results are identical
+    val first = graft.sources.Sources.q38JdbcRoundtrip(spark, dir)
+    val a = first.collect() // drain before re-invoking, per the contract
+    val b = graft.sources.Sources.q38JdbcRoundtrip(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("streaming results survive operator re-invocation (r16 sink detach)") {
+    // pre-r16: the second build dropped the first's memory-sink view, so
+    // draining the FIRST frame afterwards threw TABLE_OR_VIEW_NOT_FOUND;
+    // runToTable now detaches eagerly, making this order safe
+    val first = graft.streaming.Streams.st43StreamHeavyHitters(spark, dir)
+    val second = graft.streaming.Streams.st43StreamHeavyHitters(spark, dir)
+    val a = first.collect() // drained AFTER the second run started
+    val b = second.collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
 }
