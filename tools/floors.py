@@ -66,8 +66,15 @@ for k in comp:
     elif k in floors and floors[k]["pair"]["ratio"] > bar and \
             not (ratio > 2 * floors[k]["pair"]["ratio"] and gap >= MIN_GAP_S):
         rec = floors[k]["pair"]["ratio"]
-        drift = " [RE-PAIR: sweep drifted >0.3x from recorded pair]" \
-            if abs(ratio - rec) > 0.3 else ""
+        # drift is RELATIVE and UPWARD-only (r16): the old absolute 0.3x
+        # window was 2% of a 14x row (pure duck-side noise on a 0.15 s
+        # denominator) but 14% of a 2.2x row, and it fired when the sweep
+        # read BETTER than the pair - which is not a staleness hazard (the
+        # adjudication stays conservative; a retireable floor surfaces via
+        # the pair-cleared harvest). Re-pair only when the sweep says the
+        # recorded pair UNDERSTATES current cost by >30%.
+        drift = " [RE-PAIR: sweep >30% worse than recorded pair]" \
+            if (ratio - rec) / rec > 0.3 else ""
         print(f"  floor {k}: sweep {ratio:.2f}x (recorded pair {rec:.2f}x)"
               f"{drift}")
     # the floor band waives only sub-gap rows on sub-second DuckDB
