@@ -40,6 +40,22 @@ class PlanSpec extends AnyFunSuite {
     n
   }
 
+  test("orderAssembly family plans hash aggregation, never SortAggregate (r16)") {
+    // the r16 finding: carrying a STRING through the union-aggregate's
+    // buffer (max(status)) silently planned SortAggregate - two full
+    // sorts of the orders+lineitem union, O(n log n) growing with the
+    // corpus, hidden under the "one exchange" claim. The assembly now
+    // pre-computes int predicates; any edit that reintroduces a
+    // hash-unfriendly buffer type in this family goes red here rather
+    // than resurfacing as a 0.6 s/10M-row bench regression.
+    for (k <- Seq("q12_survival", "q50_snapshot_ages", "q53_competing_risks",
+        "q56_docket_wait", "q63_fte_utilization", "q64_backlog_forecast")) {
+      val p = planString(SparkEntry.queries(k)(spark, dir))
+      assert(!p.contains("SortAggregate"),
+        s"$k: SortAggregate reappeared in the assembly family:\n$p")
+    }
+  }
+
   test("q01 pushes filters and prunes columns at the parquet scan") {
     val p = planString(operators.CoreQueries.q01CaseScan(spark, dir))
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
