@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // see GraftSession: graft's imperative agg buffers are small, so
+      // hash far past Spark's 128-group default before sort-fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated key filter for single-query iteration;

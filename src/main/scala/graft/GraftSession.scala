@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (graft_collect_capped, graft_last_by2)
+      // keeps hashing up to 256k groups per task before degrading to
+      // its sort-based spill path; Spark's default of 128 was tuned
+      // for percentile-sized buffers, while graft's imperative buffers
+      // are bounded small (≤ ~32 B + value / ≤ cap longs), so 256k
+      // entries cost tens of MB per task — far under executor memory
+      // at any sane task count, and the fallback still bounds the
+      // worst case.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .getOrCreate()
     graft.functions.GraftFunctions.register(spark)
     spark

@@ -637,7 +637,8 @@ object GraftFunctions {
     "graft_token_counts" -> (exprs => TokenCounts(exprs.head)),
     "graft_lm_doc_score" -> (exprs => LmDocScore(exprs(0), exprs(1), exprs(2))),
     "graft_bpe_apply" -> (exprs => BpeApply(exprs(0), exprs(1))),
-    "graft_collect_capped" -> (exprs => CappedLongCollect(exprs(0), exprs(1))))
+    "graft_collect_capped" -> (exprs => CappedLongCollect(exprs(0), exprs(1))),
+    "graft_last_by2" -> (exprs => ArgMaxLast2(exprs(0), exprs(1), exprs(2))))
 
   def register(spark: SparkSession): Unit = registered.synchronized {
     // Mark the session only AFTER every function registers: a concurrent

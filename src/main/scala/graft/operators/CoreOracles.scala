@@ -545,7 +545,11 @@ object CoreOracles {
         |       CAST(d.dev2 * 20000 > a.mad4 * 44478 AS INT) AS anomaly
         |FROM dev d JOIN mad a USING (event_type)
         |ORDER BY event_type, event_date""".stripMargin,
-    // q73 mirror — same 7-day window join, (ts, event_id) tie-breaks,
+    // q73 mirror — same 7-day window join, (ts, touch_type) tie-breaks
+    // (r17: only the boundary touch's TYPE is credited, so the
+    // tie-break is on type — a 2-bit code that packs with the bounded
+    // 7-day µs offset into one hash-aggregable int64 on the Spark
+    // side; same-type ts ties credit the same type under any order),
     // integer permyriad credits, explicit __NONE__ accounting row
     "q73_attribution" ->
       """WITH ev AS (
@@ -563,9 +567,9 @@ object CoreOracles {
         |), c AS (
         |  SELECT touch_type,
         |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id
-        |                ORDER BY t_ts, touch_id) = 1 THEN 10000 ELSE 0 END AS first_pm,
+        |                ORDER BY t_ts, touch_type) = 1 THEN 10000 ELSE 0 END AS first_pm,
         |         CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id
-        |                ORDER BY t_ts DESC, touch_id DESC) = 1 THEN 10000 ELSE 0 END AS last_pm,
+        |                ORDER BY t_ts DESC, touch_type DESC) = 1 THEN 10000 ELSE 0 END AS last_pm,
         |         10000 // COUNT(*) OVER (PARTITION BY conv_id) AS linear_pm
         |  FROM j
         |), agg AS (

@@ -137,19 +137,28 @@ object CoreQueries {
     * location 96 wins (row_number()==n() → here row_number over desc).
     */
   def q08LastPerKey(spark: SparkSession, dir: String): DataFrame = {
-    // max_by with a lexicographic (ts, event_id) ordering struct, not a
-    // row_number window: when only each group's winner survives, the
-    // aggregate form partial-combines map-side and shuffles one row per
-    // (user, type) — the window form shuffles AND sorts every raw event
-    // (1.55 s vs 0.36 s at sf1; at 10¹² events the sort is the bottleneck)
+    graft.functions.GraftFunctions.register(spark)
+    // graft_last_by2 (functions/ArgMax.scala), not max_by(struct) and
+    // not a winner-ts join-back (r17, the r16 orderAssembly finding
+    // applied here): max_by's struct buffer is not UnsafeRow-mutable,
+    // so the declarative aggregate silently planned partial+final
+    // SortAggregate — a per-partition sort of every raw event. The
+    // custom TypedImperativeAggregate keeps the ideal shape — ONE
+    // corpus scan, hash-grouped partials, one winner-grain exchange,
+    // no sort, no second pass — where the alternatives measured at sf1
+    // (32-core sweep): max_by/SortAggregate 1.94 s, winners-join-back
+    // 1.75 s (flat across the sf1→sf10 decade but re-scans the
+    // corpus), graft_last_by2 see BASELINE.md r17. Packing (ts, id)
+    // into one int64 for a plain max is unsound at scale: 51-bit epoch
+    // micros + 30-bit ids at sf10 already exceed 63 bits.
     Tables.events(spark, dir)
       .groupBy("user_id", "event_type")
-      .agg(max_by(
-        struct(col("ts").as("last_ts"), col("value").as("last_value"),
-          col("event_id").as("last_event_id")),
-        struct(col("ts"), col("event_id"))).as("w"))
+      .agg(call_function("graft_last_by2",
+        unix_micros(col("ts")), col("event_id"), col("value")).as("w"))
       .select(col("user_id"), col("event_type"),
-        col("w.last_ts"), col("w.last_value"), col("w.last_event_id"))
+        timestamp_micros(col("w.k1")).as("last_ts"),
+        col("w.v").as("last_value"),
+        col("w.k2").as("last_event_id"))
       .orderBy("user_id", "event_type")
   }
 
@@ -887,28 +896,47 @@ object CoreQueries {
         col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
     // the touch-credit pairs NEVER shuffle (r9 — the r8 verdict's q73
     // item): the join output partial-aggregates map-side to the
-    // (conv_id, touch_type) grain — counts plus the orderable-struct
-    // min/max that identify the (ts, event_id)-tie-broken boundary
-    // touches — so the only pair-sized work is pipelined inside the join
-    // stage, and the prior rn/count windows' exchange+sort over every
-    // pair (~5M rows at sf1, the measured cost) collapses to window
-    // passes on the ≤|convs|·|touch types| grain
+    // (conv_id, touch_type) grain, so the only pair-sized work is
+    // pipelined inside the join stage, and the prior rn/count windows'
+    // exchange+sort over every pair (~5M rows at sf1, the measured
+    // cost) collapses to window passes on the ≤|convs|·|touch types|
+    // grain.
+    //
+    // The boundary touch rides a PACKED INT64, not a min/max(struct)
+    // (r17, the r16 orderAssembly finding): a struct agg buffer is not
+    // UnsafeRow-mutable, so the struct form silently planned
+    // SortAggregate — per-partition sorts of the PAIR-sized join
+    // output. Packing is safe here because the join bounds the window:
+    // dt = p_ts − t_ts ∈ (0, 7 days] < 2^40 µs, and the tie-break is
+    // the 2-bit TYPE code (boundary identity never leaves the query —
+    // only its type is credited — so ties on (conv, ts) resolve by
+    // touch_type; same-type ties credit the same type either way).
+    // packed = dt·4 + (3 − code): max(packed) = earliest ts then
+    // lexicographically-first type; min(packed) = latest ts then
+    // lexicographically-last type — exactly the oracle's
+    // ORDER BY t_ts, touch_type / ORDER BY t_ts DESC, touch_type DESC.
+    val code = when(col("touch_type") === "click", 0L)
+      .when(col("touch_type") === "signup", 1L).otherwise(2L) // 'view'
+    val packed = (unix_micros(col("p_ts")) - unix_micros(col("t_ts"))) * 4L +
+      (lit(3L) - code)
     val ct = joined.groupBy("conv_id", "touch_type")
       .agg(count(lit(1)).as("cnt"),
-        min(struct(col("t_ts"), col("touch_id"), col("touch_type"))).as("min_s"),
-        max(struct(col("t_ts"), col("touch_id"), col("touch_type"))).as("max_s"))
+        max(packed).as("pf"), min(packed).as("pl"))
     val wc = Window.partitionBy("conv_id")
+    val decode = (pk: Column) => lit(3L) - pmod(pk, lit(4L))
+    val myCode = when(col("touch_type") === "click", 0L)
+      .when(col("touch_type") === "signup", 1L).otherwise(2L)
     val credited = ct
       .withColumn("n", sum(col("cnt")).over(wc))
-      .withColumn("first_s", min(col("min_s")).over(wc))
-      .withColumn("last_s", max(col("max_s")).over(wc))
+      .withColumn("first_code", decode(max(col("pf")).over(wc)))
+      .withColumn("last_code", decode(min(col("pl")).over(wc)))
       .groupBy("touch_type")
       .agg(sum(col("cnt")).as("n_touches"),
         // per conv exactly one grain row's type equals the boundary
         // touch's type, so each conversion contributes 10000 pm once
-        sum(when(col("first_s.touch_type") === col("touch_type"), 10000L)
+        sum(when(col("first_code") === myCode, 10000L)
           .otherwise(0L)).as("credit_first_pm"),
-        sum(when(col("last_s.touch_type") === col("touch_type"), 10000L)
+        sum(when(col("last_code") === myCode, 10000L)
           .otherwise(0L)).as("credit_last_pm"),
         // Σ over the conv's touches of 10000 DIV n, grouped by type
         sum(expr("10000 DIV n") * col("cnt")).as("credit_linear_pm"))

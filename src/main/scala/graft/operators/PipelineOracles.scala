@@ -1477,7 +1477,7 @@ object PipelineOracles {
       |       CAST(SUM(n_ssn) AS BIGINT) AS n_ssns,
       |       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
       |       CAST(SUM(length(raw) - length(clean)) AS BIGINT) AS chars_redacted,
-      |       MIN(md5(clean)) AS content_witness
+      |       MIN(('0x' || substr(md5(clean), 1, 15))::BIGINT) AS content_witness
       |FROM scrubbed
       |GROUP BY source
       |ORDER BY source""".stripMargin

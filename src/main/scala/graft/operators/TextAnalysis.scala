@@ -251,7 +251,14 @@ object TextAnalysis {
         sum(col("n_phone")).as("n_phones"),
         sum(length(col("raw")).cast("long") - length(col("clean")).cast("long"))
           .as("chars_redacted"),
-        min(md5(col("clean"))).as("content_witness"))
+        // witness as a 60-bit INT (first 15 md5 hex chars), not the hex
+        // STRING (r17): a string agg buffer is not UnsafeRow-mutable,
+        // so min(md5) silently demoted this corpus-grain aggregation to
+        // SortAggregate — a per-partition sort of every document. Same
+        // collision resistance for a witness; both engines agree
+        // exactly (the phSql device).
+        min(conv(substring(md5(col("clean")), 1, 15), 16, 10).cast("long"))
+          .as("content_witness"))
       .orderBy("source")
   }
 

@@ -66,8 +66,13 @@ object Sources {
       val conn = java.sql.DriverManager.getConnection(DerbyUrl)
       try {
         val st = conn.createStatement()
-        try st.execute(s"""DROP TABLE "$old"""")
-        catch { case _: java.sql.SQLException => () } // already gone
+        // Unquoted, matching how Spark's JDBC writer created it: Derby
+        // normalizes unquoted identifiers to uppercase, so a quoted
+        // lowercase drop never matches (ADVICE r16) and the bound leaks.
+        try st.execute(s"DROP TABLE $old")
+        catch {
+          case e: java.sql.SQLException if e.getSQLState == "42Y55" => () // already gone
+        }
         finally st.close()
       } finally conn.close()
     }

@@ -56,6 +56,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  // Tiny-grain waivers for the repo-wide SortAggregate ban (r17): both
+  // are dim-table ROUNDTRIP checks whose min(string) witness aggregates
+  // a ≤25-row frame read back from CSV/Derby — the sort is over the
+  // dimension, not data, and recoding their witnesses would obscure
+  // what the roundtrip is checking. Everything data-sized is banned.
+  private val sortAggWaivers = Set("q37_csv_roundtrip", "q38_jdbc_roundtrip")
+
+  test("no batch plan carries SortAggregate (r17 repo-wide sweep)") {
+    // the r16 finding, generalized: a non-UnsafeRow-mutable aggregation
+    // buffer (string / struct) silently demotes HashAggregate to
+    // SortAggregate — per-partition sorts of the aggregate's input,
+    // O(n log n) growing with the corpus, invisible to value
+    // checks. r16 fixed the orderAssembly family; r17 fixed
+    // q08/q73/t33. This walk pins the CLASS out: any new or edited
+    // operator that re-grows one goes red here with its plan printed.
+    // Static (pre-AQE) plans suffice — AQE never introduces or removes
+    // aggregate strategies — so no query is executed.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (k, fn) if !k.startsWith("st") && !sortAggWaivers(k) =>
+        k -> fn(spark, dir).queryExecution.executedPlan.toString
+    }.filter(_._2.contains("SortAggregate"))
+    assert(offenders.isEmpty,
+      offenders.map { case (k, p) => s"$k:\n$p" }.mkString("\n\n"))
+  }
+
   test("q01 pushes filters and prunes columns at the parquet scan") {
     val p = planString(operators.CoreQueries.q01CaseScan(spark, dir))
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
@@ -1022,6 +1047,48 @@ class PlanSpec extends AnyFunSuite {
         assert(n("SortMergeJoin") <= m,
           s"$key: sort-merge join count grew past the pinned shape:\n$p")
       }
+    }
+  }
+
+  test("sf10 floor pins hold statically against benchdata/sf10 (r17)") {
+    // VERDICT r16: FLOORS pins validate at sf0.001 while adjudications
+    // describe sf10 shapes (q20: broadcast ≤sf1, SMJ at sf10) — the
+    // scale-adaptive join claims were prose. This arm makes them
+    // machine checks: entries carrying an optional `sf10_pins` block
+    // are re-planned against the sf10 bench corpus and the STATIC
+    // (pre-AQE) plan is validated — plan-only, nothing executes. The
+    // static plan is the right subject: it shows the stats-driven
+    // regime choice (broadcast vs SMJ), and AQE only ever improves on
+    // it at runtime. `require` lists nodes the claimed regime must
+    // contain (q20's SMJ at scale; q08's ObjectHashAggregate; q44's
+    // broadcast), `forbid`/counts work as in the sf0.001 validator.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val sf10 = "/root/repo/benchdata/sf10"
+    assume(new java.io.File(sf10 + "/events.parquet").exists ||
+      new java.io.File(sf10).isDirectory, "bench corpus absent")
+    val j = JsonMethods.parse(new java.io.File("docs/FLOORS.json"))
+    val floors = (j \ "floors").asInstanceOf[JObject].obj
+    val claimed = floors.flatMap { case (key, spec) =>
+      (spec \ "sf10_pins").extractOpt[JObject].map(p => (key, p)) }
+    assert(claimed.nonEmpty, "no entry claims an sf10 regime anymore — drop this arm")
+    claimed.foreach { case (key, pins) =>
+      val p = SparkEntry.queries(key)(spark, sf10)
+        .queryExecution.executedPlan.toString
+      def n(sub: String) = sub.r.findAllIn(p).size
+      (pins \ "require").extractOpt[List[String]].getOrElse(Nil).foreach { r =>
+        assert(p.contains(r), s"$key@sf10: claimed regime node $r missing:\n$p")
+      }
+      (pins \ "forbid").extract[List[String]].foreach { f =>
+        assert(!p.contains(f), s"$key@sf10: forbidden node $f appeared:\n$p")
+      }
+      assert(n("Scan parquet") <= (pins \ "max_scans").extract[Int],
+        s"$key@sf10: scan count grew past the pinned shape:\n$p")
+      assert(n("Window ") <= (pins \ "max_windows").extract[Int],
+        s"$key@sf10: window count grew past the pinned shape:\n$p")
+      assert(n("Exchange ") <= (pins \ "max_exchanges").extract[Int],
+        s"$key@sf10: exchange count grew past the pinned shape:\n$p")
     }
   }
 

@@ -145,6 +145,55 @@ class PropertySpec extends AnyFunSuite {
       "nulls must not count toward the cap")
   }
 
+  test("graft_last_by2: ties, null keys, null/typed values, distributed merges") {
+    // the argmax aggregate behind q08 (r17): lexicographic (k1, k2) max,
+    // null ordering keys skipped, a null VALUE on the winning row
+    // survives, all-null-key group evaluates to NULL, and the winner is
+    // stable under partial aggregation + merge across many partitions
+    // (the serde path) — plus the UTF8String-clone hazard: the buffer
+    // must not alias the scan's reused row memory
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // group 1: plain max on k1
+      Row(1L, 10L, 1L, "a"), Row(1L, 30L, 1L, "win1"), Row(1L, 20L, 9L, "b"),
+      // group 2: k1 tie broken by k2
+      Row(2L, 5L, 7L, "win2"), Row(2L, 5L, 3L, "x"), Row(2L, 4L, 99L, "y"),
+      // group 3: winner carries a NULL value
+      Row(3L, 2L, 1L, "z"), Row(3L, 9L, 1L, null),
+      // group 4: null keys skipped; only one qualifying row
+      Row(4L, null, 1L, "n1"), Row(4L, 1L, null, "n2"), Row(4L, 0L, 0L, "win4"),
+      // group 5: ALL keys null -> NULL struct
+      Row(5L, null, null, "dead"))
+    val schema = StructType(Seq(
+      StructField("g", LongType), StructField("k1", LongType),
+      StructField("k2", LongType), StructField("v", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 7), schema)
+    val got = df.groupBy("g")
+      .agg(expr("graft_last_by2(k1, k2, v)").as("w"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1))
+        .map(s => (s.getLong(0), s.getLong(1), s.getString(2)))).toMap
+    assert(got(1L) === Some((30L, 1L, "win1")))
+    assert(got(2L) === Some((5L, 7L, "win2")), "k1 tie must break on k2")
+    assert(got(3L) === Some((9L, 1L, null)), "null value on the winner survives")
+    assert(got(4L) === Some((0L, 0L, "win4")), "null-key rows are skipped")
+    assert(got(5L) === None, "all-null-key group is NULL")
+    // typed-value arms: the same ordering with DOUBLE and BIGINT values
+    val ev = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 1L, 1L, 1.5, 100L), Row(1L, 2L, 1L, 2.5, 200L)), 2),
+      StructType(Seq(
+        StructField("g", LongType), StructField("k1", LongType),
+        StructField("k2", LongType), StructField("d", DoubleType),
+        StructField("l", LongType))))
+    val r2 = ev.groupBy("g")
+      .agg(expr("graft_last_by2(k1, k2, d)").as("wd"),
+        expr("graft_last_by2(k1, k2, l)").as("wl")).collect().head
+    assert(r2.getStruct(1).getDouble(2) === 2.5)
+    assert(r2.getStruct(2).getLong(2) === 200L)
+  }
+
   test("simhashPairs equals brute force at the hamming boundary (total recall)") {
     // The recall guarantee the combination keys must uphold (VERDICT r1 #1,
     // r2 #3): a pair at EXACTLY maxHamming=3 whose differing bits land in 3
@@ -1307,8 +1356,11 @@ class PropertySpec extends AnyFunSuite {
         .withDefaultValue((0L, 0L, 0L, 0L))
       var unattributed = 0L
       purchases.foreach { case (_, uid, _, pus) =>
+        // r17 tie-break: boundary credit goes to the lexicographically
+        // first/last TYPE at the boundary ts (matches the packed-int64
+        // aggregate and the DuckDB mirror's ORDER BY t_ts, touch_type)
         val w = touches.filter(t => t._2 == uid && t._4 < pus &&
-          t._4 >= pus - 7 * DayUs).sortBy(t => (t._4, t._1))
+          t._4 >= pus - 7 * DayUs).sortBy(t => (t._4, t._3))
         if (w.isEmpty) unattributed += 1
         else {
           val n = w.size

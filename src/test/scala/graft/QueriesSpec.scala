@@ -1753,6 +1753,21 @@ class QueriesSpec extends AnyFunSuite {
     val b = graft.sources.Sources.q38JdbcRoundtrip(spark, dir).collect()
     assert(a.toSeq === b.toSeq)
     assert(a.nonEmpty)
+    // heap-boundedness (ADVICE r16): the drop-previous mechanism must
+    // actually fire — after the second invocation drains, at most ONE
+    // nation_rt_* table may be live in Derby's catalog
+    val conn = java.sql.DriverManager.getConnection("jdbc:derby:memory:graftdb;create=true")
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'NATION_RT_%'")
+        var live = List.empty[String]
+        while (rs.next()) live ::= rs.getString(1)
+        rs.close()
+        assert(live.size <= 1, s"stale Derby tables accumulating: $live")
+      } finally st.close()
+    } finally conn.close()
   }
 
   test("streaming results survive operator re-invocation (r16 sink detach)") {
