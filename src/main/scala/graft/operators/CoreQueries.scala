@@ -200,9 +200,17 @@ object CoreQueries {
   def q10Quantiles(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = to_timestamp(lit("2002-01-01 00:00:00"))
     val days = datediff(cutoff.cast("date"), col("o_orderdate").cast("date"))
+    // customer joins SHUFFLE-HASH, not broadcast (r17 sf10 probe):
+    // building ONE driver-side map over every customer costs more than
+    // letting each task build its 1/32nd slice — 1.82 s vs 1.17 s at
+    // sf10, neutral at sf1 (0.83 vs 0.78) — and a 100 TB customer dim
+    // outgrows the driver anyway; SHJ probes without sorting either
+    // side (the r16 q20 SHJ negative was a 60M-row build side — this
+    // build is the dim).
     val grid = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "O")
-      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+          .hint("shuffle_hash"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), days.cast("long").as("d"))
@@ -731,19 +739,41 @@ object CoreQueries {
     * drive corrupted data (duplicate keys, nulls, bad enums, orphans)
     * through the production plan and see every failure arm fire. */
   private[graft] def q70ConstraintCore(o: DataFrame, liDf: DataFrame): DataFrame = {
+    // row-level constraints fold into ONE exchange-free map-side pass;
+    // the key-grain work is SHARED (r17 sf10 probe): countDistinct
+    // inside this agg cost 2.3 s of the 3.9 s pair at sf10 (0.41 s
+    // without), and the RI anti join needs the same key grain — so
+    // ONE groupBy(o_orderkey) aggregate feeds BOTH the uniqueness
+    // count and the anti-join build (identical subtrees → AQE
+    // ReusedExchange; the join build is already hash-partitioned on
+    // the key, no further shuffle).
     val oAgg = o.agg(
       count(lit(1)).as("n"),
-      countDistinct(col("o_orderkey")).as("n_keys"),
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
       sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
         .as("n_bad_status"),
       sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_bad_price"))
+    // the isNotNull filter does double duty: countDistinct semantics
+    // (a NULL key is not a distinct key — n_keys must match the
+    // original countDistinct on corrupted data) AND exchange identity —
+    // the anti join pushes isnotnull onto its build side, so without it
+    // here the two okeys subtrees differ by that filter and AQE cannot
+    // reuse the key-grain exchange (r17 probe: separate ShuffleQueryStages)
+    val okeys = o.filter(col("o_orderkey").isNotNull)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("kc"))
+    val keyStats = okeys.agg(count(lit(1)).as("n_keys"))
+    // SHJ, not SMJ (r17 probe: 3.19 s vs 5.03 s at sf10, 0.69 vs 1.27
+    // at sf1): the build side is the distinct key set — per-task slices
+    // stay small at any corpus the exchange itself survives, and
+    // neither 60M-row side pays a sort. A q39-bucketed lake kills this
+    // shuffle outright.
     val orphans = liDf
-      .join(o.select("o_orderkey"),
+      .join(okeys.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_orphan"))
     val li = liDf.agg(count(lit(1)).as("n_li"))
-    val m = oAgg.crossJoin(broadcast(orphans)).crossJoin(broadcast(li))
+    val m = oAgg.crossJoin(broadcast(keyStats))
+      .crossJoin(broadcast(orphans)).crossJoin(broadcast(li))
     // ONE evaluation of the metrics row, fanned into the report rows by
     // a single explode — a 5-way union of selects over `m` would plan
     // five copies of the whole aggregation tree (15 aggregate jobs)

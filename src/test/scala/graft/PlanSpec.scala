@@ -1034,6 +1034,9 @@ class PlanSpec extends AnyFunSuite {
       val p = planString(SparkEntry.queries(key)(spark, dir))
       def n(sub: String) = sub.r.findAllIn(p).size
       val pins = spec \ "pins"
+      (pins \ "require").extractOpt[List[String]].getOrElse(Nil).foreach { r =>
+        assert(p.contains(r), s"$key: pinned regime node $r missing:\n$p")
+      }
       (pins \ "forbid").extract[List[String]].foreach { f =>
         assert(!p.contains(f), s"$key: forbidden node $f appeared:\n$p")
       }
