@@ -82,6 +82,37 @@ object ProbeR17 {
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(sum("c").as("n_orphan")))
     time("q70.full")(graft.operators.CoreQueries.q70ConstraintAudit(spark, dir))
+
+    val delay = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+    def q20body(joined: DataFrame): DataFrame = joined
+      .withColumn("delay_days", delay)
+      .withColumn("bucket", floor(col("delay_days") / 30.0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_items"), round(avg(col("delay_days")), 4).as("avg_delay"))
+    time("q20.default join")(q20body(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))))
+    def q44body(j: DataFrame): DataFrame = j
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_no_items"),
+        round(sum(col("o_totalprice")), 2).as("stranded_value"))
+    time("q44.default")(q44body(Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")))
+    time("q44.SHJ raw build")(q44body(Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey").hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")))
+    time("q44.SHJ distinct build")(q44body(Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey")
+          .groupBy("l_orderkey").agg(count(lit(1))).select("l_orderkey")
+          .hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")))
+    time("q20.SHJ orders build")(q20body(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+            .hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))))
     if (sys.env.contains("PROBE_PLAN")) {
       val df = graft.operators.CoreQueries.q70ConstraintAudit(spark, dir)
       df.collect()

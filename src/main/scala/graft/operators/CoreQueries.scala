@@ -458,8 +458,18 @@ object CoreQueries {
     */
   def q20Histogram(spark: SparkSession, dir: String): DataFrame = {
     val delay = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+    // fact⋈fact rides SHUFFLE-HASH with the orders side as build (r17
+    // probe, min-of-2 noop): vs the default regime (broadcast at tiny
+    // sf, SMJ past the threshold) the explicit small-side build wins
+    // 7.32 → 4.22 s at sf10, 1.93 → 1.09 s at sf1, neutral at sf0.1
+    // (0.51 vs 0.53) — no sort of either 60M-row side, per-task build
+    // slices of the key+date projection only. This REVISES the r16
+    // negative result: conf-forced AQE SMJ→SHJ conversion measured
+    // worse because the conversion inherits the sort-merge plan's
+    // exchanges+sorts; a planner-time hint never plans the sorts.
     Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
-      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("delay_days", delay)
       .withColumn("bucket", floor(col("delay_days") / 30.0).cast("long"))
@@ -594,8 +604,15 @@ object CoreQueries {
     * orders that have no lineitem at all, counted by status.
     */
   def q44AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    // anti join rides SHUFFLE-HASH (r17 probe, min-of-2 noop): 5.54 →
+    // 2.47 s at sf10, 1.42 → 1.00 at sf1, and it wins even at sf0.1
+    // (0.44 → 0.36) where the default still broadcasts — the key-only
+    // build column hashes cheaper than it broadcasts. Pre-aggregating
+    // the build to distinct keys measured WORSE (2.97 s at sf10: the
+    // extra agg pass isn't paid back). Same r16-negative revision as
+    // q20: hint-planned SHJ ≠ conf-forced AQE conversion.
     Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir).select("l_orderkey"),
+      .join(Tables.lineitem(spark, dir).select("l_orderkey").hint("shuffle_hash"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_no_items"),
