@@ -13,6 +13,12 @@ Flags floor entries whose sweep ratio drifted >0.3x from the recorded
 pair (the end-of-round re-pair trigger) and floor entries whose current
 evidence clears the bar (retire them).
 
+Pin validation is PlanSpec's job, not this gate's: the sf0.001 `pins`
+block (require/forbid/count caps on the AQE-executed plan) and the
+optional `sf10_pins` block (static plans against benchdata/sf10 — the
+r17 machine check for scale-regime claims like q20/q44's shuffle-hash)
+both re-validate on every test run.
+
 Usage: tools/floors.py <bench.json> <baseline.json> [abpairs.json ...]
 Exit 1 iff an unadjudicated row (ratio > bar, gap >= 1.5 s, no clearing
 pair, no floor entry) exists.
