@@ -83,6 +83,28 @@ object ProbeR17 {
       .agg(sum("c").as("n_orphan")))
     time("q70.full")(graft.operators.CoreQueries.q70ConstraintAudit(spark, dir))
 
+    def q11closed(j: DataFrame): DataFrame = j
+      .groupBy("o_orderkey").agg(max(col("l_shipdate")).as("completed"))
+      .groupBy(date_trunc("month", col("completed")).as("month"))
+      .agg(count(lit(1)).as("n_closed"))
+    time("q11.closed default")(q11closed(
+      Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey"))))
+    time("q11.closed SHJ orders build")(q11closed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))))
+    time("q11.closed li-preagg SHJ")(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+        .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("completed")).as("month"))
+        .agg(count(lit(1)).as("n_closed")))
+
     val delay = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
     def q20body(joined: DataFrame): DataFrame = joined
       .withColumn("delay_days", delay)

@@ -262,10 +262,19 @@ object CoreQueries {
     val opened = orders
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(count(lit(1)).as("n_opened"))
-    val closed = orders.filter(col("o_orderstatus") === "F")
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderkey").agg(max(col("l_shipdate")).as("completed"))
+    // completion dates aggregate BEFORE the join (r17): joining raw
+    // lineitem first and grouping the join output paid the key-grain
+    // exchange on the POST-join rows (F-share of 60M at sf10); the
+    // map-side combine reduces lineitem 4× before its one exchange, and
+    // the F-key join is then SHUFFLE-HASH on the key-only build (the
+    // q20/q44 regime — at sf10 the 60MB F-key side exceeds the
+    // broadcast threshold and the default regime sort-merges both
+    // sides: 16.8 s vs 4.2 s in the r17 probe arms).
+    val closed = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_trunc("month", col("completed")).as("month"))
       .agg(count(lit(1)).as("n_closed"))
     val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
