@@ -81,6 +81,10 @@ object Sources {
   private def derbyWrite(df: DataFrame, table: String): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
     df.write.mode("overwrite").format("jdbc")
       .option("url", DerbyUrl).option("dbtable", table)
+      // 10× the default 1000: the JDBC sink's per-batch round-trip is
+      // the q57 write cost at sf10 (the insert volume is the bounded
+      // reconciliation window, but batches are pure overhead)
+      .option("batchsize", "10000")
       .option("driver", DerbyDriver)
   private def derbyRead(spark: SparkSession, table: String): org.apache.spark.sql.DataFrameReader =
     spark.read.format("jdbc")
