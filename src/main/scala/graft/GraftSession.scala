@@ -30,7 +30,12 @@ object GraftSession {
       // are bounded small (≤ ~32 B + value / ≤ cap longs), so 256k
       // entries cost tens of MB per task — far under executor memory
       // at any sane task count, and the fallback still bounds the
-      // worst case.
+      // worst case. NOTE the conf is SESSION-GLOBAL (ADVICE r17): it
+      // also governs built-in TypedImperativeAggregates — today's
+      // collect_list sites all aggregate bounded centroid-sized
+      // grains, but any future corpus-grain collect_list should set
+      // this per-query via spark.conf around the aggregate instead of
+      // inheriting the raised threshold.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .getOrCreate()
     graft.functions.GraftFunctions.register(spark)

@@ -39,7 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null contract: rows with a null ordering key carry no position and
   * are skipped (max_by's null-ordering semantics); a null `v` on the
   * winning row survives as a null field. Empty/all-null-key group →
-  * NULL struct.
+  * NULL struct. Callers that mirror a ROW_NUMBER oracle (which ranks
+  * null keys instead of dropping them) must pre-filter null keys on
+  * BOTH sides — q08 does (ADVICE r17).
   */
 case class ArgMaxLast2(
     k1Expr: Expression,

@@ -96,6 +96,7 @@ object CoreOracles {
         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
         |)
         |SELECT user_id, event_type, ts AS last_ts, value AS last_value, event_id AS last_event_id
         |FROM t WHERE rn = 1

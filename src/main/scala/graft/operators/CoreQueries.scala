@@ -151,7 +151,15 @@ object CoreQueries {
     // corpus), graft_last_by2 see BASELINE.md r17. Packing (ts, id)
     // into one int64 for a plain max is unsound at scale: 51-bit epoch
     // micros + 30-bit ids at sf10 already exceed 63 bits.
+    // Null contract made EXPLICIT on both sides (ADVICE r17):
+    // graft_last_by2 skips rows with a null ordering key, while the
+    // oracle's ROW_NUMBER would rank them (nulls-last) and could emit a
+    // null-ts winner for an all-null group — so both the operator and
+    // the oracle filter null keys up front and a keyless group simply
+    // has no row. The filter is vacuous on this corpus (no null
+    // ts/event_id) and folds into the scan.
     Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
       .groupBy("user_id", "event_type")
       .agg(call_function("graft_last_by2",
         unix_micros(col("ts")), col("event_id"), col("value")).as("w"))
@@ -270,10 +278,16 @@ object CoreQueries {
     // q20/q44 regime — at sf10 the 60MB F-key side exceeds the
     // broadcast threshold and the default regime sort-merges both
     // sides: 16.8 s vs 4.2 s in the r17 probe arms).
+    // the F-key build side is DISTINCT (ADVICE r17): the pre-aggregated
+    // lineitem side is one row per key, so a duplicated o_orderkey in a
+    // corrupt orders file would double-count n_closed where the oracle's
+    // post-join groupBy(o_orderkey) collapses it. dropDuplicates is a
+    // map-side-combinable key-grain aggregate on the already-projected
+    // build column — the same distinct build q70's AQE-reuse pins.
     val closed = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
       .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
       .join(orders.filter(col("o_orderstatus") === "F")
-          .select("o_orderkey").hint("shuffle_hash"),
+          .select("o_orderkey").dropDuplicates("o_orderkey").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_trunc("month", col("completed")).as("month"))
       .agg(count(lit(1)).as("n_closed"))
@@ -931,6 +945,25 @@ object CoreQueries {
   /** Rule core over any (event_id, user_id, event_type, ts) frame —
     * property tests drive random touch/conversion layouts through the
     * production plan. */
+  /** q73's credited touch domain, in 2-bit-code order (index = code).
+    * ONE Seq drives BOTH the event-type filter and the packed-int64
+    * type code (ADVICE r17): a 4th touch type added to the filter
+    * without a code would otherwise silently alias with the last
+    * `.otherwise` arm and double-credit boundary reads. */
+  private val TouchTypes = Seq("click", "signup", "view")
+
+  /** touch_type → 2-bit code, failing LOUDLY on anything outside
+    * [[TouchTypes]] instead of aliasing it (the filter makes the error
+    * arm unreachable today; it exists to keep filter and mapping from
+    * drifting apart). */
+  private def touchCode(c: Column): Column =
+    TouchTypes.zipWithIndex.tail
+      .foldLeft(when(c === TouchTypes.head, 0L)) {
+        case (acc, (t, i)) => acc.when(c === t, i.toLong)
+      }
+      .otherwise(raise_error(concat_ws(" ",
+        lit("q73: touch_type outside the credited domain:"), c)))
+
   private[graft] def q73AttributionCore(ev: DataFrame): DataFrame = {
     // both join legs are filters of the SAME user_id-repartitioned
     // subtree: the filters sit ABOVE the exchange, so the two legs'
@@ -939,12 +972,12 @@ object CoreQueries {
     // already hash-partitioned on user_id — no further exchange (r9; two
     // separate filtered scans each paid their own exchange before)
     val ev2 = ev
-      .filter(col("event_type").isin("purchase", "view", "click", "signup"))
+      .filter(col("event_type").isin("purchase" +: TouchTypes: _*))
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .repartition(col("user_id"))
     val p = ev2.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("p_ts"))
-    val t = ev2.filter(col("event_type").isin("view", "click", "signup"))
+    val t = ev2.filter(col("event_type").isin(TouchTypes: _*))
       .select(col("user_id"), col("event_type").as("touch_type"),
         col("ts").as("t_ts"), col("event_id").as("touch_id"))
     val joined = p.hint("shuffle_hash").join(t, Seq("user_id"))
@@ -971,17 +1004,14 @@ object CoreQueries {
     // lexicographically-first type; min(packed) = latest ts then
     // lexicographically-last type — exactly the oracle's
     // ORDER BY t_ts, touch_type / ORDER BY t_ts DESC, touch_type DESC.
-    val code = when(col("touch_type") === "click", 0L)
-      .when(col("touch_type") === "signup", 1L).otherwise(2L) // 'view'
     val packed = (unix_micros(col("p_ts")) - unix_micros(col("t_ts"))) * 4L +
-      (lit(3L) - code)
+      (lit(3L) - touchCode(col("touch_type")))
     val ct = joined.groupBy("conv_id", "touch_type")
       .agg(count(lit(1)).as("cnt"),
         max(packed).as("pf"), min(packed).as("pl"))
     val wc = Window.partitionBy("conv_id")
     val decode = (pk: Column) => lit(3L) - pmod(pk, lit(4L))
-    val myCode = when(col("touch_type") === "click", 0L)
-      .when(col("touch_type") === "signup", 1L).otherwise(2L)
+    val myCode = touchCode(col("touch_type"))
     val credited = ct
       .withColumn("n", sum(col("cnt")).over(wc))
       .withColumn("first_code", decode(max(col("pf")).over(wc)))

@@ -71,7 +71,15 @@ object Sources {
         // lowercase drop never matches (ADVICE r16) and the bound leaks.
         try st.execute(s"DROP TABLE $old")
         catch {
-          case e: java.sql.SQLException if e.getSQLState == "42Y55" => () // already gone
+          // 42Y55 = already gone. Lock-class states (40XL1/40XL2
+          // timeout, 40001 deadlock — e.g. a previous invocation's lazy
+          // frame still mid-read) degrade to a leaked stale table
+          // instead of failing the NEW invocation (ADVICE r17: narrowing
+          // the catch to 42Y55 alone flipped that failure mode from
+          // leak to crash); anything else is a real error and raises.
+          case e: java.sql.SQLException
+              if e.getSQLState == "42Y55" ||
+                Option(e.getSQLState).exists(_.startsWith("40")) => ()
         }
         finally st.close()
       } finally conn.close()

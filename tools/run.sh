@@ -1,6 +1,9 @@
 #!/bin/bash
 # Run a graft main class directly (no sbt startup): tools/run.sh graft.Verify <args...>
-# Assumes `sbt compile` has produced target/scala-2.13/classes.
+# Assumes `sbt compile` has produced target/scala-2.13/classes. Probe/demo
+# mains (ExplainAll, PlanProbe, SkewDemo, ProbeR17) live in TEST scope so
+# the published jar ships operators only — they need `sbt Test/compile`
+# first and resolve from test-classes below.
 MAIN=$1; shift
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
@@ -12,5 +15,5 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
 done
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes:/opt/spark/jars/*" \
   "$MAIN" "$@"
