@@ -793,27 +793,31 @@ object CoreQueries {
       sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
         .as("n_bad_status"),
       sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_bad_price"))
-    // the isNotNull filter does double duty: countDistinct semantics
-    // (a NULL key is not a distinct key — n_keys must match the
-    // original countDistinct on corrupted data) AND exchange identity —
-    // the anti join pushes isnotnull onto its build side, so without it
-    // here the two okeys subtrees differ by that filter and AQE cannot
-    // reuse the key-grain exchange (r17 probe: separate ShuffleQueryStages)
-    val okeys = o.filter(col("o_orderkey").isNotNull)
-      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("kc"))
-    val keyStats = okeys.agg(count(lit(1)).as("n_keys"))
-    // SHJ, not SMJ (r17 probe: 3.19 s vs 5.03 s at sf10, 0.69 vs 1.27
-    // at sf1): the build side is the distinct key set — per-task slices
-    // stay small at any corpus the exchange itself survives, and
-    // neither 60M-row side pays a sort. A q39-bucketed lake kills this
-    // shuffle outright.
-    val orphans = liDf
-      .join(okeys.hint("shuffle_hash"),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan"))
-    val li = liDf.agg(count(lit(1)).as("n_li"))
+    // ALL key-grain work — orders-key uniqueness, the RI orphan count,
+    // AND the lineitem row total — rides ONE union-aggregate (r18, the
+    // q12/q53 orderAssembly device replacing r17's shared-exchange +
+    // anti-join shape): tag each side, partial-aggregate the union to
+    // the key grain map-side (lineitem's ~4 rows/key collapse before
+    // the exchange), and read every statistic off that grain in a
+    // second tiny aggregate. No join at all — the r17 plan still paid
+    // the SHJ probe + its own 60M-row lineitem exchange; this exchange
+    // carries only the combined (key, n_ord, n_li) partials. r18 sf10
+    // pair: 2.33 s vs the anti-join shape's 3.18 s (same DuckDB side).
+    // The orders side filters null keys (countDistinct semantics: a
+    // NULL key is not a distinct key); lineitem null keys stay — they
+    // match nothing, so they are orphans, exactly as the left_anti
+    // form counted them.
+    val keyGrain = o.filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey").as("k"), lit(1L).as("ord"), lit(0L).as("li"))
+      .unionAll(liDf.select(col("l_orderkey").as("k"),
+        lit(0L).as("ord"), lit(1L).as("li")))
+      .groupBy("k")
+      .agg(sum(col("ord")).as("n_ord"), sum(col("li")).as("n_li_k"))
+    val keyStats = keyGrain.agg(
+      sum(when(col("n_ord") > 0L, 1L).otherwise(0L)).as("n_keys"),
+      sum(when(col("n_ord") === 0L, col("n_li_k")).otherwise(0L)).as("n_orphan"),
+      sum(col("n_li_k")).as("n_li"))
     val m = oAgg.crossJoin(broadcast(keyStats))
-      .crossJoin(broadcast(orphans)).crossJoin(broadcast(li))
     // ONE evaluation of the metrics row, fanned into the report rows by
     // a single explode — a 5-way union of selects over `m` would plan
     // five copies of the whole aggregation tree (15 aggregate jobs)

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** r18 scratch probe: adjudicate the q70 orphan-check shapes and the
+  * q10/q11/q12/q20 aggregate-then-window family stage costs (VERDICT
+  * r18 items 1-2). Each arm is timed min-of-2 after a warmup of the
+  * input scans, full evaluation via the noop sink.
+  *
+  * Usage: tools/run.sh graft.ProbeR18 /root/repo/benchdata/sf10 [armPrefix]
+  */
+object ProbeR18 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val only = args.lift(1).getOrElse("")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      if (!name.startsWith(only)) return
+      val ts = (1 to 2).map { _ =>
+        System.gc(); Thread.sleep(50)
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-32s ${ts.min}%.2f s (runs: ${ts.map(t => f"$t%.2f").mkString(", ")})")
+    }
+
+    val o = Tables.orders(spark, dir)
+    val liDf = Tables.lineitem(spark, dir)
+
+    // warm the page cache so arm deltas are compute, not IO
+    o.write.format("noop").mode("overwrite").save()
+    liDf.select("l_orderkey", "l_shipdate").write.format("noop").mode("overwrite").save()
+
+    def oAgg = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("n_bad_status"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_bad_price"))
+    def okeys = o.filter(col("o_orderkey").isNotNull)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("kc"))
+    def unionKeyGrain = o.filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey").as("k"), lit(1L).as("ord"), lit(0L).as("li"))
+      .unionAll(liDf.select(col("l_orderkey").as("k"),
+        lit(0L).as("ord"), lit(1L).as("li")))
+      .groupBy("k")
+      .agg(sum(col("ord")).as("n_ord"), sum(col("li")).as("n_li_k"))
+
+    time("q70.a row-level oAgg")(oAgg)
+    time("q70.b okeys key agg")(okeys)
+    time("q70.c union key agg")(unionKeyGrain)
+    time("q70.d union agg + stats")(unionKeyGrain.agg(
+      sum(when(col("n_ord") > 0L, 1L).otherwise(0L)).as("n_keys"),
+      sum(when(col("n_ord") === 0L, col("n_li_k")).otherwise(0L)).as("n_orphan"),
+      sum(col("n_li_k")).as("n_li")))
+    // the r17 production shape: okeys feeds n_keys AND the SHJ anti build
+    time("q70.e r17 anti-join full") {
+      val keyStats = okeys.agg(count(lit(1)).as("n_keys"))
+      val orphans = liDf
+        .join(okeys.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      val li = liDf.agg(count(lit(1)).as("n_li"))
+      oAgg.crossJoin(broadcast(keyStats))
+        .crossJoin(broadcast(orphans)).crossJoin(broadcast(li))
+    }
+    // r17 shape but the anti probe side pre-aggregated to the key grain
+    time("q70.f li-preagg anti full") {
+      val keyStats = okeys.agg(count(lit(1)).as("n_keys"))
+      val liKeys = liDf.groupBy(col("l_orderkey")).agg(count(lit(1)).as("lc"))
+      val orphans = liKeys
+        .join(okeys.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(sum(col("lc")).as("n_orphan"))
+      val li = liKeys.agg(sum(col("lc")).as("n_li"))
+      oAgg.crossJoin(broadcast(keyStats))
+        .crossJoin(broadcast(orphans)).crossJoin(broadcast(li))
+    }
+    time("q70.g production (current)")(
+      graft.operators.CoreQueries.q70ConstraintAudit(spark, dir))
+
+    spark.stop()
+  }
+}
