@@ -306,6 +306,49 @@ object TextHash {
     * NO occurrence-grain rows or corpus-grain exchange exist in the
     * plan at all — at 100 TB the old shape shuffled every token
     * occurrence once. */
+  /** t30's whitespace token count WITHOUT the array: `size(split(text,
+    * ' '))` materializes every token's UTF8String just to count them.
+    * The count is segments-between-single-spaces = #spaces + 1 (Spark's
+    * split keeps interior AND trailing empty segments at limit −1, so
+    * the identity is exact, including '' → 1). A byte scan for 0x20 is
+    * UTF-8-safe: multibyte sequences never contain an ASCII byte. */
+  def wsTokenCount(text: UTF8String): Long = {
+    val b = text.getBytes
+    var spaces = 0L
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) spaces += 1L; i += 1 }
+    spaces + 1L
+  }
+
+  /** t30's distinct whitespace tokens straight off the text bytes — one
+    * pass replacing `array_distinct(split(text, ' '))`, which allocates
+    * the full token array (copying every occurrence's bytes) and then a
+    * second distinct array. Segments split on single 0x20 exactly like
+    * Spark's split at limit −1 (interior/trailing empties kept, so ''
+    * yields ['']); set probes use a ZERO-COPY UTF8String view of the
+    * segment, and bytes are copied only on first occurrence (clone on
+    * insert) — Zipfian text makes almost every probe a hit. */
+  def distinctTokensData(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        val tok = UTF8String.fromBytes(b, start, i - start)
+        if (!seen.contains(tok)) {
+          val kept = tok.clone()
+          seen.add(kept)
+          out += kept
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   def tokenCountsData(words: ArrayData): ArrayData = {
     val n = words.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
@@ -1259,6 +1302,32 @@ case class TokenCounts(child: Expression)
   override def nullSafeEval(v: Any): Any =
     TextHash.tokenCountsData(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): TokenCounts = copy(child = c)
+}
+
+/** ws_token_count(string) → bigint: t30's whitespace token count with
+  * no token array — see [[TextHash.wsTokenCount]].
+  */
+case class WsTokenCount(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ws_token_count"
+  override def staticMethod: String = "wsTokenCount"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.wsTokenCount(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): WsTokenCount = copy(child = c)
+}
+
+/** distinct_tokens(string) → array<string>: one-pass distinct
+  * whitespace tokens — see [[TextHash.distinctTokensData]].
+  */
+case class DistinctTokens(child: Expression)
+    extends UnaryExpression with TextHashCodegen {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_distinct_tokens"
+  override def staticMethod: String = "distinctTokensData"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.distinctTokensData(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): DistinctTokens = copy(child = c)
 }
 
 /** feat_counts(array<string>) → array<struct<f,c>>: p69's per-document

@@ -635,6 +635,8 @@ object GraftFunctions {
     "graft_sq_xhat" -> (exprs => SqXhat(exprs(0), exprs(1), exprs(2))),
     "graft_hll_rho" -> (exprs => HllRho(exprs.head)),
     "graft_token_counts" -> (exprs => TokenCounts(exprs.head)),
+    "graft_ws_token_count" -> (exprs => WsTokenCount(exprs.head)),
+    "graft_distinct_tokens" -> (exprs => DistinctTokens(exprs.head)),
     "graft_lm_doc_score" -> (exprs => LmDocScore(exprs(0), exprs(1), exprs(2))),
     "graft_bpe_apply" -> (exprs => BpeApply(exprs(0), exprs(1))),
     "graft_collect_capped" -> (exprs => CappedLongCollect(exprs(0), exprs(1))),

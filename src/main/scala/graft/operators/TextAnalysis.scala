@@ -110,20 +110,28 @@ object TextAnalysis {
     * corpus-level distinct) joined on the blocking key.
     */
   def t30Tokencount(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-    val perSource = docs.groupBy("source")
+    // token counting never materializes the token array (r18):
+    // graft_ws_token_count is a byte scan (#spaces + 1 ≡ size(split)
+    // at limit −1, empties included), halving this branch at sf10
+    // (4.45 → 2.54 s in ProbeR18)
+    val perSource = docs
+      .select(col("source"), col("text"),
+        expr("graft_ws_token_count(text)").as("nt"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("words"))).as("total_tokens"),
+        sum(col("nt")).as("total_tokens"),
         sum(length(col("text"))).as("total_chars"),
-        round(avg(size(col("words"))), 4).as("avg_tokens"))
-    // within-doc dedupe BEFORE the explode (r17): distinct-per-source is
-    // unchanged by dropping a doc's repeated words (~50% of tokens per
-    // t34's measured dup-word rates), so array_distinct halves the
-    // token-grain rows feeding the countDistinct exchange — the
-    // operator's only data-sized shuffle (11.4 → ~7 s at sf10)
+        round(avg(col("nt")), 4).as("avg_tokens"))
+    // within-doc dedupe BEFORE the explode (r17), fused into ONE kernel
+    // pass over the text bytes (r18): graft_distinct_tokens replaces
+    // split + array_distinct — zero-copy set probes, bytes copied only
+    // per distinct token (6.68 → 4.71 s for this branch at sf10; the
+    // whole operator 6.48 → 5.21 s same-session). The countDistinct
+    // exchange still carries only ≤|vocab| per-task partials.
     val vocab = docs
-      .select(col("source"), explode(array_distinct(col("words"))).as("w"))
+      .select(col("source"), explode(expr("graft_distinct_tokens(text)")).as("w"))
       .groupBy("source")
       .agg(countDistinct(col("w")).as("n_distinct_tokens"))
     perSource.join(vocab, Seq("source"))

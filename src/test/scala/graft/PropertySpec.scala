@@ -576,6 +576,28 @@ class PropertySpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("graft_ws_token_count / graft_distinct_tokens equal their split() identities") {
+    // the r18 t30 kernels replace size(split(text,' ')) and
+    // array_distinct(split(text,' ')) with byte-scan passes — the
+    // identities must hold including interior/trailing empties,
+    // empty string, and multibyte text (no 0x20 inside UTF-8 tails)
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(18)
+    val alphabet = Seq("a", "bb", "ccc", "", " ", "  ", "é", "日本", "wörd")
+    val random = (1 to 400).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+    } ++ Seq((9001L, ""), (9002L, " "), (9003L, "solo"), (9004L, "a a a"))
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs = real.union(random.toDF("doc_id", "text"))
+    val bad = docs.filter(
+      expr("graft_ws_token_count(text)") =!= size(split(col("text"), " ")).cast("long") ||
+      expr("graft_distinct_tokens(text)") =!= array_distinct(split(col("text"), " "))).count()
+    assert(bad === 0L)
+  }
+
   test("graft_chunk_fps matches an in-memory reference on random byte payloads") {
     graft.functions.GraftFunctions.register(spark)
     import java.security.MessageDigest

@@ -87,6 +87,74 @@ object ProbeR18 {
     time("q70.g production (current)")(
       graft.operators.CoreQueries.q70ConstraintAudit(spark, dir))
 
+    // ---- t30: two corpus scans (per-source sums + distinct vocab) vs
+    // ---- ONE fused scan where doc stats ride the pos==0 explode row
+    val docs0 = Tables.documents(spark, dir)
+    if ("t30".startsWith(only) || only.startsWith("t30")) {
+      docs0.select("source", "text").write.format("noop").mode("overwrite").save()
+      val docsW = docs0.withColumn("words", split(col("text"), " "))
+      time("t30.a perSource sums")(docsW.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("words"))).as("total_tokens"),
+          sum(length(col("text"))).as("total_chars"),
+          round(avg(size(col("words"))), 4).as("avg_tokens")))
+      time("t30.b vocab distinct")(docsW
+        .select(col("source"), explode(array_distinct(col("words"))).as("w"))
+        .groupBy("source")
+        .agg(countDistinct(col("w")).as("n_distinct_tokens")))
+      time("t30.c production (current)")(
+        graft.operators.TextAnalysis.t30Tokencount(spark, dir))
+      graft.functions.GraftFunctions.register(spark)
+      time("t30.e kernel perSource") {
+        docs0.select(col("source"), col("text"),
+            expr("graft_ws_token_count(text)").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"),
+            sum(length(col("text"))).as("total_chars"),
+            round(avg(col("nt")), 4).as("avg_tokens"))
+      }
+      time("t30.f kernel vocab") {
+        docs0
+          .select(col("source"), explode(expr("graft_distinct_tokens(text)")).as("w"))
+          .groupBy("source")
+          .agg(countDistinct(col("w")).as("n_distinct_tokens"))
+      }
+      time("t30.g kernel full") {
+        val perSource = docs0.select(col("source"), col("text"),
+            expr("graft_ws_token_count(text)").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("total_tokens"),
+            sum(length(col("text"))).as("total_chars"),
+            round(avg(col("nt")), 4).as("avg_tokens"))
+        val vocab = docs0
+          .select(col("source"), explode(expr("graft_distinct_tokens(text)")).as("w"))
+          .groupBy("source")
+          .agg(countDistinct(col("w")).as("n_distinct_tokens"))
+        perSource.join(vocab, Seq("source"))
+      }
+      time("t30.d fused single scan") {
+        val rows = docsW
+          .select(col("source"), size(col("words")).as("nw"),
+            length(col("text")).as("nc"),
+            posexplode_outer(array_distinct(col("words"))).as(Seq("pos", "w")))
+        val marker = col("pos") === 0 || col("pos").isNull
+        val g1 = rows.groupBy("source", "w")
+          .agg(sum(when(marker, col("nw"))).as("p_nw"),
+            sum(when(marker, col("nc"))).as("p_nc"),
+            sum(when(marker, 1L).otherwise(0L)).as("p_docs"),
+            sum(when(marker && col("nw").isNotNull, 1L).otherwise(0L)).as("p_nw_docs"))
+        g1.groupBy("source")
+          .agg(sum(col("p_docs")).as("n_docs"),
+            sum(col("p_nw")).as("total_tokens"),
+            sum(col("p_nc")).as("total_chars"),
+            round(sum(col("p_nw")).cast("double") /
+              sum(col("p_nw_docs")).cast("double"), 4).as("avg_tokens"),
+            sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n_distinct_tokens"))
+      }
+    }
+
     spark.stop()
   }
 }
