@@ -141,14 +141,16 @@ object Pipeline {
     * chunk boundaries, never a float cumsum.
     */
   def p58SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val L = PackChunkTokens
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        // coalesce before split: Spark's size(NULL) is -1 where SQL's
-        // len(NULL) is NULL (ADVICE r5) — '' tokenizes as 1 both sides
-        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("tokens"))
+        // coalesce before counting: Spark's size(NULL) is -1 where SQL's
+        // len(NULL) is NULL (ADVICE r5) — '' tokenizes as 1 both sides;
+        // graft_ws_token_count ≡ size(split(·, ' ')) without the array (r18)
+        expr("graft_ws_token_count(coalesce(text, ''))").as("tokens"))
       .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
       .select(col("source"), col("cum_before"), col("tokens"),
         explode(expr(s"sequence(cum_before DIV $L, (cum_before + tokens - 1) DIV $L)"))
@@ -303,7 +305,8 @@ object Pipeline {
     // value per bucket (max), not a second aggregation of the corpus.
     val wb = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+        // graft_ws_token_count ≡ size(split(·, ' ')) without the array (r18)
+        expr("graft_ws_token_count(coalesce(text, ''))").as("n_tokens"))
       .withColumn("bucket", ph(concat_ws(":", lit("budget"), col("doc_id"))) % B)
       .withColumn("okey", ph(concat_ws(":", lit("order"), col("doc_id"))))
       // the null filters the (source,bucket) equi-join would INSERT on
@@ -464,7 +467,8 @@ object Pipeline {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+        // graft_ws_token_count ≡ size(split(·, ' ')) without the array (r18)
+        expr("graft_ws_token_count(coalesce(text, ''))").as("n_tokens"))
     val stats = docs.groupBy("source")
       .agg(count(lit(1)).as("n_input"), sum(col("n_tokens")).as("tokens"))
       .withColumn("s0", floor(sqrt(col("tokens").cast("double"))).cast("long"))
