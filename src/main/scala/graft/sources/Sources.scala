@@ -240,7 +240,48 @@ object Sources {
       .unionAll(orders.filter(col("o_orderkey") % 13 === 0)
         // -(key+1), not -key: key 0 exists and -0 would collide with it
         .select((-(col("o_orderkey") + 1)).as("cf_key"), lit(0).as("completion_status")))
-    derbyWrite(cfSlice, table).save()
+    // BULK sink (r18, closing the r17 scale-evidence gap): the r17 path
+    // pushed the slice through JDBC INSERTs — single-JVM Derby per-row
+    // latching was 10.6 of the 10.9 s sf10 pair. The production posture
+    // (parallel writers staging shards, the store bulk-loading them) is
+    // now what the sandbox measures: Spark writes the slice as CSV
+    // shards IN PARALLEL, then Derby's SYSCS_IMPORT_TABLE bulk-loads
+    // each shard — sf10 pair 10.88 → see FLOORS. Columns are created
+    // quoted-lowercase exactly as Spark's JDBC writer did, so the
+    // range-partitioned read below is unchanged.
+    val stage = graft.Scratch.dir("graft_q57_csv_")
+    cfSlice.write.mode("overwrite").csv(stage)
+    val ddl = java.sql.DriverManager.getConnection(DerbyUrl)
+    try {
+      val st = ddl.createStatement()
+      try st.execute(
+        s"""CREATE TABLE $table ("cf_key" BIGINT, "completion_status" INT)""")
+      finally st.close()
+    } finally ddl.close()
+    val shards = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    // ONE importer connection: a 4-way parallel-connection variant
+    // measured FLAT at sf10 (4.70 vs 4.71 s — embedded Derby serializes
+    // append-mode imports internally), so the simple loop stays. Per
+    // the r18 decomposition (ProbeR18 q57 arms at sf10): csv write
+    // 1.11 s, bulk import of 31 shards / 1.14M rows 2.65 s, JDBC
+    // read-back 0.66 s.
+    val conn = java.sql.DriverManager.getConnection(DerbyUrl)
+    try {
+      val c = conn.prepareCall(
+        "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(?, ?, ?, ?, ?, ?, ?)")
+      try shards.foreach { f =>
+        c.setString(1, "APP")
+        c.setString(2, table.toUpperCase)
+        c.setString(3, f.getAbsolutePath)
+        c.setString(4, ",")
+        c.setString(5, "\"")
+        c.setString(6, "UTF-8")
+        c.setInt(7, 0) // append: shards accumulate into one table
+        c.execute()
+      } finally c.close()
+    } finally conn.close()
 
     // planning read: key bounds for the range-partitioned JDBC scan.
     // MIN/MAX are NULL when no order falls in the reconciliation window

@@ -155,6 +155,53 @@ object ProbeR18 {
       }
     }
 
+    // ---- q57: where do the bulk-sink seconds go at sf10?
+    if (only.startsWith("q57")) {
+      val url = "jdbc:derby:memory:graftdb;create=true"
+      val orders57 = o
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val cfSlice = orders57
+        .filter(col("o_orderkey") % 4 =!= 3)
+        .select(col("o_orderkey").as("cf_key"),
+          when(col("o_orderkey") % 11 === 1, lit(9))
+            .when(col("o_orderstatus") === "F", lit(0))
+            .when(col("o_orderstatus") === "O", lit(3))
+            .otherwise(lit(1)).as("completion_status"))
+        .unionAll(orders57.filter(col("o_orderkey") % 13 === 0)
+          .select((-(col("o_orderkey") + 1)).as("cf_key"), lit(0).as("completion_status")))
+      val stage = java.nio.file.Files.createTempDirectory("probe_q57_").toString
+      def t[A](name: String)(body: => A): A = {
+        val t0 = System.nanoTime(); val r = body
+        println(f"[probe] q57.$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      t("csv write")(cfSlice.write.mode("overwrite").csv(stage))
+      val conn = java.sql.DriverManager.getConnection(url)
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE probe57 ("cf_key" BIGINT, "completion_status" INT)""")
+      val shards = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).sortBy(_.getName)
+      println(s"[probe] q57 shards=${shards.length}")
+      t("import all shards") {
+        val c = conn.prepareCall("CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE(?, ?, ?, ?, ?, ?, ?)")
+        shards.foreach { f =>
+          c.setString(1, "APP"); c.setString(2, "PROBE57"); c.setString(3, f.getAbsolutePath)
+          c.setString(4, ","); c.setString(5, "\""); c.setString(6, "UTF-8"); c.setInt(7, 0)
+          c.execute()
+        }
+        c.close()
+      }
+      t("jdbc read+count") {
+        spark.read.format("jdbc").option("url", url).option("dbtable", "probe57")
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .option("partitionColumn", "cf_key")
+          .option("lowerBound", "-20000000").option("upperBound", "20000000")
+          .option("numPartitions", "4").load()
+          .write.format("noop").mode("overwrite").save()
+      }
+      st.execute("DROP TABLE probe57"); st.close(); conn.close()
+    }
+
     spark.stop()
   }
 }
