@@ -155,6 +155,54 @@ object ProbeR18 {
       }
     }
 
+    // ---- the aggregate-then-window family: per-stage decompositions
+    if (only.startsWith("fam")) {
+      Tables.events(spark, dir).select("user_id").write.format("noop").mode("overwrite").save()
+      // q12: the union-aggregate subject assembly vs its tail
+      time("q12.a orderAssembly")(Tables.orderAssembly(spark, dir))
+      time("q12.b +obs projection")(Tables.orderAssembly(spark, dir)
+        .select(
+          when(col("is_final"), datediff(col("last_ship"), col("odate")))
+            .otherwise(datediff(lit("2002-06-01").cast("date"), col("odate")))
+            .cast("long").as("t_days"),
+          when(col("is_final"), 1L).otherwise(0L).as("event"))
+        .filter(col("t_days").isNotNull))
+      time("q12.c +byT grain")(Tables.orderAssembly(spark, dir)
+        .select(
+          when(col("is_final"), datediff(col("last_ship"), col("odate")))
+            .otherwise(datediff(lit("2002-06-01").cast("date"), col("odate")))
+            .cast("long").as("t_days"),
+          when(col("is_final"), 1L).otherwise(0L).as("event"))
+        .filter(col("t_days").isNotNull)
+        .groupBy("t_days")
+        .agg(sum(col("event")).as("n_events"),
+          sum(lit(1L) - col("event")).as("n_censored"),
+          count(lit(1)).as("n_obs")))
+      time("q12.full")(graft.operators.CoreQueries.q12Survival(spark, dir))
+      // q11: opened / closed legs
+      time("q11.a opened agg")(o
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_opened")))
+      time("q11.b closed leg")(liDf.select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed"))
+        .join(o.filter(col("o_orderstatus") === "F")
+            .select("o_orderkey").dropDuplicates("o_orderkey").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("completed")).as("month"))
+        .agg(count(lit(1)).as("n_closed")))
+      time("q11.b2 closed, li-preagg only")(liDf.select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("completed")))
+      time("q11.full")(graft.operators.CoreQueries.q11Backlog(spark, dir))
+      // q20: the fact-fact join vs its histogram tail
+      val delay = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+      time("q20.a SHJ join only")(liDf.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey")))
+      time("q20.full")(graft.operators.CoreQueries.q20Histogram(spark, dir))
+      // q10 stages are in ProbeR17 (r17 decomposition still current)
+      time("q10.full")(graft.operators.CoreQueries.q10Quantiles(spark, dir))
+    }
+
     // ---- q57: where do the bulk-sink seconds go at sf10?
     if (only.startsWith("q57")) {
       val url = "jdbc:derby:memory:graftdb;create=true"
