@@ -23,7 +23,8 @@ object ProbeR18 {
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(name: String)(mk: => DataFrame): Unit = {
-      if (!name.startsWith(only)) return
+      // "fam" selects the whole aggregate-then-window block below
+      if (!name.startsWith(only) && only != "fam") return
       val ts = (1 to 2).map { _ =>
         System.gc(); Thread.sleep(50)
         val t0 = System.nanoTime()
@@ -54,6 +55,7 @@ object ProbeR18 {
       .groupBy("k")
       .agg(sum(col("ord")).as("n_ord"), sum(col("li")).as("n_li_k"))
 
+    if (only != "fam") {
     time("q70.a row-level oAgg")(oAgg)
     time("q70.b okeys key agg")(okeys)
     time("q70.c union key agg")(unionKeyGrain)
@@ -86,6 +88,7 @@ object ProbeR18 {
     }
     time("q70.g production (current)")(
       graft.operators.CoreQueries.q70ConstraintAudit(spark, dir))
+    }
 
     // ---- t30: two corpus scans (per-source sums + distinct vocab) vs
     // ---- ONE fused scan where doc stats ride the pos==0 explode row
