@@ -206,6 +206,33 @@ object ProbeR18 {
       time("q10.full")(graft.operators.CoreQueries.q10Quantiles(spark, dir))
     }
 
+    // ---- q44: r17 SHJ anti-join vs a q70-style tagged union-aggregate
+    if (only.startsWith("q44")) {
+      time("q44.a r17 SHJ anti (current)")(
+        graft.operators.CoreQueries.q44AntiJoin(spark, dir))
+      time("q44.b union-agg") {
+        // status as an int code (string agg buffers force SortAggregate
+        // — the r16 orderAssembly lesson)
+        val stCode = when(col("o_orderstatus") === "F", 0)
+          .when(col("o_orderstatus") === "O", 1).otherwise(2)
+        val keyGrain = o
+            .select(col("o_orderkey").as("k"), stCode.as("st"),
+              col("o_totalprice").as("pr"), lit(0L).as("li"))
+          .unionAll(liDf.select(col("l_orderkey").as("k"),
+            lit(null).cast("int").as("st"), lit(null).cast("double").as("pr"),
+            lit(1L).as("li")))
+          .groupBy("k")
+          .agg(max(col("st")).as("st"), max(col("pr")).as("pr"),
+            sum(col("li")).as("n_li"))
+        keyGrain.filter(col("n_li") === 0L && col("st").isNotNull)
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n_no_items"),
+            round(sum(col("pr")), 2).as("stranded_value"))
+      }
+      time("q44.a2 r17 SHJ anti again")(
+        graft.operators.CoreQueries.q44AntiJoin(spark, dir))
+    }
+
     // ---- q57: where do the bulk-sink seconds go at sf10?
     if (only.startsWith("q57")) {
       val url = "jdbc:derby:memory:graftdb;create=true"
